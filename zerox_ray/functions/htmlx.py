@@ -1,0 +1,115 @@
+"""HTML logical-page splitting and DOM-heuristic boilerplate stripping.
+
+This is the engine's deterministic "OCR": where the reference rasterizes a
+page image and asks a vision LLM for markdown
+(node-zerox/src/models/openAI.ts:93-157), this engine extracts the main
+content of an HTML payload with classic content-extraction heuristics —
+per-block text length, link-text ratio, tag density, boilerplate-tag
+priors — so the result is a pure, byte-deterministic function of the
+payload (the north-star invariant: byte-identical extracted text per url).
+
+No external HTML parser is used (none is available in the runtime);
+parsing is compiled-regex byte/str scanning, which is also what keeps the
+per-batch UDF cheap. All regexes are module-level (compiled once per
+worker process).
+
+Page model parity: the reference turns one document into N ordered page
+images (node-zerox/src/utils/file.ts:153-207); here one HTML payload is
+split into N logical pages on explicit page-break markers
+(``<div class="page">`` sections), falling back to a single page.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from dataclasses import dataclass
+
+# --- byte-level structure scanning (pre-split, operates on raw payload) ------
+
+_COMMENT_RE_B = re.compile(rb"<!--[\s\S]*?-->")
+_SCRIPT_STYLE_RE_B = re.compile(rb"<(script|style)\b[\s\S]*?</\1>", re.I)
+_PAGE_DIV_RE_B = re.compile(rb"<div\s[^>]*class=\"page\"[^>]*>[\s\S]*?</div>")
+_BODY_RE_B = re.compile(rb"<body\b[^>]*>([\s\S]*?)</body>", re.I)
+_NAV_RE_B = re.compile(rb"<(nav|header)\b[\s\S]*?</\1>", re.I)
+_FOOTER_RE_B = re.compile(rb"<(footer|aside)\b[\s\S]*?</\1>", re.I)
+
+# --- str-level block scoring (post-split, operates on decoded fragments) -----
+
+_BLOCK_TAGS = "p|h[1-6]|li|td|pre|blockquote"
+_BLOCK_RE = re.compile(r"<(" + _BLOCK_TAGS + r")\b[^>]*>([\s\S]*?)</\1>", re.I)
+_LINK_RE = re.compile(r"<a\b[^>]*>([\s\S]*?)</a>", re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_NAV_RE = re.compile(r"<(nav|header)\b[\s\S]*?</\1>", re.I)
+_FOOTER_RE = re.compile(r"<(footer|aside)\b[\s\S]*?</\1>", re.I)
+
+#: keep a block only if link-text/text ratio is at or below this
+MAX_LINK_RATIO = 1.0 / 3.0
+
+
+@dataclass
+class Block:
+    """One candidate text block with its boilerplate-scoring features."""
+
+    tag: str
+    text: str
+    link_ratio: float
+    tag_count: int
+
+    @property
+    def keep(self) -> bool:
+        return bool(self.text) and self.link_ratio <= MAX_LINK_RATIO
+
+
+def strip_tags(fragment: str) -> str:
+    """Inner text of an HTML fragment, entity-unescaped, whitespace preserved
+    verbatim (the byte-identity invariant depends on not normalizing)."""
+    return _html.unescape(_TAG_RE.sub("", fragment))
+
+
+def parse_blocks(fragment_html: str) -> list[Block]:
+    """Scan block-level elements and compute boilerplate features for each."""
+    blocks: list[Block] = []
+    for m in _BLOCK_RE.finditer(fragment_html):
+        tag, inner = m.group(1).lower(), m.group(2)
+        text = strip_tags(inner)
+        link_len = sum(len(strip_tags(g)) for g in _LINK_RE.findall(inner))
+        ratio = link_len / len(text) if text else 1.0
+        blocks.append(Block(tag, text, ratio, inner.count("<")))
+    return blocks
+
+
+def extract_main_text(fragment_html: str) -> str:
+    """Boilerplate-strip one logical page: drop nav/header/footer/aside
+    containers (structural prior), score remaining blocks by link-text
+    ratio, join the kept block texts with a blank line.
+
+    This is the engine analogue of the per-page "OCR to markdown" model call
+    (node-zerox/src/models/openAI.ts:93-157), made deterministic.
+    """
+    cleaned = _NAV_RE.sub("", _FOOTER_RE.sub("", fragment_html))
+    kept = [b.text for b in parse_blocks(cleaned) if b.keep]
+    return "\n\n".join(kept)
+
+
+def split_html_pages(payload: bytes) -> list[bytes]:
+    """Split one HTML payload into ordered logical-page fragments.
+
+    Each fragment carries the document's nav/footer boilerplate alongside the
+    page section, so the downstream scorer genuinely exercises the
+    boilerplate heuristics per page (mirroring how each zerox page image
+    contains the full page incl. headers/footers).
+
+    Returns HTML fragment byte strings in document order. A payload without
+    explicit page markers is a single page.
+    """
+    body = _SCRIPT_STYLE_RE_B.sub(b"", _COMMENT_RE_B.sub(b"", payload))
+    m = _BODY_RE_B.search(body)
+    if m:
+        body = m.group(1)
+    nav = b"\n".join(mm.group(0) for mm in _NAV_RE_B.finditer(body))
+    foot = b"\n".join(mm.group(0) for mm in _FOOTER_RE_B.finditer(body))
+    pages = [mm.group(0) for mm in _PAGE_DIV_RE_B.finditer(body)]
+    if not pages:
+        return [body]
+    return [nav + b"\n" + p + b"\n" + foot for p in pages]

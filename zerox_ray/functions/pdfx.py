@@ -1,0 +1,69 @@
+"""PDF-like binary payload handling: magic sniffing, page splitting, text.
+
+The reference routes on a ``%PDF`` magic-number sniff
+(node-zerox/src/utils/file.ts:95-98) and rasterizes PDFs into ordered page
+images (file.ts:153-207; py_zerox/pyzerox/processor/pdf.py:14-33). No PDF
+library exists in this runtime, so the engine defines a deterministic
+synthetic PDF container ("zx-pdf") that the test generator emits and this
+module parses — a stand-in for a warm pdfium/poppler parser held in the
+splitter actor pool. The container keeps real PDF framing conventions
+(``%PDF-`` header, ``stream``/``endstream`` page sections, ``%%EOF``) so
+the classify/sniff logic is the real thing.
+
+A real-PDF parser would slot in here behind the same two functions; it is
+intentionally stubbed (see ``parse_real_pdf``).
+"""
+
+from __future__ import annotations
+
+import re
+
+PDF_MAGIC = b"%PDF-"
+CFB_MAGIC = b"\xd0\xcf\x11\xe0"  # legacy Office (utils/file.ts:89-92)
+ZX_MARKER = b"%zx-synthetic"
+
+_STREAM_RE = re.compile(rb"stream\n([\s\S]*?)\nendstream")
+
+
+def is_pdf_payload(payload: bytes) -> bool:
+    """Magic-number sniff (utils/file.ts:95-98)."""
+    return payload[:5] == PDF_MAGIC
+
+
+def is_cfb_payload(payload: bytes) -> bool:
+    """Legacy-Office sniff (utils/file.ts:89-92)."""
+    return payload[:4] == CFB_MAGIC
+
+
+def split_pdf_pages(payload: bytes) -> list[bytes]:
+    """One PDF payload → ordered per-page stream fragments (the engine
+    analogue of convertPdfToImages' 1-doc→N-images fan-out,
+    file.ts:153-207). Raises ValueError on a non-zx container so the caller
+    can emit an ERROR row (errorMode semantics, index.ts:338-352)."""
+    if not is_pdf_payload(payload):
+        raise ValueError("not a PDF payload")
+    if ZX_MARKER not in payload[:64]:
+        return parse_real_pdf(payload)
+    return [m.group(1) for m in _STREAM_RE.finditer(payload)]
+
+
+def pdf_page_count(payload: bytes) -> int:
+    """Cheap page-count metadata (getNumberOfPagesFromPdf,
+    utils/file.ts:332-340) — feeds skew-aware planning."""
+    return len(_STREAM_RE.findall(payload))
+
+
+def extract_pdf_text(fragment: bytes) -> str:
+    """Per-page text extraction from a zx-pdf stream fragment (the
+    deterministic stand-in for the vision-model OCR of a rasterized page)."""
+    return fragment.decode("utf-8", errors="replace")
+
+
+def parse_real_pdf(payload: bytes) -> list[bytes]:
+    """STUB: real-PDF parsing requires pdfium/poppler, not present in this
+    container. The Ray-side plumbing (actor pool, fragment schema, error
+    rows) is identical for real PDFs; only this function changes."""
+    raise NotImplementedError(
+        "real PDF parsing requires a PDF library not available in this "
+        "environment; zx-synthetic containers are fully supported"
+    )

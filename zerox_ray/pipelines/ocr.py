@@ -1,0 +1,156 @@
+"""The flagship OCR pipeline: pages table → documents table.
+
+Dataflow (SURVEY §3.4), all lazy/streaming until a sink consumes it:
+
+    read_parquet(pages, columns=[url, html])      # pruned scan
+      → map_batches(ClassifyPayload)              # vectorized sniff + pid
+      → map_batches(PageSplitter,  actor pool)    # 1 doc → N fragment rows
+      → map_batches(Scorer,        actor pool)    # fragment → markdown row
+      → groupby(pid).map_groups(reassemble)       # the ONE shuffle
+                                                  # (url-hash buckets)
+
+maintain_format mode replaces the free-order Scorer with a per-url
+sequential fold inside the same bucketed shuffle (§2.11) — scoring AND
+reassembly then happen in one map_groups call; still exactly one shuffle.
+
+Scale notes (100 TB design):
+- the only all-to-all is the pid exchange; P (num_partitions) is the
+  shuffle width AND the resume granularity (state/manifest.py);
+- splitter/scorer are autoscaling actor pools sized from cluster CPUs;
+  payload-heavy stages use small batch sizes so batch × concurrency fits
+  worker heaps;
+- nothing materializes the full dataset: consume with write_parquet /
+  iter_batches / aggregates.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from zerox_ray.config import ZeroxConfig
+from zerox_ray.sources.pages import read_pages
+from zerox_ray.stages.classify import DEFAULT_NUM_PARTITIONS, ClassifyPayload
+from zerox_ray.stages.reassemble import (
+    maintain_format_fold_bucket,
+    reassemble_bucket,
+)
+from zerox_ray.stages.score import Scorer
+from zerox_ray.stages.split import PageSplitter
+
+
+def _cluster_cpus() -> int:
+    if ray.is_initialized():
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    return 4
+
+
+def _concurrency(cfg: ZeroxConfig) -> tuple[int, int] | int:
+    if cfg.actor_concurrency is not None:
+        return cfg.actor_concurrency
+    return (1, _cluster_cpus())
+
+
+def _as_dataset(pages) -> ray.data.Dataset:
+    if isinstance(pages, str):
+        return read_pages(pages)
+    return pages
+
+
+def _fragments(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """pages → page-fragment rows (classify + split)."""
+    ds = _as_dataset(pages)
+    ds = ds.map_batches(
+        ClassifyPayload(num_partitions), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        PageSplitter,
+        fn_constructor_kwargs={
+            "select_pages": cfg.select_pages,
+            "error_mode": cfg.error_mode,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.split_batch_size,
+        zero_copy_batch=True,
+        concurrency=_concurrency(cfg),
+        num_cpus=1,
+    )
+
+
+def _fold_kwargs(cfg: ZeroxConfig) -> dict:
+    return {
+        "model_provider": cfg.model_provider,
+        "model_kwargs": cfg.model_kwargs,
+        "error_mode": cfg.error_mode,
+        "max_retries": cfg.max_retries,
+    }
+
+
+def fold_and_reassemble_bucket(df, **fold_kwargs):
+    """maintain_format: score (ordered fold) and reassemble one pid bucket
+    in a single call — avoids a second pid shuffle."""
+    return reassemble_bucket(maintain_format_fold_bucket(df, **fold_kwargs))
+
+
+def scored_fragments(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """pages → extracted per-page rows (url, pid, page_index, content,
+    content_length, status, error, input_tokens, output_tokens).
+
+    Page order across blocks is NOT meaningful — order is a per-url
+    property, restored wherever a url's rows are colocated (O1)."""
+    cfg = cfg or ZeroxConfig()
+    frags = _fragments(pages, cfg, num_partitions)
+    if cfg.maintain_format:
+        # ordered per-url fold: sequential within url, concurrent across
+        # buckets (§2.11) — needs the url-colocating shuffle before scoring.
+        return frags.groupby("pid").map_groups(
+            maintain_format_fold_bucket,
+            batch_format="pandas",
+            fn_kwargs=_fold_kwargs(cfg),
+        )
+    return frags.map_batches(
+        Scorer,
+        fn_constructor_kwargs=_fold_kwargs(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
+        zero_copy_batch=True,
+        concurrency=_concurrency(cfg),
+        num_cpus=1,
+    )
+
+
+def extracted_pages(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Per-page extracted table (the reference's Page rows, types.ts:124-133)."""
+    return scored_fragments(pages, cfg, num_partitions)
+
+
+def run_ocr(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """pages → documents table (url, markdown, total_pages, ocr_successful,
+    ocr_failed, input_tokens, output_tokens); markdown byte-identical per
+    url regardless of parallelism (north-star invariant)."""
+    cfg = cfg or ZeroxConfig()
+    if cfg.maintain_format:
+        frags = _fragments(pages, cfg, num_partitions)
+        return frags.groupby("pid").map_groups(
+            fold_and_reassemble_bucket,
+            batch_format="pandas",
+            fn_kwargs=_fold_kwargs(cfg),
+        )
+    scored = scored_fragments(pages, cfg, num_partitions)
+    return scored.groupby("pid").map_groups(reassemble_bucket, batch_format="pandas")

@@ -1,0 +1,60 @@
+"""Vectorized payload classification (the magic-number router).
+
+Parity: checkIsPdfFile (node-zerox/src/utils/file.ts:95-98), checkIsCFBFile
+(file.ts:89-92), isExcelFile/isStructuredDataFile (file.ts:363-376) — the
+reference sniffs one file at a time; here the sniff is a zero-copy
+pyarrow.compute expression over the whole Arrow batch.
+
+Adds: ``kind`` ∈ {pdf, html, cfb, unknown} and ``pid`` (stable url-hash
+partition id — the reassembly/resume partition key, computed once here and
+carried through every downstream stage).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: default number of url-hash partitions (resume granularity × shuffle width)
+DEFAULT_NUM_PARTITIONS = 64
+
+
+def url_pid(url: str, num_partitions: int) -> int:
+    """Stable cross-process partition id (crc32, NOT Python hash())."""
+    return zlib.crc32(url.encode()) % num_partitions
+
+
+class ClassifyPayload:
+    """Stateless map_batches fn: sniff payload kind + assign partition id."""
+
+    def __init__(self, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["html"]
+        head5 = pc.binary_slice(payload, 0, 5)
+        head4 = pc.binary_slice(payload, 0, 4)
+        head1 = pc.binary_slice(payload, 0, 1)
+        kind = pc.if_else(
+            pc.equal(head5, pa.scalar(b"%PDF-", pa.binary())),
+            pa.scalar("pdf"),
+            pc.if_else(
+                pc.equal(head1, pa.scalar(b"<", pa.binary())),
+                pa.scalar("html"),
+                pc.if_else(
+                    pc.equal(head4, pa.scalar(b"\xd0\xcf\x11\xe0", pa.binary())),
+                    pa.scalar("cfb"),
+                    pa.scalar("unknown"),
+                ),
+            ),
+        )
+        n = self.num_partitions
+        pids = np.fromiter(
+            (zlib.crc32(u) % n for u in batch["url"].cast(pa.binary()).to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("kind", kind).append_column("pid", pa.array(pids, pa.int64()))

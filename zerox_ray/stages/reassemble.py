@@ -1,0 +1,151 @@
+"""Per-url reassembly and the maintain_format ordered fold.
+
+The ONLY shuffle in the OCR pipeline: page rows are exchanged on ``pid``
+(crc32(url) % P — assigned once in classify) and each bucket is processed
+as a single vectorized pandas call. Grouping by the hash bucket instead of
+by raw ``url`` (a) amortizes per-group Python overhead over thousands of
+urls per call and (b) makes the shuffle partition ids STABLE — the same
+ids the checkpoint/resume manifests use (SURVEY §4).
+
+Byte-identity invariant: group order comes ONLY from the
+(url, page_index) sort inside the bucket — never from block arrival order
+— so the concatenated markdown is identical across cluster sizes.
+
+Parity:
+- markdown join "\\n\\n": node index.ts:566 / py zerox.py:172. Failed pages
+  are dropped from the markdown but counted (py zerox.py:162 filters
+  failures out of the aggregation; summary counters index.ts:592-606).
+- summary counters (G3-G4): groupby aggregate instead of closure ints
+  (index.ts:83-88, 325-337).
+- maintain_format fold (§2.11): sequential per-url loop carrying the prior
+  page's tail (index.ts:357-365; CONSISTENCY_PROMPT constants.ts:8-9),
+  BREAKING the chain on the first page error (index.ts:361-364) — pages
+  after an error in the same url are not scored. Concurrency comes from
+  many urls (buckets), exactly the reference's "synchronous per doc,
+  concurrent across docs" trade-off (README.md:135).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from zerox_ray.models.base import create_model
+from zerox_ray.stages.score import STATUS_ERROR, STATUS_SUCCESS, completion_to_row
+
+PAGE_JOIN = "\n\n"
+DOC_JOIN = "\n<hr><hr>\n"  # full-doc extraction separator (index.ts:482-491)
+
+
+def reassemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One pid bucket of extracted page rows → one row per url.
+
+    Output: url, markdown, total_pages, ocr_successful, ocr_failed,
+    input_tokens, output_tokens (the documents table, SURVEY §1.2).
+    """
+    df = df.sort_values(["url", "page_index"], kind="mergesort")
+    ok = df[df["status"] == STATUS_SUCCESS]
+    md = ok.groupby("url", sort=True)["content"].agg(PAGE_JOIN.join)
+    grouped = df.groupby("url", sort=True)
+    out = pd.DataFrame(
+        {
+            "total_pages": grouped["page_index"].size().astype("int64"),
+            "ocr_successful": grouped["status"]
+            .agg(lambda s: int((s == STATUS_SUCCESS).sum()))
+            .astype("int64"),
+            "input_tokens": grouped["input_tokens"].sum().astype("int64"),
+            "output_tokens": grouped["output_tokens"].sum().astype("int64"),
+        }
+    )
+    out["ocr_failed"] = (out["total_pages"] - out["ocr_successful"]).astype("int64")
+    out["markdown"] = md.reindex(out.index, fill_value="")
+    out = out.reset_index()
+    return out[
+        [
+            "url",
+            "markdown",
+            "total_pages",
+            "ocr_successful",
+            "ocr_failed",
+            "input_tokens",
+            "output_tokens",
+        ]
+    ]
+
+
+# --- maintain_format: per-url ordered fold over raw fragments ----------------
+
+_MODEL_CACHE: dict = {}
+
+
+def _cached_model(provider: str, kwargs: dict | None):
+    """One model per (worker process, config) — map_groups runs as tasks, so
+    actor-style __init__ state is emulated with a module-level cache."""
+    key = (provider, tuple(sorted((kwargs or {}).items())))
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = create_model(provider, **(kwargs or {}))
+    return _MODEL_CACHE[key]
+
+
+def maintain_format_fold_bucket(
+    df: pd.DataFrame,
+    model_provider: str = "deterministic",
+    model_kwargs: dict | None = None,
+    error_mode: str = "IGNORE",
+    max_retries: int = 1,
+) -> pd.DataFrame:
+    """One pid bucket of FRAGMENT rows → extracted page rows, scored
+    sequentially per url with prior-tail conditioning (§2.11)."""
+    from zerox_ray.models.base import Completion
+
+    model = _cached_model(model_provider, model_kwargs)
+    df = df.sort_values(["url", "page_index"], kind="mergesort")
+    rows: list[dict] = []
+    for url, g in df.groupby("url", sort=True):
+        prior_tail = ""
+        broken = False
+        for _, r in g.iterrows():
+            if broken:
+                break  # error breaks the chain (index.ts:361-364)
+            if r["kind"] == "error":
+                err = (r["fragment"] or b"corrupt payload").decode("utf-8", "replace")
+                if error_mode == "THROW":
+                    raise ValueError(f"{url}: {err}")
+                comp = Completion("", 0, 0, error=err)
+            else:
+                comp = _complete_retry(
+                    model, bytes(r["fragment"]), r["kind"], prior_tail, max_retries, error_mode
+                )
+            rows.append(completion_to_row(url, r["pid"], r["page_index"], comp))
+            if comp.error is not None:
+                broken = True
+            else:
+                prior_tail = model.tail_of(comp.content)
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "url",
+            "pid",
+            "page_index",
+            "content",
+            "content_length",
+            "status",
+            "error",
+            "input_tokens",
+            "output_tokens",
+        ],
+    )
+
+
+def _complete_retry(model, fragment, kind, prior_tail, max_retries, error_mode):
+    from zerox_ray.models.base import Completion
+
+    attempt = 0
+    while True:
+        try:
+            return model.complete(fragment, kind, maintain_format=True, prior_tail=prior_tail)
+        except Exception as exc:  # noqa: BLE001
+            if attempt >= max_retries:
+                if error_mode == "THROW":
+                    raise
+                return Completion("", 0, 0, error=str(exc)[:256])
+            attempt += 1

@@ -1,0 +1,94 @@
+"""PageSplitter: the 1-document → N-ordered-page-fragments fan-out stage.
+
+Parity: convertPdfToImages (node-zerox/src/utils/file.ts:153-207) /
+convert_pdf_to_images (py_zerox/pyzerox/processor/pdf.py:14-33) — the
+reference's widest stage, one doc → N page images. Here one payload row →
+N fragment rows carrying (url, pid, page_index, kind, fragment bytes).
+
+Runs as an ACTOR POOL (callable class in map_batches) because it holds
+warm parser state — mirroring how the reference warms pdf2pic/poppler per
+run (file.ts:184-206). Page selection (select_pages,
+py_zerox/pyzerox/processor/utils.py:48-107 / index.ts:197-205) is applied
+here as a bounds filter that preserves ORIGINAL 1-indexed page numbers
+(index.ts:261-273; zerox.py:182-194).
+
+Error semantics (errorMode, node types.ts:172-175, index.ts:338-352):
+- IGNORE: an unsplittable payload emits ONE row with kind='error' (the
+  downstream scorer turns it into a status=ERROR page row); the block is
+  never poisoned.
+- THROW: raise, failing the job.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from zerox_ray.functions import htmlx, pdfx
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pid", pa.int64()),
+        ("page_index", pa.int64()),
+        ("kind", pa.string()),
+        ("fragment", pa.binary()),
+    ]
+)
+
+
+class PageSplitter:
+    """Actor-pool flat-map: payload rows → page-fragment rows."""
+
+    def __init__(
+        self,
+        select_pages: list[int] | None = None,
+        error_mode: str = "IGNORE",
+    ):
+        # per-actor setup (once): page selection set, parser hooks
+        self.select = set(select_pages) if select_pages else None
+        self.error_mode = error_mode
+
+    def _split_one(self, payload: bytes, kind: str) -> tuple[str, list[bytes]]:
+        if kind == "pdf":
+            return "pdf", pdfx.split_pdf_pages(payload)
+        if kind == "html":
+            return "html", htmlx.split_html_pages(payload)
+        raise ValueError(f"unsupported or corrupt payload (kind={kind})")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, pids, idxs, kinds, frags = [], [], [], [], []
+        for url, pid, payload, kind in zip(
+            batch["url"].to_pylist(),
+            batch["pid"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["kind"].to_pylist(),
+        ):
+            try:
+                out_kind, fragments = self._split_one(payload, kind)
+            except Exception as exc:  # noqa: BLE001 — error-row containment
+                if self.error_mode == "THROW":
+                    raise
+                if self.select is None or 1 in self.select:
+                    urls.append(url)
+                    pids.append(pid)
+                    idxs.append(1)
+                    kinds.append("error")
+                    frags.append(str(exc).encode()[:256])
+                continue
+            for i, frag in enumerate(fragments, 1):
+                if self.select is not None and i not in self.select:
+                    continue
+                urls.append(url)
+                pids.append(pid)
+                idxs.append(i)
+                kinds.append(out_kind)
+                frags.append(frag)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pid": pa.array(pids, pa.int64()),
+                "page_index": pa.array(idxs, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "fragment": pa.array(frags, pa.binary()),
+            }
+        )

@@ -1,0 +1,264 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` input table.
+
+The BASELINE.json input_hint fixes the pipeline's input shape:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)``. The provided testdata has no such table, so this module
+derives one deterministically from ``documents.parquet`` (doc_id, text,
+lang, …) at each scale factor — the analogue of the reference's
+``shared/inputs`` corpus (40 docs + golden outputs,
+node-zerox/tests/README.md) recast as seeded Parquet.
+
+Everything here is a pure function of (doc_id, text), so a DuckDB oracle
+can recompute the EXPECTED pipeline output directly from the registered
+``documents`` view (see __ray_entry__.oracle_sql) — that is what makes the
+driver's value-hash correctness gate meaningful for the extraction
+pipeline.
+
+THE PLAN (mirrored line-for-line by the oracle SQL — keep in sync):
+  url        = 'https://example.org/doc/' || doc_id
+  is_err     = doc_id % 101 == 13          (corrupt payload → 1 ERROR page)
+  n_pages    = 1 if is_err else 24 if doc_id % 50 == 0 else 1 + doc_id % 4
+               (the %50 arm is the skew exercise: giant docs)
+  kind       = 'pdf' if doc_id % 10 == 7 else 'html'   (PDF branch ~10%)
+  L          = ceil(len(text) / n_pages)
+  chunk_i    = text[(i-1)*L : i*L]   (1-indexed; the expected page content)
+  filler     = doc_id % 97 == 3 → payload padded with large HTML comments
+               (wide-record exercise; stripped before parsing, no output
+               effect)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+URL_PREFIX = "https://example.org/doc/"
+GEN_VERSION = 1
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+ROWS_PER_FILE = 4096
+
+_NAV = (
+    b'<nav class="site-nav"><ul>'
+    b'<li><a href="/">home</a></li>'
+    b'<li><a href="/about">about us</a></li>'
+    b'<li><a href="/contact">contact</a></li>'
+    b'<li><a href="/login">log in</a></li>'
+    b"</ul></nav>"
+)
+_FOOTER = (
+    b"<footer><p>"
+    b'<a href="/terms">terms of service</a> '
+    b'<a href="/privacy">privacy policy</a> '
+    b'<a href="/sitemap">site map</a> (c) example</p></footer>'
+)
+_FILLER = b"<!-- " + b"boilerplate-filler " * 64 + b"-->\n"
+
+
+def plan_doc(doc_id: int, text: str) -> dict:
+    """The deterministic per-document plan (see module docstring)."""
+    is_err = doc_id % 101 == 13
+    if is_err:
+        np_ = 1
+    elif doc_id % 50 == 0:
+        np_ = 24
+    else:
+        np_ = 1 + doc_id % 4
+    kind = "corrupt" if is_err else ("pdf" if doc_id % 10 == 7 else "html")
+    chunk_len = -(-len(text) // np_)  # ceil
+    chunks = [text[(i - 1) * chunk_len : i * chunk_len] for i in range(1, np_ + 1)]
+    return {
+        "url": f"{URL_PREFIX}{doc_id}",
+        "is_err": is_err,
+        "n_pages": np_,
+        "kind": kind,
+        "chunks": chunks,
+        "filler": doc_id % 97 == 3,
+    }
+
+
+def build_html(doc_id: int, chunks: list[str], filler: bool) -> bytes:
+    parts = [
+        b"<html><head><title>doc %d</title></head><body>\n" % doc_id,
+        _NAV,
+        b"\n<article>\n",
+    ]
+    for i, c in enumerate(chunks, 1):
+        esc = c.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        parts.append(b'<div class="page" data-page="%d"><p>%s</p></div>\n' % (i, esc.encode()))
+        if filler:
+            parts.append(_FILLER * 8)
+    parts += [b"</article>\n", _FOOTER, b"\n</body></html>\n"]
+    return b"".join(parts)
+
+
+def build_pdf(chunks: list[str]) -> bytes:
+    parts = [b"%PDF-1.4\n%zx-synthetic\n"]
+    for c in chunks:
+        parts.append(b"stream\n" + c.encode() + b"\nendstream\n")
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def build_corrupt(doc_id: int) -> bytes:
+    return b"\x00\x01ZXCORRUPT" + str(doc_id).encode() * 4
+
+
+def build_payload(doc_id: int, text: str) -> bytes:
+    p = plan_doc(doc_id, text)
+    if p["kind"] == "corrupt":
+        return build_corrupt(doc_id)
+    if p["kind"] == "pdf":
+        return build_pdf(p["chunks"])
+    return build_html(doc_id, p["chunks"], p["filler"])
+
+
+def generate_pages_table(documents_path: str) -> pa.Table:
+    """documents.parquet → pages table (url, warc_ts, html, text, lang)."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    urls, tss, payloads = [], [], []
+    for d, t in zip(doc_ids, texts):
+        urls.append(f"{URL_PREFIX}{d}")
+        tss.append(EPOCH_US + d * 1_000_000)
+        payloads.append(build_payload(d, t))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def generate_media_table(n_rows: int = 256) -> pa.Table:
+    """Deterministic fake multimodal table (media_id, kind, payload, meta).
+
+    Payloads use tiny self-describing headers (ZXIMG: width/height +
+    pseudo-pixels; ZXAUD: sample rate/count + pseudo-samples) so the
+    decode/feature stages have real bytes to parse while the actual
+    image/audio codecs stay stubbed (no PIL/ffmpeg in this runtime)."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n_rows):
+        ids.append(i)
+        if i % 3 == 2:
+            sr, n = 8000, 64 + (i % 17) * 8
+            body = bytes((j * 31 + i) % 256 for j in range(n))
+            payloads.append(b"ZXAUD" + sr.to_bytes(4, "big") + n.to_bytes(4, "big") + body)
+            kinds.append("audio")
+        else:
+            w, h = 8 + i % 24, 8 + (i * 7) % 24
+            body = bytes((x * 13 + i) % 256 for x in range(w * h))
+            payloads.append(b"ZXIMG" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + body)
+            kinds.append("image")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _atomic_write_dir(final_dir: str, writer) -> None:
+    parent = os.path.dirname(final_dir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".gen-")
+    try:
+        writer(tmp)
+        os.rename(tmp, final_dir)
+    except OSError:
+        # lost the rename race → someone else generated it; that's fine
+        if not os.path.isdir(final_dir):
+            raise
+    finally:
+        if os.path.isdir(tmp) and tmp != final_dir:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def pages_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+    """Directory of pages-*.parquet for a testdata sf dir; generated once,
+    cached, written atomically (tmpdir + rename) so concurrent callers and
+    resumed runs see either nothing or the complete corpus."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "pages")
+    if os.path.isdir(out):
+        return out
+
+    def write(tmp: str) -> None:
+        table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"))
+        for start in range(0, table.num_rows, ROWS_PER_FILE):
+            part = table.slice(start, ROWS_PER_FILE)
+            pq.write_table(part, os.path.join(tmp, f"pages-{start // ROWS_PER_FILE:05d}.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
+
+
+def media_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+    """Cached fake multimodal table for a sf dir (row count scales with sf)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "media")
+    if os.path.isdir(out):
+        return out
+    n = max(64, pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows // 2)
+
+    def write(tmp: str) -> None:
+        pq.write_table(generate_media_table(n), os.path.join(tmp, "media-00000.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
+
+
+# --- pure-python golden builders (pytest oracles, independent of Ray) --------
+
+
+def expected_pages_rows(documents_path: str) -> list[dict]:
+    """Golden per-page rows computed straight from the plan (no HTML/PDF
+    round-trip) — the unit-level oracle for byte-identity."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    rows = []
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        p = plan_doc(d, t)
+        if p["is_err"]:
+            rows.append(
+                {"url": p["url"], "page_index": 1, "content": "", "content_length": 0, "status": "ERROR"}
+            )
+            continue
+        for i, c in enumerate(p["chunks"], 1):
+            rows.append(
+                {"url": p["url"], "page_index": i, "content": c, "content_length": len(c), "status": "SUCCESS"}
+            )
+    return rows
+
+
+def expected_documents_rows(documents_path: str) -> list[dict]:
+    """Golden per-document rows (markdown = SUCCESS pages joined '\\n\\n',
+    reference join: index.ts:566 / zerox.py:172)."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text"])
+    rows = []
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        p = plan_doc(d, t)
+        if p["is_err"]:
+            rows.append(
+                {"url": p["url"], "markdown": "", "total_pages": 1, "ocr_successful": 0, "ocr_failed": 1}
+            )
+        else:
+            rows.append(
+                {
+                    "url": p["url"],
+                    "markdown": "\n\n".join(p["chunks"]),
+                    "total_pages": p["n_pages"],
+                    "ocr_successful": p["n_pages"],
+                    "ocr_failed": 0,
+                }
+            )
+    return rows
