@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the zerox_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry``     — flagship OCR pipeline on sf0.001.
+``queries``   — one callable per implemented operator/pipeline (SURVEY §2 +
+                the training-data ops); each takes ``sf_dir``.
+``oracle_sql``— DuckDB-runnable ANSI SQL over the pre-registered views
+                (documents, events, embeddings, …) computing the SAME
+                result. The pages input table is a deterministic pure
+                function of the ``documents`` view (zerox_ray/testgen.py —
+                THE PLAN in its docstring), which is what lets SQL
+                recompute the expected extraction output exactly,
+                including byte-identical markdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +20,206 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ray.data.aggregate import Count, Sum
+
+from zerox_ray import ZeroxConfig, run_ocr
+from zerox_ray.pipelines.dataops import (
+    dedup_exact,
+    events_hourly,
+    quality_scores,
+    token_stats,
+)
+from zerox_ray.pipelines.extraction import extract_pages
+from zerox_ray.pipelines.ocr import extracted_pages
+from zerox_ray.testgen import pages_dir_for
+
+DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
+_EXTRACT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "first_token": {"type": "string"},
+        "n_tokens": {"type": "integer"},
+    },
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize/cache the Common-Crawl-style pages
+    table for sf0.001, run OCR, return the documents Dataset."""
+    return run_ocr(pages_dir_for("/root/testdata/sf0.001"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_ocr_documents(sf_dir: str):
+    return run_ocr(pages_dir_for(sf_dir)).select_columns(DOC_COLS)
+
+
+def _q_ocr_pages(sf_dir: str):
+    return extracted_pages(pages_dir_for(sf_dir)).select_columns(
+        ["url", "page_index", "content", "content_length", "status"]
+    )
+
+
+def _q_ocr_summary(sf_dir: str):
+    return (
+        extracted_pages(pages_dir_for(sf_dir))
+        .groupby("status")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Sum("content_length", alias_name="total_chars"),
+        )
+    )
+
+
+def _q_ocr_maintain_format(sf_dir: str):
+    cfg = ZeroxConfig(maintain_format=True)
+    return run_ocr(pages_dir_for(sf_dir), cfg).select_columns(["url", "markdown"])
+
+
+def _q_ocr_select_pages(sf_dir: str):
+    cfg = ZeroxConfig(select_pages=[1, 3])
+    return extracted_pages(pages_dir_for(sf_dir), cfg).select_columns(
+        ["url", "page_index", "content", "status"]
+    )
+
+
+def _q_extract_structured(sf_dir: str):
+    cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA)
+    return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
+        ["url", "page_index", "first_token", "n_tokens"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # OCR / extraction pipelines (reference parity)
+        "ocr_documents": _q_ocr_documents,
+        "ocr_pages": _q_ocr_pages,
+        "ocr_summary": _q_ocr_summary,
+        "ocr_maintain_format": _q_ocr_maintain_format,
+        "ocr_select_pages": _q_ocr_select_pages,
+        "extract_structured": _q_extract_structured,
+        # training-data ops
+        "token_stats": token_stats,
+        "quality_scores": quality_scores,
+        "dedup_exact": dedup_exact,
+        "events_hourly": events_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+# The pages-plan CTEs — MUST mirror zerox_ray/testgen.py::plan_doc exactly.
+_PAGES_CTE = """
+WITH p AS (
+  SELECT doc_id, text,
+         'https://example.org/doc/' || doc_id AS url,
+         (doc_id % 101 = 13) AS is_err,
+         CASE WHEN doc_id % 101 = 13 THEN 1
+              WHEN doc_id % 50 = 0 THEN 24
+              ELSE 1 + (doc_id % 4) END AS np
+  FROM documents
+),
+pg AS (
+  SELECT url, np, is_err, text,
+         unnest(generate_series(1, np)) AS page_index,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / np) AS BIGINT) AS L
+  FROM p
+),
+pages AS (
+  SELECT url, is_err, np, page_index,
+         CASE WHEN is_err THEN ''
+              ELSE substring(text, (page_index - 1) * L + 1, L) END AS content,
+         CASE WHEN is_err THEN 'ERROR' ELSE 'SUCCESS' END AS status
+  FROM pg
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ocr_documents": _PAGES_CTE
+        + """
+SELECT url,
+       COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                           e'\n\n' ORDER BY page_index), '') AS markdown,
+       CAST(count(*) AS BIGINT) AS total_pages,
+       CAST(sum(CASE WHEN is_err THEN 0 ELSE 1 END) AS BIGINT) AS ocr_successful,
+       CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
+FROM pages GROUP BY url
+""",
+        "ocr_pages": _PAGES_CTE
+        + """
+SELECT url, CAST(page_index AS BIGINT) AS page_index, content,
+       CAST(length(content) AS BIGINT) AS content_length, status
+FROM pages
+""",
+        "ocr_summary": _PAGES_CTE
+        + """
+SELECT status, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length(content)) AS BIGINT) AS total_chars
+FROM pages GROUP BY status
+""",
+        "ocr_maintain_format": _PAGES_CTE
+        + """
+, mf AS (
+  SELECT url, is_err, page_index,
+         CASE WHEN page_index = 1 THEN content
+              ELSE '<!-- cont:' ||
+                   right(lag(content) OVER (PARTITION BY url ORDER BY page_index), 16)
+                   || ' -->' || e'\n' || content END AS content
+  FROM pages
+)
+SELECT url,
+       COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                           e'\n\n' ORDER BY page_index), '') AS markdown
+FROM mf GROUP BY url
+""",
+        "ocr_select_pages": _PAGES_CTE
+        + """
+SELECT url, CAST(page_index AS BIGINT) AS page_index, content, status
+FROM pages WHERE page_index IN (1, 3)
+""",
+        "extract_structured": _PAGES_CTE
+        + """
+SELECT url, CAST(page_index AS BIGINT) AS page_index,
+       regexp_extract(content, '[a-z]+') AS first_token,
+       CAST(len(regexp_extract_all(content, '[a-z]+')) AS BIGINT) AS n_tokens
+FROM pages WHERE NOT is_err
+""",
+        "token_stats": """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+        "quality_scores": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')) AS BIGINT) AS n_stopwords,
+       CAST((1000000 * len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')))
+            // len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS stop_ratio_ppm,
+       CAST((1000000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+            // len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS avg_token_len_ppm
+FROM documents
+""",
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""",
+        "events_hourly": """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id, hour_id
+""",
+    }

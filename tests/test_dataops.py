@@ -1,0 +1,71 @@
+"""Tests for the training-data ops (token stats, quality, dedup, windows)
+cross-checked against DuckDB on the same parquet."""
+
+import duckdb
+import pandas as pd
+import ray.data
+
+from zerox_ray.pipelines.dataops import (
+    dedup_exact,
+    events_hourly,
+    quality_scores,
+    token_stats,
+)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame, keys):
+    got = got.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
+    exp = exp.sort_values(keys).reset_index(drop=True)[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_token_stats(sf_dir):
+    got = token_stats(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        "SELECT lang, count(*) n_docs, sum(len(regexp_extract_all(text,'[a-z]+'))) total_tokens, "
+        "sum(length(text)) total_chars FROM documents GROUP BY lang",
+    )
+    _cmp(got, exp, ["lang"])
+
+
+def test_quality_scores(sf_dir):
+    got = quality_scores(sf_dir).to_pandas()
+    assert (got.n_tokens > 0).all()
+    assert ((got.stop_ratio_ppm >= 0) & (got.stop_ratio_ppm <= 1_000_000)).all()
+    exp = _duck(
+        sf_dir,
+        r"SELECT doc_id, len(regexp_extract_all(text,'\b(?:the|a|and|of|to)\b')) n_stopwords FROM documents",
+    )
+    _cmp(got[["doc_id", "n_stopwords"]], exp, ["doc_id"])
+
+
+def test_dedup_exact_with_real_duplicates():
+    df = pd.DataFrame(
+        {"doc_id": [5, 1, 2, 3, 4], "text": ["aa", "aa", "bb", "aa", "bb"]}
+    )
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+    got = dedup_exact(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == [1, 2] and list(got.n_copies) == [3, 2]
+
+
+def test_events_hourly(sf_dir):
+    got = events_hourly(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        "SELECT user_id, epoch_us(ts) // 3600000000 hour_id, count(*) n_events, "
+        "sum(CAST(floor(value*100) AS BIGINT)) sum_value_cents FROM events GROUP BY user_id, hour_id",
+    )
+    _cmp(got, exp, ["user_id", "hour_id"])

@@ -1,0 +1,80 @@
+"""Unit tests for the HTML block scorer and the zx-pdf container parser."""
+
+import pytest
+
+from zerox_ray.functions import htmlx, pdfx
+from zerox_ray.testgen import build_html, build_pdf, plan_doc
+
+
+class TestHtmlBlocks:
+    def test_link_farm_dropped(self):
+        frag = '<li><a href="/">home</a></li><p>real content with enough text here</p>'
+        blocks = htmlx.parse_blocks(frag)
+        assert [b.keep for b in blocks] == [False, True]
+
+    def test_nav_container_dropped(self):
+        frag = "<nav><p>plain text inside nav</p></nav><p>keep me please ok</p>"
+        assert htmlx.extract_main_text(frag) == "keep me please ok"
+
+    def test_entity_unescape(self):
+        assert htmlx.extract_main_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+    def test_whitespace_preserved_verbatim(self):
+        assert htmlx.extract_main_text("<p>  spaced  out  </p>") == "  spaced  out  "
+
+    def test_multiple_blocks_joined(self):
+        out = htmlx.extract_main_text("<p>one</p><h2>two</h2><p>three</p>")
+        assert out == "one\n\ntwo\n\nthree"
+
+    def test_split_pages_ordering(self):
+        payload = build_html(1, ["alpha", "beta", "gamma"], filler=False)
+        frags = htmlx.split_html_pages(payload)
+        assert len(frags) == 3
+        texts = [htmlx.extract_main_text(f.decode()) for f in frags]
+        assert texts == ["alpha", "beta", "gamma"]
+
+    def test_no_page_markers_single_page(self):
+        frags = htmlx.split_html_pages(b"<html><body><p>only one</p></body></html>")
+        assert len(frags) == 1
+        assert htmlx.extract_main_text(frags[0].decode()) == "only one"
+
+    def test_comments_and_scripts_stripped(self):
+        payload = (
+            b"<html><body><!-- junk --><script>var x = '<p>no</p>';</script>"
+            b"<p>yes this is the content</p></body></html>"
+        )
+        frags = htmlx.split_html_pages(payload)
+        assert htmlx.extract_main_text(frags[0].decode()) == "yes this is the content"
+
+
+class TestPdf:
+    def test_magic_sniffs(self):
+        assert pdfx.is_pdf_payload(b"%PDF-1.4\nrest")
+        assert not pdfx.is_pdf_payload(b"<html>")
+        assert pdfx.is_cfb_payload(b"\xd0\xcf\x11\xe0junk")
+
+    def test_split_and_text_roundtrip(self):
+        payload = build_pdf(["page one", "page two"])
+        frags = pdfx.split_pdf_pages(payload)
+        assert [pdfx.extract_pdf_text(f) for f in frags] == ["page one", "page two"]
+        assert pdfx.pdf_page_count(payload) == 2
+
+    def test_non_pdf_raises(self):
+        with pytest.raises(ValueError):
+            pdfx.split_pdf_pages(b"<html>")
+
+    def test_real_pdf_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            pdfx.split_pdf_pages(b"%PDF-1.7\nreal pdf bytes")
+
+
+def test_plan_doc_chunking_covers_text():
+    p = plan_doc(6, "abcdefghij")  # np = 1 + 6%4 = 3
+    assert p["n_pages"] == 3
+    assert "".join(p["chunks"]) == "abcdefghij"
+
+
+def test_plan_doc_error_and_skew_arms():
+    assert plan_doc(13, "x" * 50)["is_err"]
+    assert plan_doc(100, "x" * 50)["n_pages"] == 24
+    assert plan_doc(7, "x" * 50)["kind"] == "pdf"

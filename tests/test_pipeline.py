@@ -1,0 +1,184 @@
+"""End-to-end pipeline tests: golden conformance (byte-identity), error
+semantics, maintain_format fold, select_pages, extraction merge.
+
+Golden oracle = pure-python expected_* builders in zerox_ray/testgen.py,
+computed straight from the deterministic plan WITHOUT the HTML/PDF
+round-trip — independent of the parser/extractor code under test.
+"""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from zerox_ray import ZeroxConfig, run_ocr
+from zerox_ray.pipelines.extraction import extract_documents, extract_pages
+from zerox_ray.pipelines.ocr import extracted_pages
+from zerox_ray.testgen import (
+    build_html,
+    expected_documents_rows,
+    expected_pages_rows,
+)
+
+PAGE_COLS = ["url", "page_index", "content", "content_length", "status"]
+DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
+
+
+def _pages_table(rows: list[tuple[str, bytes]]) -> ray.data.Dataset:
+    """In-memory pages table from (url, payload) pairs."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+                "text": pa.array([""] * len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        )
+    )
+
+
+def _sorted(df: pd.DataFrame, by) -> pd.DataFrame:
+    return df.sort_values(by).reset_index(drop=True)
+
+
+class TestGoldenConformance:
+    def test_documents_byte_identical(self, pages_dir, sf_dir):
+        got = _sorted(run_ocr(pages_dir).to_pandas()[DOC_COLS], "url")
+        exp = _sorted(
+            pd.DataFrame(expected_documents_rows(f"{sf_dir}/documents.parquet")), "url"
+        ).astype(got.dtypes.to_dict())
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_pages_byte_identical(self, pages_dir, sf_dir):
+        got = _sorted(
+            extracted_pages(pages_dir).to_pandas()[PAGE_COLS], ["url", "page_index"]
+        )
+        exp = _sorted(
+            pd.DataFrame(expected_pages_rows(f"{sf_dir}/documents.parquet")),
+            ["url", "page_index"],
+        ).astype(got.dtypes.to_dict())
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_partitioning_invariance(self, pages_dir):
+        """Byte-identity must not depend on the shuffle width (north rule:
+        identical output at different cluster/parallelism shapes)."""
+        a = _sorted(run_ocr(pages_dir, num_partitions=4).to_pandas()[DOC_COLS], "url")
+        b = _sorted(run_ocr(pages_dir, num_partitions=64).to_pandas()[DOC_COLS], "url")
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestErrorSemantics:
+    def test_corrupt_payload_error_row(self):
+        ds = _pages_table([("u1", b"\x00garbage"), ("u2", build_html(0, ["fine text"], False))])
+        pages = extracted_pages(ds).to_pandas()
+        err = pages[pages.url == "u1"]
+        assert list(err.status) == ["ERROR"] and list(err.page_index) == [1]
+        assert list(err.content) == [""]
+        ok = pages[pages.url == "u2"]
+        assert list(ok.status) == ["SUCCESS"]
+
+    def test_throw_mode_raises(self):
+        ds = _pages_table([("u1", b"\x00garbage")])
+        with pytest.raises(Exception):
+            run_ocr(ds, ZeroxConfig(error_mode="THROW")).to_pandas()
+
+    def test_page_level_model_error_kept_as_row(self):
+        payload = build_html(0, ["good page", "BOOMPAGE here", "after"], False)
+        ds = _pages_table([("u1", payload)])
+        pages = extracted_pages(ds, ZeroxConfig(model_provider="flaky")).to_pandas()
+        pages = _sorted(pages, "page_index")
+        assert list(pages.status) == ["SUCCESS", "ERROR", "SUCCESS"]
+        docs = run_ocr(ds, ZeroxConfig(model_provider="flaky")).to_pandas()
+        r = docs.iloc[0]
+        # failed page dropped from markdown but counted (zerox.py:162 analogue)
+        assert r.markdown == "good page\n\nafter"
+        assert (r.total_pages, r.ocr_successful, r.ocr_failed) == (3, 2, 1)
+
+    def test_retry_recovers_transient_failure(self):
+        payload = build_html(0, ["BOOMPAGE transient"], False)
+        ds = _pages_table([("u1", payload)])
+        cfg = ZeroxConfig(model_provider="flaky_once", max_retries=1)
+        pages = extracted_pages(ds, cfg).to_pandas()
+        assert list(pages.status) == ["SUCCESS"]
+        assert "BOOMPAGE transient" in pages.content.iloc[0]
+
+
+class TestMaintainFormat:
+    def test_fold_conditions_on_prior_tail(self):
+        payload = build_html(0, ["first page text", "second page text"], False)
+        ds = _pages_table([("u1", payload)])
+        pages = extracted_pages(ds, ZeroxConfig(maintain_format=True)).to_pandas()
+        pages = _sorted(pages, "page_index")
+        assert pages.content.iloc[0] == "first page text"
+        tail = "first page text"[-16:]
+        assert pages.content.iloc[1] == f"<!-- cont:{tail} -->\nsecond page text"
+
+    def test_error_breaks_chain(self):
+        payload = build_html(0, ["one ok", "BOOMPAGE bad", "three never scored"], False)
+        ds = _pages_table([("u1", payload)])
+        cfg = ZeroxConfig(maintain_format=True, model_provider="flaky")
+        pages = _sorted(extracted_pages(ds, cfg).to_pandas(), "page_index")
+        # page 3 is NOT emitted: the reference breaks the loop on first
+        # error (index.ts:357-365)
+        assert list(pages.page_index) == [1, 2]
+        assert list(pages.status) == ["SUCCESS", "ERROR"]
+
+    def test_single_page_docs_unchanged(self):
+        payload = build_html(0, ["only page"], False)
+        ds = _pages_table([("u1", payload)])
+        docs = run_ocr(ds, ZeroxConfig(maintain_format=True)).to_pandas()
+        assert docs.markdown.iloc[0] == "only page"
+
+
+class TestSelectPages:
+    def test_bounds_filter_keeps_original_numbers(self):
+        payload = build_html(0, ["p1", "p2", "p3", "p4"], False)
+        ds = _pages_table([("u1", payload)])
+        pages = extracted_pages(ds, ZeroxConfig(select_pages=[2, 4, 99])).to_pandas()
+        assert sorted(pages.page_index) == [2, 4]
+        assert sorted(pages.content) == ["p2", "p4"]
+
+    def test_normalizes_scalar(self):
+        cfg = ZeroxConfig(select_pages=3)
+        assert cfg.select_pages == [3]
+
+
+class TestExtraction:
+    SCHEMA = {
+        "type": "object",
+        "properties": {
+            "first_token": {"type": "string"},
+            "n_tokens": {"type": "integer"},
+        },
+    }
+
+    def test_extract_pages_typed_columns(self):
+        payload = build_html(0, ["alpha beta", "gamma"], False)
+        ds = _pages_table([("u1", payload)])
+        out = _sorted(
+            extract_pages(ds, ZeroxConfig(schema=self.SCHEMA)).to_pandas(), "page_index"
+        )
+        assert list(out.first_token) == ["alpha", "gamma"]
+        assert list(out.n_tokens) == [2, 1]
+
+    def test_extract_documents_per_page_merge(self):
+        payload = build_html(0, ["alpha beta", "gamma"], False)
+        ds = _pages_table([("u1", payload)])
+        cfg = ZeroxConfig(schema=self.SCHEMA, extract_per_page=["first_token"])
+        out = extract_documents(ds, cfg).to_pandas()
+        merged = json.loads(out.extracted.iloc[0])
+        # per-page key → ordered [{page, value}]; full-doc key shallow-merged
+        assert merged["first_token"] == [
+            {"page": 1, "value": "alpha"},
+            {"page": 2, "value": "gamma"},
+        ]
+        # n_tokens came from the full-doc pass over "alpha beta\n<hr><hr>\ngamma"
+        assert merged["n_tokens"] == 5
+
+    def test_requires_schema(self):
+        with pytest.raises(ValueError):
+            extract_pages(_pages_table([("u", b"<p>x</p>")]), ZeroxConfig())

@@ -20,12 +20,18 @@ from zerox_ray.functions.prompts import SYSTEM_PROMPT_BASE
 
 @dataclass
 class Completion:
-    """Per-page model result (CompletionResponse, node types.ts:151-156)."""
+    """Per-page model result (CompletionResponse, node types.ts:151-156).
+
+    ``tail`` is the conditioning context the NEXT page should receive in
+    maintain_format mode — the prior page's BASE content tail, computed by
+    the model (which knows the content before any continuity decoration).
+    """
 
     content: str
     input_tokens: int
     output_tokens: int
     error: str | None = None
+    tail: str = ""
 
 
 @dataclass
@@ -78,6 +84,7 @@ def create_model(provider: str = "deterministic", **kwargs) -> ScorerModel:
     # imported for registration side effects
     import zerox_ray.models.mock  # noqa: F401
     import zerox_ray.models.providers  # noqa: F401
+    import zerox_ray.models.testing  # noqa: F401
 
     try:
         cls = _REGISTRY[provider]

@@ -62,14 +62,10 @@ class DeterministicExtractorModel(ScorerModel):
         else:
             return Completion("", in_tok, 0, error=f"unsupported payload kind {kind!r}")
         text = format_markdown(text)
+        tail = text[-self.prior_tail_chars :]
         if maintain_format and prior_tail:
             text = f"<!-- cont:{prior_tail} -->\n{text}"
-        return Completion(text, in_tok, _tokens(len(text)))
-
-    def tail_of(self, content: str) -> str:
-        """The conditioning context the NEXT page receives (prior-page tail,
-        the analogue of passing priorPage into CONSISTENCY_PROMPT)."""
-        return content[-self.prior_tail_chars :]
+        return Completion(text, in_tok, _tokens(len(text)), tail=tail)
 
     def extract(self, content: str, schema: dict) -> Extraction:
         """Rule-based structured extraction: each schema property is computed

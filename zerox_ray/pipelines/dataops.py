@@ -1,0 +1,149 @@
+"""Training-data pipeline operations over the ``documents``/``events``
+tables: text analysis, quality scoring, exact dedup, windowed aggregates.
+
+These are the large-scale-corpus operators a 100 TB pipeline needs beyond
+the reference's own surface (which has none — SURVEY §2.8). Design rules
+applied throughout:
+
+- prune columns at the read;
+- vectorized pandas/pyarrow kernels inside map_batches (compiled regexes
+  at module level — once per worker process);
+- PRE-AGGREGATE inside map_batches (one partial row per key per batch),
+  then a small ``groupby().aggregate(Sum)`` over partials, so the shuffle
+  moves O(keys × batches) rows, not O(rows);
+- integer (ppm / cents) arithmetic for anything an exact-value oracle
+  checks, so no float-summation-order nondeterminism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from zerox_ray.functions.text import STOPWORD_RE, TOKEN_RE
+
+PPM = 1_000_000
+
+
+# --- token / quality analysis ------------------------------------------------
+
+
+def _token_partials(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.count(TOKEN_RE)
+    part = pd.DataFrame(
+        {"lang": df["lang"], "n_docs": 1, "total_tokens": toks, "total_chars": df["text"].str.len()}
+    )
+    out = part.groupby("lang", as_index=False).sum()
+    return out.astype({"n_docs": "int64", "total_tokens": "int64", "total_chars": "int64"})
+
+
+def token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-language token/char counts with per-batch partial aggregation.
+    Output: (lang, n_docs, total_tokens, total_chars)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    partials = ds.map_batches(_token_partials, batch_format="pandas")
+    return partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("total_chars", alias_name="total_chars"),
+    )
+
+
+def _quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    n_tokens = df["text"].str.count(TOKEN_RE).astype("int64")
+    n_stop = df["text"].str.count(STOPWORD_RE).astype("int64")
+    letters = df["text"].str.count(r"[a-z]").astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_tokens": n_tokens,
+            "n_stopwords": n_stop,
+            # integer ppm (floor) — exactly reproducible in SQL with //
+            "stop_ratio_ppm": (PPM * n_stop) // n_tokens,
+            "avg_token_len_ppm": (PPM * letters) // n_tokens,
+        }
+    )
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality features (length / stopword-ratio / mean token
+    length) — the classic web-corpus quality filter signals, fully
+    vectorized. Output: (doc_id, n_chars, n_tokens, n_stopwords,
+    stop_ratio_ppm, avg_token_len_ppm)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_quality_batch, batch_format="pandas")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def _sha1(s: str) -> str:
+    return hashlib.sha1(s.encode()).hexdigest()
+
+
+def _dedup_partials(df: pd.DataFrame) -> pd.DataFrame:
+    part = pd.DataFrame({"h": df["text"].map(_sha1), "doc_id": df["doc_id"], "n_copies": 1})
+    return (
+        part.groupby("h", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+        .astype({"doc_id": "int64", "n_copies": "int64"})
+    )
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact content dedup: hash text → per-batch partial (min doc_id,
+    count) → small groupby over partials → keeper rows.
+    Output: (doc_id, n_copies), one row per distinct text, doc_id = the
+    smallest id in the duplicate class."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partials = ds.map_batches(_dedup_partials, batch_format="pandas")
+    agg = partials.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Sum("n_copies", alias_name="n_copies"),
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+# --- windowed aggregate over the events stream table -------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def _events_partials(t: pa.Table) -> pa.Table:
+    us = pc.cast(t["ts"], pa.int64())  # timestamp[us] → µs since epoch
+    hour_id = pc.divide(us, _US_PER_HOUR)  # ts >= epoch → trunc == floor
+    cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+    df = pd.DataFrame(
+        {
+            "user_id": t["user_id"].to_numpy(),
+            "hour_id": hour_id.to_numpy(),
+            "n_events": 1,
+            "sum_value_cents": cents.to_numpy(),
+        }
+    )
+    out = df.groupby(["user_id", "hour_id"], as_index=False).sum()
+    return pa.Table.from_pandas(
+        out.astype({"n_events": "int64", "sum_value_cents": "int64"}), preserve_index=False
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window aggregate per user over the events table
+    (streaming-shaped workload as an ordered, partitioned log — SURVEY
+    guide pattern). Pre-aggregated per batch; value summed in integer
+    cents so the result is order-independent and exactly SQL-checkable.
+    Output: (user_id, hour_id, n_events, sum_value_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    partials = ds.map_batches(_events_partials, batch_format="pyarrow")
+    return partials.groupby(["user_id", "hour_id"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )

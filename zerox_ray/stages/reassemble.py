@@ -119,7 +119,7 @@ def maintain_format_fold_bucket(
             if comp.error is not None:
                 broken = True
             else:
-                prior_tail = model.tail_of(comp.content)
+                prior_tail = comp.tail
     return pd.DataFrame(
         rows,
         columns=[
