@@ -26,11 +26,22 @@ from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
     dedup_exact,
     events_hourly,
+    lang_id,
     quality_scores,
     token_stats,
 )
+from zerox_ray.pipelines.dedup import (
+    doc_fingerprints,
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
 from zerox_ray.pipelines.extraction import extract_pages
+from zerox_ray.pipelines.media import media_features
 from zerox_ray.pipelines.ocr import extracted_pages
+from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.testgen import pages_dir_for
 
 DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
@@ -103,11 +114,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
         "extract_structured": _q_extract_structured,
-        # training-data ops
+        # training-data ops (SQL-oracled)
         "token_stats": token_stats,
         "quality_scores": quality_scores,
         "dedup_exact": dedup_exact,
         "events_hourly": events_hourly,
+        "ann_cosine_topk": ann_bruteforce_topk,
+        # training-data ops (deterministic, rows-only checks — not
+        # SQL-expressible: iterative/hash-based algorithms)
+        "dedup_minhash_lsh": minhash_lsh_pairs,
+        "dedup_simhash": simhash_pairs,
+        "dedup_simhash_signatures": simhash_signatures,
+        "dedup_ngram_jaccard": ngram_jaccard_pairs,
+        "dedup_embedding_cosine": embedding_near_dup,
+        "doc_fingerprints": doc_fingerprints,
+        "lang_id": lang_id,
+        "ann_ivf_topk": ann_ivf_topk,
+        "media_features": media_features,
     }
 
 
@@ -214,6 +237,19 @@ FROM documents
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 5
 """,
         "events_hourly": """
 SELECT user_id,

@@ -1,0 +1,158 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "pages_total": ..., "pages_per_sec": ...}
+
+--scaling: runs the same suite in TWO fresh processes (num_cpus=8 and 32)
+on the same input and prints throughput at both plus scaling efficiency
+(the in-sandbox evidence protocol for the N→4N-nodes rule, BASELINE.md).
+
+Env:
+  GRAFT_SF_DIR    input testdata dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
+  GRAFT_REPEAT    pages-corpus replication factor (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+import warnings
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def run_suite(sf_dir: str, num_cpus: int, repeat: int) -> dict:
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from zerox_ray import ZeroxConfig, run_ocr
+    from zerox_ray.pipelines.dataops import dedup_exact, events_hourly, token_stats
+    from zerox_ray.testgen import pages_dir_for
+
+    pages = pages_dir_for(sf_dir, repeat=repeat)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.parquet as pq
+    import glob
+
+    n_pages_input = 0
+    for f in glob.glob(os.path.join(pages, "*.parquet")):
+        with open(f, "rb") as fh:
+            fh.read()
+        n_pages_input += pq.read_metadata(f).num_rows
+
+    out_root = f"/tmp/zerox_bench_out/{_sf_name(sf_dir)}-{num_cpus}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # headline: full OCR pipeline, consumed through the parquet sink
+    docs_out = os.path.join(out_root, "ocr_documents")
+    timed("ocr_documents", lambda: run_ocr(pages).write_parquet(docs_out))
+    import duckdb
+
+    total_pages = duckdb.sql(
+        f"select sum(total_pages) from read_parquet('{docs_out}/*.parquet')"
+    ).fetchone()[0]
+
+    timed(
+        "ocr_maintain_format",
+        lambda: run_ocr(pages, ZeroxConfig(maintain_format=True)).write_parquet(
+            os.path.join(out_root, "ocr_mf")
+        ),
+    )
+    timed("token_stats", lambda: token_stats(sf_dir).to_pandas())
+    timed("dedup_exact", lambda: dedup_exact(sf_dir).to_pandas())
+    timed("events_hourly", lambda: events_hourly(sf_dir).to_pandas())
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "zerox_ray bench suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_name(sf_dir),
+        "num_cpus": num_cpus,
+        "pages_input_docs": n_pages_input,
+        "pages_extracted": int(total_pages),
+        "pages_per_sec": round(total_pages / timings["ocr_documents"], 1),
+        **extra,
+    }
+
+
+def _run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("GRAFT_REPEAT", "4"))
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo, r_hi = _run_subprocess(lo), _run_subprocess(hi)
+        tp_lo, tp_hi = r_lo["pages_per_sec"], r_hi["pages_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (pages/sec, 8→32 cpus)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "sf": _sf_name(sf_dir),
+                    "pages_per_sec_8": tp_lo,
+                    "pages_per_sec_32": tp_hi,
+                    "ocr_sec_8": r_lo["queries"]["ocr_documents"],
+                    "ocr_sec_32": r_hi["queries"]["ocr_documents"],
+                    "suite_sec_8": r_lo["value"],
+                    "suite_sec_32": r_hi["value"],
+                }
+            )
+        )
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_suite(sf_dir, num_cpus, repeat)))
+
+
+if __name__ == "__main__":
+    main()

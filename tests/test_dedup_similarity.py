@@ -1,0 +1,176 @@
+"""Tests for near-dup detection, similarity search, media, lang-id —
+validated against independently-computed ground truth."""
+
+import itertools
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from zerox_ray.functions.hashing import (
+    hamming64,
+    jaccard,
+    rolling_fingerprint,
+    simhash64,
+    token_shingles,
+)
+from zerox_ray.functions.text import TOKEN_RE
+from zerox_ray.pipelines.dataops import lang_id
+from zerox_ray.pipelines.dedup import (
+    doc_fingerprints,
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from zerox_ray.pipelines.media import media_features, media_thumbnails
+from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
+
+
+def _truth_pairs(sf_dir, threshold):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sh = {
+        d: set(token_shingles(TOKEN_RE.findall(x)))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    return {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if jaccard(sh[a], sh[b]) >= threshold
+    }
+
+
+class TestMinHashLSH:
+    def test_finds_planted_neardups_exactly(self, sf_dir):
+        got = minhash_lsh_pairs(sf_dir).to_pandas()
+        truth = _truth_pairs(sf_dir, 0.5)
+        assert set(zip(got.doc_a, got.doc_b)) == truth
+        assert (got.jaccard_ppm >= 500_000).all()
+
+    def test_deterministic(self, sf_dir):
+        a = minhash_lsh_pairs(sf_dir).to_pandas().sort_values(["doc_a", "doc_b"])
+        b = minhash_lsh_pairs(sf_dir).to_pandas().sort_values(["doc_a", "doc_b"])
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+class TestSimHash:
+    def test_simhash_distribution_sane(self):
+        rng = np.random.RandomState(7)
+        docs = [[bytes(rng.bytes(8)) for _ in range(50)] for _ in range(30)]
+        sigs = [simhash64(d) for d in docs]
+        hs = [hamming64(a, b) for a, b in itertools.combinations(sigs, 2)]
+        assert 24 < np.mean(hs) < 40  # independent docs ≈ 32
+
+    def test_near_dup_low_hamming(self):
+        base = [os.urandom(8) for _ in range(60)]
+        dup = base[:57] + [os.urandom(8) for _ in range(3)]
+        assert hamming64(simhash64(base), simhash64(dup)) <= 12
+
+    def test_pipeline_pairs_are_real_neardups(self, sf_dir):
+        got = simhash_pairs(sf_dir).to_pandas()
+        got = got[got.doc_a >= 0]
+        truth = _truth_pairs(sf_dir, 0.5)
+        # simhash(h<=3) is a high-precision subset of the jaccard>=0.5 truth
+        assert len(got) > 0
+        assert set(zip(got.doc_a, got.doc_b)) <= truth
+
+
+class TestJaccardAndFingerprint:
+    def test_ngram_jaccard_high_precision(self, sf_dir):
+        got = ngram_jaccard_pairs(sf_dir).to_pandas()
+        truth = _truth_pairs(sf_dir, 0.8)
+        assert set(zip(got.doc_a, got.doc_b)) <= truth
+        assert len(got) >= 0.8 * len(truth)  # cheap blocking may miss a few
+
+    def test_fingerprint_properties(self, sf_dir):
+        got = doc_fingerprints(sf_dir).to_pandas()
+        assert got.doc_id.is_unique and len(got) == 500
+        assert rolling_fingerprint(["a", "b"]) != rolling_fingerprint(["b", "a"])
+        assert rolling_fingerprint(["a", "b"]) == rolling_fingerprint(["a", "b"])
+
+
+class TestEmbeddingOps:
+    def test_ann_bruteforce_matches_numpy(self, sf_dir):
+        got = ann_bruteforce_topk(sf_dir, n_queries=4, k=3).to_pandas()
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = np.asarray(t["vec_id"].to_pylist())
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        for qid in range(4):
+            sims = mat @ mat[list(ids).index(qid)]
+            order = sorted(zip(-sims, ids), key=lambda p: (p[0], p[1]))
+            exp = [i for _, i in order if i != qid][:3]
+            g = got[got.qid == qid].sort_values("rank")
+            assert list(g.neighbor_id) == exp
+
+    def test_ann_ivf_recall(self, sf_dir):
+        bf = ann_bruteforce_topk(sf_dir, n_queries=8, k=5).to_pandas()
+        ivf = ann_ivf_topk(sf_dir, n_queries=8, k=5).to_pandas()
+        inter = len(
+            set(zip(bf.qid, bf.neighbor_id)) & set(zip(ivf.qid, ivf.neighbor_id))
+        )
+        assert inter / len(bf) >= 0.5  # n_probe=4 of 16 clusters
+
+    def test_embedding_near_dup_finds_planted(self):
+        import tempfile
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((50, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant: vec 50 = vec 0 + tiny noise
+        dup = base[0] + 0.01 * rng.standard_normal(16)
+        dup /= np.linalg.norm(dup)
+        mat = np.vstack([base, dup[None, :]]).astype(np.float32)
+        d = tempfile.mkdtemp()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(51), pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+        got = embedding_near_dup(d, threshold_ppm=990_000).to_pandas()
+        assert (0, 50) in set(zip(got.vec_a, got.vec_b))
+
+
+class TestMediaAndLang:
+    def test_media_features(self, sf_dir):
+        got = media_features(sf_dir).to_pandas()
+        assert (got.status == "SUCCESS").all()
+        img = got[got.kind == "image"]
+        aud = got[got.kind == "audio"]
+        assert len(img) > 0 and len(aud) > 0
+        assert (img.n_units == img.width * img.height).all()
+        assert (aud.sample_rate == 8000).all()
+
+    def test_media_error_row(self):
+        import ray.data
+
+        from zerox_ray.pipelines.media import MediaFeatureExtractor
+
+        df = pd.DataFrame({"media_id": [1], "payload": [b"NOTMEDIA"]})
+        out = MediaFeatureExtractor()(df)
+        assert list(out.status) == ["ERROR"]
+
+    def test_thumbnails_halve_dimensions(self, sf_dir):
+        feats = media_features(sf_dir).to_pandas().set_index("media_id")
+        th = media_thumbnails(sf_dir).to_pandas()
+        from zerox_ray.pipelines.media import decode_payload
+
+        img_rows = [r for _, r in th.iterrows() if bytes(r.payload)[:5] == b"ZXIMG"][:5]
+        for r in img_rows:
+            d = decode_payload(bytes(r.payload))
+            orig = feats.loc[r.media_id]
+            assert d["width"] == (orig.width + 1) // 2
+            assert d["height"] == (orig.height + 1) // 2
+
+    def test_lang_id_deterministic_and_sane(self, sf_dir):
+        got = lang_id(sf_dir).to_pandas()
+        assert len(got) == 500
+        # synthetic corpus is English-ish query words → 'the'/'a' dominate
+        assert (got.pred_lang == "en").mean() > 0.9

@@ -63,6 +63,17 @@ class TestGoldenConformance:
         ).astype(got.dtypes.to_dict())
         pd.testing.assert_frame_equal(got, exp)
 
+    def test_actor_pool_path_identical(self, pages_dir):
+        """Forcing the actor-pool compute strategy (the path real stateful
+        models use) must produce identical bytes to the task path."""
+        # autoscaling (1,2) pools: a FIXED concurrency of 2 here would pin
+        # 4 actors (2 stages × 2) = every CPU of the 4-cpu test session and
+        # starve the read/sort tasks — the classic pool-starvation pitfall.
+        cfg = ZeroxConfig(stateful_stages=True, actor_concurrency=(1, 2))
+        a = _sorted(run_ocr(pages_dir, cfg).to_pandas()[DOC_COLS], "url")
+        b = _sorted(run_ocr(pages_dir).to_pandas()[DOC_COLS], "url")
+        pd.testing.assert_frame_equal(a, b)
+
     def test_partitioning_invariance(self, pages_dir):
         """Byte-identity must not depend on the shuffle width (north rule:
         identical output at different cluster/parallelism shapes)."""

@@ -39,6 +39,12 @@ class ZeroxConfig:
     split_batch_size: int = 64       # payload-heavy rows → small batches
     score_batch_size: int = 256
     actor_concurrency: tuple[int, int] | int | None = None  # None → (1, CPUs)
+    # None → auto: actor pools iff the model provider holds real state
+    # (network clients, warm parsers); the deterministic model is a pure
+    # function, so its stages run as fusable stateless tasks instead —
+    # actor pools would add startup + an un-fusable operator boundary for
+    # zero amortization benefit.
+    stateful_stages: bool | None = None
 
     def __post_init__(self) -> None:
         if self.error_mode not in ("IGNORE", "THROW"):

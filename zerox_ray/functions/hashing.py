@@ -1,0 +1,111 @@
+"""Deterministic hashing primitives for dedup / fingerprinting stages.
+
+Everything here must be stable ACROSS PROCESSES AND RUNS — so no Python
+``hash()`` (PYTHONHASHSEED-randomized); base hashes are zlib.crc32 (C
+speed) widened to 64 bits with a salted second pass, and the minhash
+permutation family is the practical ``(a*x + b) mod 2^64`` wrap-around
+family with seeded numpy parameters.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64_int(x: int) -> int:
+    """splitmix64 finalizer — crc32 is linear over GF(2), which makes raw
+    crc-derived bits heavily correlated across similar inputs (degenerate
+    simhash/minhash on small vocabularies); this multiply-xorshift mix
+    breaks the linearity."""
+    z = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def crc64(data: bytes) -> int:
+    """64-bit deterministic hash: two salted crc32 passes + splitmix64."""
+    lo = zlib.crc32(data)
+    hi = zlib.crc32(data + b"\x9e\x37\x79\xb9")
+    return _splitmix64_int((hi << 32) | lo)
+
+
+def crc64_array(items: list[bytes]) -> np.ndarray:
+    return np.fromiter((crc64(x) for x in items), dtype=np.uint64, count=len(items))
+
+
+def minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """K seeded odd multipliers + offsets for the wrap-around family."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 62, size=k).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=k).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_shingles,) uint64 → (K,) uint64 signature; empty input → all-max."""
+    if shingle_hashes.size == 0:
+        return np.full(a.shape[0], _MASK64, dtype=np.uint64)
+    # (K, n) = a[:,None]*x[None,:] + b[:,None]  (mod 2^64 wrap-around)
+    vals = a[:, None] * shingle_hashes[None, :] + b[:, None]
+    return vals.min(axis=1)
+
+
+def band_keys(signature: np.ndarray, n_bands: int) -> list[int]:
+    """Split a signature into bands; one deterministic 32-bit key per band
+    (LSH bucket keys)."""
+    r = signature.shape[0] // n_bands
+    return [
+        zlib.crc32(signature[i * r : (i + 1) * r].tobytes()) for i in range(n_bands)
+    ]
+
+
+def token_shingles(tokens: list[str], n: int = 3) -> list[bytes]:
+    return [" ".join(tokens[i : i + n]).encode() for i in range(len(tokens) - n + 1)]
+
+
+def simhash64(features: list[str] | list[bytes]) -> int:
+    """Classic 64-bit simhash (bit-vote of feature hashes); deterministic.
+    Callers pick the feature set — shingles discriminate far better than
+    unigrams on small-vocabulary corpora."""
+    tokens = features
+    if not tokens:
+        return 0
+    hashes = crc64_array([t.encode() if isinstance(t, str) else t for t in tokens])
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # int64, NOT the default unsigned promotion: negative vote totals must
+    # stay negative (uint wrap-around turns them into huge positives and
+    # collapses every signature towards all-ones)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)
+    out_bits = (votes > 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+_FP_BASE = 1_000_003
+_FP_MASK = (1 << 64) - 1
+
+
+def rolling_fingerprint(tokens: list[str]) -> int:
+    """Order-sensitive document fingerprint: Horner fold of token hashes
+    (mod 2^64). Two docs with the same tokens in the same order collide;
+    any reorder/edit changes it."""
+    h = 0
+    for t in tokens:
+        h = (h * _FP_BASE + crc64(t.encode())) & _FP_MASK
+    return h
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

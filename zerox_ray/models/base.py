@@ -49,9 +49,15 @@ class ScorerModel:
     ``complete`` = handleOCR (openAI.ts:93-157): page fragment → markdown.
     ``extract``  = handleExtraction (openAI.ts:159-215): content + JSON
     schema → dict.
+
+    ``stateful`` declares whether instances hold per-process state worth
+    amortizing (HTTP clients, warm parsers, loaded models). Stateful
+    models run in actor pools (__init__ once per actor); stateless ones
+    run as plain task UDFs, which Ray fuses into a single map operator.
     """
 
     system_prompt: str = SYSTEM_PROMPT_BASE
+    stateful: bool = False
 
     def complete(
         self,
@@ -93,3 +99,14 @@ def create_model(provider: str = "deterministic", **kwargs) -> ScorerModel:
             f"unknown model provider {provider!r}; known: {sorted(_REGISTRY)}"
         ) from None
     return cls(**kwargs)
+
+
+def is_stateful_provider(provider: str) -> bool:
+    """Whether the provider's stages should run as actor pools (see
+    ScorerModel.stateful)."""
+    import zerox_ray.models.mock  # noqa: F401
+    import zerox_ray.models.providers  # noqa: F401
+    import zerox_ray.models.testing  # noqa: F401
+
+    cls = _REGISTRY.get(provider)
+    return bool(getattr(cls, "stateful", False)) if cls is not None else True

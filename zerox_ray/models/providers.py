@@ -20,6 +20,7 @@ from zerox_ray.models.base import Completion, Extraction, ScorerModel, register_
 
 class _NetworkedModel(ScorerModel):
     provider = "base"
+    stateful = True  # holds an HTTP client/session → actor-pool stages
 
     def __init__(self, model: str = "", credentials: dict | None = None, **llm_params):
         credentials = credentials or {}

@@ -110,6 +110,45 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "n_copies"])
 
 
+# --- language identification (heuristic n-gram/stopword profiles) -----------
+
+_LANG_PROFILES: dict[str, str] = {
+    # function-word profiles; \b word-boundary regexes, compiled below
+    "en": r"\b(?:the|and|of|to|a|in|is|that|it|for)\b",
+    "de": r"\b(?:der|die|und|das|ein|ist|zu|den|mit|nicht)\b",
+    "fr": r"\b(?:le|la|et|les|des|un|est|une|dans|que)\b",
+    "es": r"\b(?:el|de|que|y|en|un|ser|se|no|por)\b",
+    "it": r"\b(?:il|di|che|e|la|per|un|in|non|una)\b",
+}
+import re as _re
+
+_LANG_RES = {lang: _re.compile(p) for lang, p in _LANG_PROFILES.items()}
+
+
+def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized: one str.count pass per language profile, argmax with a
+    deterministic tie-break (alphabetical), 'und' when nothing matches."""
+    counts = {lang: df["text"].str.count(rx) for lang, rx in sorted(_LANG_RES.items())}
+    mat = pd.DataFrame(counts)
+    best = mat.idxmax(axis=1)
+    best_n = mat.max(axis=1)
+    pred = best.where(best_n > 0, "und")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "pred_lang": pred.astype(str),
+            "n_matches": best_n.astype("int64"),
+        }
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language ID over documents.
+    Output: (doc_id, pred_lang, n_matches)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_lang_id_batch, batch_format="pandas")
+
+
 # --- windowed aggregate over the events stream table -------------------------
 
 _US_PER_HOUR = 3_600_000_000

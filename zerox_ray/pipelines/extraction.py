@@ -30,7 +30,6 @@ from zerox_ray.functions.schema import split_schema
 from zerox_ray.models.base import create_model
 from zerox_ray.pipelines.ocr import (
     DEFAULT_NUM_PARTITIONS,
-    _concurrency,
     scored_fragments,
 )
 from zerox_ray.stages.reassemble import DOC_JOIN
@@ -99,20 +98,20 @@ def extract_pages(
         raise ValueError("extraction requires cfg.schema (index.ts:118-123)")
     _, per_page = split_schema(cfg.schema, cfg.extract_per_page)
     schema = per_page if per_page is not None else cfg.schema
+    from zerox_ray.pipelines.ocr import _stage_kwargs
+
     scored = scored_fragments(pages, cfg, num_partitions)
-    return scored.map_batches(
+    fn, kwargs = _stage_kwargs(
+        cfg,
         PageExtractor,
-        fn_constructor_kwargs={
+        {
             "schema": schema,
             "model_provider": cfg.model_provider,
             "model_kwargs": cfg.model_kwargs,
         },
-        batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
-        zero_copy_batch=True,
-        concurrency=_concurrency(cfg),
-        num_cpus=1,
+        cfg.score_batch_size,
     )
+    return scored.map_batches(fn, **kwargs)
 
 
 def _merge_bucket(

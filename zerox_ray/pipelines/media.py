@@ -1,0 +1,138 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+by actor-pool map_batches stages.
+
+Real image/audio codecs are NOT in this runtime, so the decode step is
+split in two:
+- ``ZX*`` self-describing synthetic containers (zerox_ray/testgen.py
+  ``generate_media_table``) decode fully — exercising the REAL Ray-side
+  plumbing: schema, binary batches, actor signature, small batch sizes,
+  typed feature output;
+- anything else routes to ``_decode_real`` which raises
+  NotImplementedError (clearly-marked stub — swap in PIL/ffmpeg on a
+  cluster that has them; nothing else in the stage changes).
+
+Feature extraction is numpy over the decoded byte planes. ``resize`` is a
+deterministic stride-2 downsample re-encoded into the same container —
+the shape of a real thumbnailing stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from zerox_ray.testgen import media_path_for
+
+IMG_MAGIC = b"ZXIMG"
+AUD_MAGIC = b"ZXAUD"
+
+
+def _decode_real(payload: bytes):
+    """STUB: real codec decode (PIL / libsndfile / ffmpeg) — not available
+    in this environment."""
+    raise NotImplementedError(
+        "real media codecs are unavailable in this runtime; ZX* synthetic "
+        "containers are fully supported"
+    )
+
+
+def decode_payload(payload: bytes) -> dict:
+    """payload → {'kind', 'shape'/'sr', 'data': np.ndarray} or raise."""
+    if payload[:5] == IMG_MAGIC:
+        w = int.from_bytes(payload[5:9], "big")
+        h = int.from_bytes(payload[9:13], "big")
+        data = np.frombuffer(payload[13 : 13 + w * h], dtype=np.uint8).reshape(h, w)
+        return {"kind": "image", "width": w, "height": h, "data": data}
+    if payload[:5] == AUD_MAGIC:
+        sr = int.from_bytes(payload[5:9], "big")
+        n = int.from_bytes(payload[9:13], "big")
+        data = np.frombuffer(payload[13 : 13 + n], dtype=np.uint8)
+        return {"kind": "audio", "sample_rate": sr, "n_samples": n, "data": data}
+    return _decode_real(payload)
+
+
+def encode_image(data: np.ndarray) -> bytes:
+    h, w = data.shape
+    return IMG_MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big") + data.tobytes()
+
+
+class MediaFeatureExtractor:
+    """Actor-pool map_batches: media rows → typed feature rows.
+
+    Small batches on purpose: multi-MB binary payloads × batch_size ×
+    concurrency must fit the worker heap (SURVEY §4 memory rule)."""
+
+    def __init__(self, error_mode: str = "IGNORE"):
+        self.error_mode = error_mode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {
+            "media_id": [], "kind": [], "width": [], "height": [],
+            "sample_rate": [], "n_units": [], "mean_value_ppm": [], "status": [],
+        }
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            try:
+                d = decode_payload(bytes(payload))
+            except Exception:  # noqa: BLE001
+                if self.error_mode == "THROW":
+                    raise
+                rows["media_id"].append(int(mid))
+                rows["kind"].append("unknown")
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["sample_rate"].append(0)
+                rows["n_units"].append(0)
+                rows["mean_value_ppm"].append(0)
+                rows["status"].append("ERROR")
+                continue
+            rows["media_id"].append(int(mid))
+            rows["kind"].append(d["kind"])
+            rows["width"].append(d.get("width", 0))
+            rows["height"].append(d.get("height", 0))
+            rows["sample_rate"].append(d.get("sample_rate", 0))
+            rows["n_units"].append(int(d["data"].size))
+            rows["mean_value_ppm"].append(int(d["data"].mean() * 1_000_000) if d["data"].size else 0)
+            rows["status"].append("SUCCESS")
+        out = pd.DataFrame(rows)
+        for c in ("media_id", "width", "height", "sample_rate", "n_units", "mean_value_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+
+class ImageResizer:
+    """Actor-pool map_batches: deterministic stride-2 downsample of image
+    payloads (audio passes through untouched). 1 row in → 1 row out with
+    a re-encoded payload — the thumbnailing stage shape."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_payloads = []
+        for payload in df["payload"]:
+            payload = bytes(payload)
+            if payload[:5] == IMG_MAGIC:
+                d = decode_payload(payload)
+                out_payloads.append(encode_image(np.ascontiguousarray(d["data"][::2, ::2])))
+            else:
+                out_payloads.append(payload)
+        return pd.DataFrame({"media_id": df["media_id"].astype("int64"), "payload": out_payloads})
+
+
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """Features over the (generated, cached) media table.
+    Output: (media_id, kind, width, height, sample_rate, n_units,
+    mean_value_ppm, status)."""
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
+    """Resize stage over the media table. Output: (media_id, payload)."""
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return ds.map_batches(
+        ImageResizer, batch_format="pandas", batch_size=64, concurrency=(1, 4)
+    )

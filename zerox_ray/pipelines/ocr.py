@@ -57,6 +57,36 @@ def _as_dataset(pages) -> ray.data.Dataset:
     return pages
 
 
+def _stateful(cfg: ZeroxConfig) -> bool:
+    """Actor pools vs fusable tasks: pay actor startup only when the model
+    actually holds per-process state (see ScorerModel.stateful). With the
+    deterministic model, task mode lets Ray fuse classify→split→score
+    into ONE map operator — measured 4-6× faster end-to-end at sf0.1."""
+    if cfg.stateful_stages is not None:
+        return cfg.stateful_stages
+    from zerox_ray.models.base import is_stateful_provider
+
+    return is_stateful_provider(cfg.model_provider)
+
+
+def _stage_kwargs(cfg: ZeroxConfig, cls, ctor_kwargs: dict, batch_size: int) -> tuple:
+    """(fn, map_batches kwargs) for a stage: actor-pool class or task UDF
+    instance depending on the statefulness decision."""
+    common = {
+        "batch_format": "pyarrow",
+        "batch_size": batch_size,
+        "zero_copy_batch": True,
+    }
+    if _stateful(cfg):
+        return cls, {
+            **common,
+            "fn_constructor_kwargs": ctor_kwargs,
+            "concurrency": _concurrency(cfg),
+            "num_cpus": 1,
+        }
+    return cls(**ctor_kwargs), common
+
+
 def _fragments(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig,
@@ -67,18 +97,13 @@ def _fragments(
     ds = ds.map_batches(
         ClassifyPayload(num_partitions), batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.map_batches(
+    fn, kwargs = _stage_kwargs(
+        cfg,
         PageSplitter,
-        fn_constructor_kwargs={
-            "select_pages": cfg.select_pages,
-            "error_mode": cfg.error_mode,
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.split_batch_size,
-        zero_copy_batch=True,
-        concurrency=_concurrency(cfg),
-        num_cpus=1,
+        {"select_pages": cfg.select_pages, "error_mode": cfg.error_mode},
+        cfg.split_batch_size,
     )
+    return ds.map_batches(fn, **kwargs)
 
 
 def _fold_kwargs(cfg: ZeroxConfig) -> dict:
@@ -116,15 +141,8 @@ def scored_fragments(
             batch_format="pandas",
             fn_kwargs=_fold_kwargs(cfg),
         )
-    return frags.map_batches(
-        Scorer,
-        fn_constructor_kwargs=_fold_kwargs(cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
-        zero_copy_batch=True,
-        concurrency=_concurrency(cfg),
-        num_cpus=1,
-    )
+    fn, kwargs = _stage_kwargs(cfg, Scorer, _fold_kwargs(cfg), cfg.score_batch_size)
+    return frags.map_batches(fn, **kwargs)
 
 
 def extracted_pages(

@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths:
+- ``ann_bruteforce_topk`` — exact cosine top-k: the query matrix is
+  broadcast ONCE via ``ray.put``; each batch does one numpy matmul and
+  emits only its per-query top-k partials; a tiny groupby(qid) reduce
+  finishes. The shuffle moves O(Q × k × n_batches) rows, never the
+  corpus.
+- ``ann_ivf_topk`` — the scale path: seeded k-means centroids (driver,
+  one pass over a bounded sample), cluster assignment per batch, search
+  restricted to each query's ``n_probe`` nearest clusters. Same partial
+  top-k + tiny final reduce. Recall < 1 by design; measured in tests
+  against the brute-force baseline.
+
+All ranking is float64 with deterministic (sim desc, vec_id asc)
+tie-breaking so results are stable across batch layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _load_queries(path: str, n_queries: int):
+    """Driver-side load of the (small) query set only — row-group predicate
+    pushdown, never the full corpus."""
+    cols = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
+    ids = np.asarray(cols["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(cols["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _load_train_sample(path: str, n: int) -> np.ndarray:
+    """First ``n`` rows via streamed record batches — bounded driver memory
+    regardless of corpus size."""
+    pf = pq.ParquetFile(path)
+    got = []
+    remaining = n
+    for rb in pf.iter_batches(batch_size=min(n, 4096), columns=["embedding"]):
+        got.append(np.array(rb["embedding"].to_pylist(), dtype=np.float64))
+        remaining -= rb.num_rows
+        if remaining <= 0:
+            break
+    mat = np.concatenate(got)[:n]
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+class _TopKPartial:
+    """map_batches: one matmul per batch → per-query top-k partial rows."""
+
+    def __init__(self, queries_ref, k: int):
+        self.qids, self.qmat = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = self.qmat @ mat.T  # (Q, batch)
+        out = {"qid": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(self.qids):
+            s = sims[qi]
+            mask = ids != qid  # exclude self-match
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size == 0:
+                continue
+            k = min(self.k, cand_ids.size)
+            part = np.argpartition(-cand_s, k - 1)[:k]
+            out["qid"] += [int(qid)] * k
+            out["neighbor_id"] += cand_ids[part].tolist()
+            out["sim"] += cand_s[part].tolist()
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "sim": pd.Series(out["sim"], dtype="float64"),
+            }
+        )
+
+
+def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+    df = df.head(k).reset_index(drop=True)
+    df["rank"] = pd.Series(range(1, len(df) + 1), dtype="int64")
+    return df[["qid", "neighbor_id", "rank"]]
+
+
+def ann_bruteforce_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 5
+) -> ray.data.Dataset:
+    """Exact cosine top-k for the first ``n_queries`` vectors (vec_id <
+    n_queries) over the whole embeddings table.
+    Output: (qid, neighbor_id, rank), rank 1 = most similar."""
+    path = f"{sf_dir}/embeddings.parquet"
+    queries_ref = ray.put(_load_queries(path, n_queries))
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("qid").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
+
+
+# --- IVF (inverted-file) variant --------------------------------------------
+
+
+def _kmeans(mat: np.ndarray, n_clusters: int, iters: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(centroids.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / (np.linalg.norm(v) or 1.0)
+    return centroids
+
+
+class _IvfPartial:
+    """Per-batch IVF search: assign batch rows to centroids, score each
+    query only against rows in its probe clusters."""
+
+    def __init__(self, state_ref, k: int):
+        self.qids, self.qmat, self.centroids, self.probes = ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(mat @ self.centroids.T, axis=1)
+        out = {"qid": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probes[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids, cand = ids[mask], mat[mask]
+            s = cand @ self.qmat[qi]
+            k = min(self.k, len(cand_ids))
+            part = np.argpartition(-s, k - 1)[:k]
+            out["qid"] += [int(qid)] * k
+            out["neighbor_id"] += cand_ids[part].tolist()
+            out["sim"] += s[part].tolist()
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "sim": pd.Series(out["sim"], dtype="float64"),
+            }
+        )
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: seeded k-means over a bounded driver-side
+    sample (NOT the full corpus — at 10^12 rows the sample stays 4096),
+    then probe-limited batch search. Output: (qid, neighbor_id, rank)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    train = _load_train_sample(path, train_sample)
+    centroids = _kmeans(train, n_clusters, iters=5, seed=seed)
+    qids, qmat = _load_queries(path, n_queries)
+    probe_order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    state_ref = ray.put((qids, qmat, centroids, probe_order))
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _IvfPartial,
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("qid").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )

@@ -31,12 +31,17 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def validate_pages_schema(path: str) -> None:
+def validate_pages_schema(path: str | list[str]) -> None:
     """Fail fast (driver-side, one footer read) if the input does not carry
     the input_hint columns with the expected types. Extra columns are
     allowed; missing/mistyped ones are an error (SURVEY §1.2: the engine
     validates the fixed schema on read)."""
-    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)) if os.path.isdir(path) else [path]
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     actual = pq.read_schema(files[0])
@@ -53,7 +58,13 @@ def validate_pages_schema(path: str) -> None:
             )
 
 
-def read_pages(path: str, columns: tuple[str, ...] = ("url", "html")) -> ray.data.Dataset:
-    """Streaming parquet scan of the pages table, pruned to ``columns``."""
+def read_pages(
+    path: str | list[str], columns: tuple[str, ...] = ("url", "html")
+) -> ray.data.Dataset:
+    """Streaming parquet scan of the pages table (dir, file, or explicit
+    file list — the checkpoint runner passes per-shard lists), pruned to
+    ``columns``."""
     validate_pages_schema(path)
-    return ray.data.read_parquet(path, columns=list(columns))
+    return ray.data.read_parquet(
+        list(path) if isinstance(path, (list, tuple)) else path, columns=list(columns)
+    )

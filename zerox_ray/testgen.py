@@ -115,24 +115,33 @@ def build_payload(doc_id: int, text: str) -> bytes:
     return build_html(doc_id, p["chunks"], p["filler"])
 
 
-def generate_pages_table(documents_path: str) -> pa.Table:
-    """documents.parquet → pages table (url, warc_ts, html, text, lang)."""
+def generate_pages_table(documents_path: str, repeat: int = 1) -> pa.Table:
+    """documents.parquet → pages table (url, warc_ts, html, text, lang).
+
+    ``repeat`` > 1 deterministically replicates the corpus with distinct
+    urls (replica-prefixed) for BENCHMARK load only — the oracle plan in
+    the module docstring applies to repeat=1."""
     docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
     doc_ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
     langs = docs["lang"].to_pylist()
-    urls, tss, payloads = [], [], []
-    for d, t in zip(doc_ids, texts):
-        urls.append(f"{URL_PREFIX}{d}")
-        tss.append(EPOCH_US + d * 1_000_000)
-        payloads.append(build_payload(d, t))
+    urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
+    payload_cache = [build_payload(d, t) for d, t in zip(doc_ids, texts)]
+    for r in range(repeat):
+        prefix = URL_PREFIX if r == 0 else f"https://example.org/r{r}/doc/"
+        for d, t, lg, pl in zip(doc_ids, texts, langs, payload_cache):
+            urls.append(f"{prefix}{d}")
+            tss.append(EPOCH_US + d * 1_000_000 + r)
+            payloads.append(pl)
+            out_texts.append(t)
+            out_langs.append(lg)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(payloads, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
         }
     )
 
@@ -184,17 +193,20 @@ def _atomic_write_dir(final_dir: str, writer) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
-def pages_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+def pages_dir_for(
+    sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache", repeat: int = 1
+) -> str:
     """Directory of pages-*.parquet for a testdata sf dir; generated once,
     cached, written atomically (tmpdir + rename) so concurrent callers and
     resumed runs see either nothing or the complete corpus."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "pages")
+    name = "pages" if repeat == 1 else f"pages-x{repeat}"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, name)
     if os.path.isdir(out):
         return out
 
     def write(tmp: str) -> None:
-        table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"))
+        table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"), repeat)
         for start in range(0, table.num_rows, ROWS_PER_FILE):
             part = table.slice(start, ROWS_PER_FILE)
             pq.write_table(part, os.path.join(tmp, f"pages-{start // ROWS_PER_FILE:05d}.parquet"))
