@@ -33,6 +33,8 @@ from zerox_ray.sources.pages import read_pages
 from zerox_ray.stages.classify import DEFAULT_NUM_PARTITIONS, ClassifyPayload
 from zerox_ray.stages.reassemble import (
     maintain_format_fold_bucket,
+    merge_partials_bucket,
+    partial_reassemble_block,
     reassemble_bucket,
 )
 from zerox_ray.stages.score import Scorer
@@ -170,5 +172,16 @@ def run_ocr(
             batch_format="pandas",
             fn_kwargs=_fold_kwargs(cfg),
         )
+    # combiner reassembly: pre-aggregate page rows → per-url partials
+    # inside each block (batch_size=None → whole block), THEN exchange on
+    # pid and merge. The shuffle moves ~1 row per url instead of 1 per
+    # page; merge order comes from first_page, so the markdown is
+    # byte-identical whatever the block layout (reassemble.py combiner
+    # notes). reassemble_bucket stays the single-shuffle reference path.
     scored = scored_fragments(pages, cfg, num_partitions)
-    return scored.groupby("pid").map_groups(reassemble_bucket, batch_format="pandas")
+    partials = scored.map_batches(
+        partial_reassemble_block, batch_format="pandas", batch_size=None
+    )
+    return partials.groupby("pid").map_groups(
+        merge_partials_bucket, batch_format="pandas"
+    )

@@ -72,6 +72,96 @@ def reassemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
+# --- combiner: partial reassembly before the shuffle -------------------------
+#
+# The splitter emits every fragment of a url contiguously inside one
+# block, so each block can be pre-aggregated into per-url PARTIAL
+# document rows before the pid exchange (the classic combiner: shuffle
+# 1 row per (url, block) instead of 1 per page). The merge stage orders
+# partials by first_page, so the result is byte-identical even when a
+# giant url's fragments straddle block boundaries — this doubles as the
+# hierarchical-concat path for 10^5-page documents (SURVEY §7).
+
+
+def partial_reassemble_block(df: pd.DataFrame) -> pd.DataFrame:
+    """One BLOCK of extracted page rows → per-url partial doc rows.
+
+    Output adds ``first_page`` (partial ordering key for the merge).
+    Rows within a url arrive in emission order (page_index ascending) —
+    sorted here anyway for safety at trivial in-block cost."""
+    df = df.sort_values(["url", "page_index"], kind="mergesort")
+    ok = df[df["status"] == STATUS_SUCCESS]
+    md = ok.groupby("url", sort=True)["content"].agg(PAGE_JOIN.join)
+    grouped = df.groupby("url", sort=True)
+    out = pd.DataFrame(
+        {
+            "pid": grouped["pid"].first().astype("int64"),
+            "first_page": grouped["page_index"].min().astype("int64"),
+            "total_pages": grouped["page_index"].size().astype("int64"),
+            "ocr_successful": grouped["status"]
+            .agg(lambda s: int((s == STATUS_SUCCESS).sum()))
+            .astype("int64"),
+            "input_tokens": grouped["input_tokens"].sum().astype("int64"),
+            "output_tokens": grouped["output_tokens"].sum().astype("int64"),
+        }
+    )
+    out["ocr_failed"] = (out["total_pages"] - out["ocr_successful"]).astype("int64")
+    out["markdown"] = md.reindex(out.index, fill_value="")
+    return out.reset_index()[
+        [
+            "url",
+            "pid",
+            "first_page",
+            "markdown",
+            "total_pages",
+            "ocr_successful",
+            "ocr_failed",
+            "input_tokens",
+            "output_tokens",
+        ]
+    ]
+
+
+def merge_partials_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One pid bucket of partial doc rows → final documents rows.
+
+    Partials of a url are ordered by first_page; empty-markdown partials
+    (all pages failed) are skipped from the join exactly as failed pages
+    are dropped from the page-level concat (py zerox.py:162)."""
+    df = df.sort_values(["url", "first_page"], kind="mergesort")
+    # partials with zero successful pages contribute nothing to the page
+    # concat (failed pages are dropped, not joined as empties) — gate on
+    # the success COUNT, not on markdown truthiness: a successful page
+    # with empty content still owes its join separator.
+    md = (
+        df[df["ocr_successful"] > 0]
+        .groupby("url", sort=True)["markdown"]
+        .agg(PAGE_JOIN.join)
+    )
+    grouped = df.groupby("url", sort=True)
+    out = pd.DataFrame(
+        {
+            "total_pages": grouped["total_pages"].sum().astype("int64"),
+            "ocr_successful": grouped["ocr_successful"].sum().astype("int64"),
+            "ocr_failed": grouped["ocr_failed"].sum().astype("int64"),
+            "input_tokens": grouped["input_tokens"].sum().astype("int64"),
+            "output_tokens": grouped["output_tokens"].sum().astype("int64"),
+        }
+    )
+    out["markdown"] = md.reindex(out.index, fill_value="")
+    return out.reset_index()[
+        [
+            "url",
+            "markdown",
+            "total_pages",
+            "ocr_successful",
+            "ocr_failed",
+            "input_tokens",
+            "output_tokens",
+        ]
+    ]
+
+
 # --- maintain_format: per-url ordered fold over raw fragments ----------------
 
 _MODEL_CACHE: dict = {}
