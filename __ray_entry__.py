@@ -38,11 +38,11 @@ from zerox_ray.pipelines.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from zerox_ray.pipelines.extraction import extract_pages
-from zerox_ray.pipelines.media import media_features
+from zerox_ray.pipelines.extraction import extract_documents, extract_pages
+from zerox_ray.pipelines.media import media_cleanup, media_features, media_thumbnails
 from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
-from zerox_ray.testgen import pages_dir_for
+from zerox_ray.testgen import pages_dir_for, sheet_pages_dir_for
 
 DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
 _EXTRACT_SCHEMA = {
@@ -105,6 +105,18 @@ def _q_extract_structured(sf_dir: str):
     )
 
 
+def _q_extract_documents(sf_dir: str):
+    cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA, extract_per_page=["first_token"])
+    return extract_documents(pages_dir_for(sf_dir), cfg)
+
+
+def _q_structured_pages(sf_dir: str):
+    """Spreadsheet branch: ZXSHEET payloads → sheet-as-page rows (S6/M12)."""
+    return extracted_pages(sheet_pages_dir_for(sf_dir)).select_columns(
+        ["url", "page_index", "content", "status"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # OCR / extraction pipelines (reference parity)
@@ -114,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
         "extract_structured": _q_extract_structured,
+        "structured_pages": _q_structured_pages,
+        "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
         "token_stats": token_stats,
         "quality_scores": quality_scores,
@@ -131,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
+        "media_thumbnails": media_thumbnails,
+        "media_cleanup": media_cleanup,
     }
 
 
@@ -215,6 +231,30 @@ SELECT url, CAST(page_index AS BIGINT) AS page_index,
        regexp_extract(content, '[a-z]+') AS first_token,
        CAST(len(regexp_extract_all(content, '[a-z]+')) AS BIGINT) AS n_tokens
 FROM pages WHERE NOT is_err
+""",
+        # mirrors testgen.generate_sheet_pages_table's SHEET PLAN + the
+        # sheetx.sheet_to_html rendering (escape = 3 nested replaces)
+        "structured_pages": """
+WITH p AS (
+  SELECT doc_id, text,
+         'https://example.org/sheet/' || doc_id AS url,
+         1 + (doc_id % 3) AS ns
+  FROM documents
+),
+pg AS (
+  SELECT url, text,
+         unnest(generate_series(1, ns)) AS page_index,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / ns) AS BIGINT) AS L
+  FROM p
+)
+SELECT url, CAST(page_index AS BIGINT) AS page_index,
+       '<h1>Sheet' || page_index || '</h1>' || chr(10) ||
+       '<table><tr><td>' ||
+       replace(replace(replace(substring(text, (page_index - 1) * L + 1, L),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+       '</td></tr></table>' AS content,
+       'SUCCESS' AS status
+FROM pg
 """,
         "token_stats": """
 SELECT lang,

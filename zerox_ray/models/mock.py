@@ -59,6 +59,10 @@ class DeterministicExtractorModel(ScorerModel):
             text = extract_main_text(fragment.decode("utf-8", errors="replace"))
         elif kind == "pdf":
             text = extract_pdf_text(fragment)
+        elif kind == "sheet":
+            # structured data skips the model: the page content IS the
+            # rendered sheet HTML (file.ts:311-329)
+            text = fragment.decode("utf-8", errors="replace")
         else:
             return Completion("", in_tok, 0, error=f"unsupported payload kind {kind!r}")
         text = format_markdown(text)

@@ -117,6 +117,74 @@ class ImageResizer:
         return pd.DataFrame({"media_id": df["media_id"].astype("int64"), "payload": out_payloads})
 
 
+class MediaCleanup:
+    """Actor-pool map_batches: cleanupImage composition over image rows
+    (trim → orientation-correct → tall-split → size-cap compress; I1–I4,
+    stages/image_ops.py). 1 image row → M fragment rows; audio/unknown
+    rows pass through as fragment 0."""
+
+    def __init__(
+        self,
+        max_bytes: int = 15 * 1024 * 1024,  # 15 MB cap (index.ts:68)
+        correct_orientation: bool = True,
+        trim: bool = True,
+    ):
+        self.max_bytes = max_bytes
+        self.correct_orientation = correct_orientation
+        self.trim = trim
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from zerox_ray.stages.image_ops import cleanup_image, compress_image
+
+        ids, fragments, payloads, widths, heights = [], [], [], [], []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            payload = bytes(payload)
+            if payload[:5] != IMG_MAGIC:
+                ids.append(int(mid))
+                fragments.append(0)
+                payloads.append(payload)
+                widths.append(0)
+                heights.append(0)
+                continue
+            d = decode_payload(payload)
+            for fi, section in enumerate(
+                cleanup_image(d["data"], self.correct_orientation, self.trim)
+            ):
+                enc = compress_image(
+                    np.ascontiguousarray(section),
+                    self.max_bytes,
+                    lambda a: encode_image(np.ascontiguousarray(a)),
+                )
+                dd = decode_payload(enc)
+                ids.append(int(mid))
+                fragments.append(fi)
+                payloads.append(enc)
+                widths.append(int(dd["width"]))
+                heights.append(int(dd["height"]))
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "fragment_index": pd.Series(fragments, dtype="int64"),
+                "payload": payloads,
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+            }
+        )
+
+
+def media_cleanup(sf_dir: str, max_bytes: int = 15 * 1024 * 1024) -> ray.data.Dataset:
+    """Image cleanup pipeline over the media table.
+    Output: (media_id, fragment_index, payload, width, height)."""
+    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    return ds.map_batches(
+        MediaCleanup,
+        fn_constructor_kwargs={"max_bytes": max_bytes},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 def media_features(sf_dir: str) -> ray.data.Dataset:
     """Features over the (generated, cached) media table.
     Output: (media_id, kind, width, height, sample_rate, n_units,

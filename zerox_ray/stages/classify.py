@@ -35,6 +35,7 @@ class ClassifyPayload:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["html"]
+        head8 = pc.binary_slice(payload, 0, 8)
         head5 = pc.binary_slice(payload, 0, 5)
         head4 = pc.binary_slice(payload, 0, 4)
         head1 = pc.binary_slice(payload, 0, 1)
@@ -45,9 +46,20 @@ class ClassifyPayload:
                 pc.equal(head1, pa.scalar(b"<", pa.binary())),
                 pa.scalar("html"),
                 pc.if_else(
-                    pc.equal(head4, pa.scalar(b"\xd0\xcf\x11\xe0", pa.binary())),
-                    pa.scalar("cfb"),
-                    pa.scalar("unknown"),
+                    # structured-data route (sheets-as-pages, file.ts:363-376)
+                    pc.equal(head8, pa.scalar(b"ZXSHEET\n", pa.binary())),
+                    pa.scalar("sheet"),
+                    pc.if_else(
+                        pc.equal(head4, pa.scalar(b"PK\x03\x04", pa.binary())),
+                        pa.scalar("xlsx"),
+                        pc.if_else(
+                            pc.equal(
+                                head4, pa.scalar(b"\xd0\xcf\x11\xe0", pa.binary())
+                            ),
+                            pa.scalar("cfb"),
+                            pa.scalar("unknown"),
+                        ),
+                    ),
                 ),
             ),
         )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from zerox_ray.functions import htmlx, pdfx
+from zerox_ray.functions import htmlx, pdfx, sheetx
 
 FRAGMENT_SCHEMA = pa.schema(
     [
@@ -53,6 +53,10 @@ class PageSplitter:
             return "pdf", pdfx.split_pdf_pages(payload)
         if kind == "html":
             return "html", htmlx.split_html_pages(payload)
+        if kind in ("sheet", "xlsx"):
+            # structured data: sheet = page (file.ts:311-329); fragments
+            # are already rendered sheet HTML, scored as pass-through
+            return "sheet", sheetx.split_sheet_pages(payload)
         raise ValueError(f"unsupported or corrupt payload (kind={kind})")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

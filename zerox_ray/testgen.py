@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 URL_PREFIX = "https://example.org/doc/"
-GEN_VERSION = 1
+GEN_VERSION = 2
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 ROWS_PER_FILE = 4096
 
@@ -153,6 +153,23 @@ def generate_media_table(n_rows: int = 256) -> pa.Table:
     pseudo-pixels; ZXAUD: sample rate/count + pseudo-samples) so the
     decode/feature stages have real bytes to parse while the actual
     image/audio codecs stay stubbed (no PIL/ffmpeg in this runtime)."""
+    import numpy as _np
+
+    def _zximg(arr) -> bytes:
+        hh, ww = arr.shape
+        return (
+            b"ZXIMG" + ww.to_bytes(4, "big") + hh.to_bytes(4, "big")
+            + _np.ascontiguousarray(arr.astype(_np.uint8)).tobytes()
+        )
+
+    def _striped_page(w: int, h: int, seed: int):
+        """Text-page-like plane: dark 'text lines' every 4th row on a
+        near-white ground (drives orientation + tall-split heuristics)."""
+        a = _np.full((h, w), 255, dtype=_np.uint8)
+        for y in range(0, h, 4):
+            a[y, : max(1, w - 1 - (seed + y) % 3)] = 40 + (seed + y) % 30
+        return a
+
     ids, kinds, payloads = [], [], []
     for i in range(n_rows):
         ids.append(i)
@@ -161,6 +178,27 @@ def generate_media_table(n_rows: int = 256) -> pa.Table:
             body = bytes((j * 31 + i) % 256 for j in range(n))
             payloads.append(b"ZXAUD" + sr.to_bytes(4, "big") + n.to_bytes(4, "big") + body)
             kinds.append("audio")
+        elif i % 29 == 6:
+            # tall receipt-style image (aspect > 5): text bands separated
+            # by ≥5 empty rows at deterministic positions → tall-split case
+            w, h = 16, 120
+            a = _np.full((h, w), 255, dtype=_np.uint8)
+            for band in range(4):
+                top = band * 30
+                a[top : top + 22, :] = _striped_page(w, 22, i + band)
+            payloads.append(_zximg(a))
+            kinds.append("image")
+        elif i % 29 == 12:
+            # 90°-rotated text page → orientation-correction case
+            payloads.append(_zximg(_np.rot90(_striped_page(24, 16, i), -1)))
+            kinds.append("image")
+        elif i % 29 == 20:
+            # uniform-border-padded page → trim case
+            core = _striped_page(12, 10, i)
+            a = _np.full((core.shape[0] + 6, core.shape[1] + 6), 255, dtype=_np.uint8)
+            a[3:-3, 3:-3] = core
+            payloads.append(_zximg(a))
+            kinds.append("image")
         else:
             w, h = 8 + i % 24, 8 + (i * 7) % 24
             body = bytes((x * 13 + i) % 256 for x in range(w * h))
@@ -210,6 +248,57 @@ def pages_dir_for(
         for start in range(0, table.num_rows, ROWS_PER_FILE):
             part = table.slice(start, ROWS_PER_FILE)
             pq.write_table(part, os.path.join(tmp, f"pages-{start // ROWS_PER_FILE:05d}.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
+
+
+def generate_sheet_pages_table(documents_path: str) -> pa.Table:
+    """documents.parquet → pages table of ZXSHEET structured-data payloads.
+
+    THE SHEET PLAN (mirrored by the ``structured_pages`` SQL oracle in
+    __ray_entry__.py — keep in sync):
+      n_sheets = 1 + doc_id % 3
+      L        = ceil(len(text) / n_sheets)
+      sheet i (1-indexed): name "Sheet{i}", cell = text[(i-1)*L : i*L]
+      page content = functions.sheetx.sheet_to_html(name, cell)
+    """
+    from zerox_ray.functions.sheetx import build_sheet_payload
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
+    for d, t, lg in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        n = 1 + d % 3
+        L = -(-len(t) // n)
+        sheets = [(f"Sheet{i}", t[(i - 1) * L : i * L]) for i in range(1, n + 1)]
+        urls.append(f"https://example.org/sheet/{d}")
+        tss.append(EPOCH_US + d * 1_000_000)
+        payloads.append(build_sheet_payload(sheets))
+        out_texts.append(t)
+        out_langs.append(lg)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def sheet_pages_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+    """Cached structured-data pages corpus for a testdata sf dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "sheet-pages")
+    if os.path.isdir(out):
+        return out
+
+    def write(tmp: str) -> None:
+        table = generate_sheet_pages_table(os.path.join(sf_dir, "documents.parquet"))
+        pq.write_table(table, os.path.join(tmp, "pages-00000.parquet"))
 
     _atomic_write_dir(out, write)
     return out
