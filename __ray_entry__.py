@@ -41,6 +41,12 @@ from zerox_ray.pipelines.dedup import (
 from zerox_ray.pipelines.extraction import extract_documents, extract_pages
 from zerox_ray.pipelines.media import media_cleanup, media_features, media_thumbnails
 from zerox_ray.pipelines.ocr import extracted_pages
+from zerox_ray.pipelines.relational import (
+    asof_purchase_view,
+    events_sessions,
+    orders_by_nation,
+    revenue_by_priority,
+)
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.testgen import pages_dir_for, sheet_pages_dir_for
 
@@ -134,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "events_hourly": events_hourly,
         "ann_cosine_topk": ann_bruteforce_topk,
+        "orders_by_nation": orders_by_nation,
+        "revenue_by_priority": revenue_by_priority,
+        "asof_purchase_view": asof_purchase_view,
+        "events_sessions": events_sessions,
         # training-data ops (deterministic, rows-only checks — not
         # SQL-expressible: iterative/hash-based algorithms)
         "dedup_minhash_lsh": minhash_lsh_pairs,
@@ -290,6 +300,54 @@ SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
   FROM s
 ) WHERE rank <= 5
+""",
+        "orders_by_nation": """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "revenue_by_priority": """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "asof_purchase_view": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       CAST(COALESCE(epoch_us(max(v.ts)), -1) AS BIGINT) AS view_ts_us
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""",
+        "events_sessions": """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 8 HOURS
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_id
 """,
         "events_hourly": """
 SELECT user_id,

@@ -1,0 +1,199 @@
+"""Relational operators (broadcast join, hash join, as-of, sessions)
+validated against independent pandas/duckdb computations, plus
+adversarial combiner-reassembly cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from zerox_ray.pipelines.relational import (
+    asof_purchase_view,
+    events_sessions,
+    hash_join,
+    orders_by_nation,
+    revenue_by_priority,
+)
+
+
+class TestJoins:
+    def test_orders_by_nation_matches_pandas(self, sf_dir):
+        got = orders_by_nation(sf_dir).to_pandas().sort_values("n_name").reset_index(drop=True)
+        o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+        c = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+        n = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+            n, left_on="c_nationkey", right_on="n_nationkey"
+        )
+        j["cents"] = np.floor(j.o_totalprice * 100).astype("int64")
+        exp = (
+            j.groupby("n_name")
+            .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index()
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_orders": "int64", "total_cents": "int64"}), exp.astype({"n_orders": "int64", "total_cents": "int64"})
+        )
+
+    def test_hash_join_matches_pandas_merge(self, sf_dir):
+        import ray.data
+
+        o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()[
+            ["o_orderkey", "o_orderpriority"]
+        ]
+        li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()[
+            ["l_orderkey", "l_linenumber"]
+        ]
+        left = ray.data.from_pandas(li.rename(columns={"l_orderkey": "k"}))
+        right = ray.data.from_pandas(o.rename(columns={"o_orderkey": "k"}))
+        got = (
+            hash_join(left, right, on="k", num_buckets=8)
+            .to_pandas()
+            .sort_values(["k", "l_linenumber"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            li.rename(columns={"l_orderkey": "k"})
+            .merge(o.rename(columns={"o_orderkey": "k"}), on="k")
+            .sort_values(["k", "l_linenumber"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+    def test_revenue_by_priority_totals(self, sf_dir):
+        got = revenue_by_priority(sf_dir).to_pandas()
+        li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+        assert got.n_items.sum() == len(li)
+        assert len(got) == 5  # five priorities
+
+
+class TestAsofAndSessions:
+    def test_asof_matches_bruteforce(self, sf_dir):
+        got = asof_purchase_view(sf_dir).to_pandas().set_index("event_id")
+        ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+        buys = ev[ev.event_type == "purchase"]
+        views = ev[ev.event_type == "view"]
+        assert len(got) == len(buys)
+        rng = np.random.RandomState(0)
+        for _, b in buys.iloc[rng.choice(len(buys), 25, replace=False)].iterrows():
+            prior = views[(views.user_id == b.user_id) & (views.ts <= b.ts)]
+            exp = prior.ts.max().value // 1000 if len(prior) else -1
+            # pandas .value is ns; parquet ts is us-resolution
+            if len(prior):
+                exp = prior.ts.astype("int64").max()
+            assert got.loc[b.event_id, "view_ts_us"] == exp
+
+    def test_sessions_partition_events_exactly(self, sf_dir):
+        got = events_sessions(sf_dir).to_pandas()
+        ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+        assert got.n_events.sum() == len(ev)
+        # session invariants per user: non-overlapping, gap-separated
+        gap_us = 8 * 3600 * 1_000_000
+        for uid, g in got.groupby("user_id"):
+            g = g.sort_values("session_id")
+            assert (g.end_us >= g.start_us).all()
+            assert (g.start_us.values[1:] - g.end_us.values[:-1] > gap_us).all()
+
+
+class TestCombinerReassembly:
+    """partial_reassemble + merge must equal single-shot reassembly for
+    ANY split of a url's page rows across blocks (giant-doc path)."""
+
+    def _page_rows(self, n_urls=3, pages_per_url=40, with_errors=True):
+        rows = []
+        for u in range(n_urls):
+            for p in range(1, pages_per_url + 1):
+                err = with_errors and u == 1 and p % 7 == 0
+                rows.append(
+                    {
+                        "url": f"u{u}",
+                        "pid": u % 2,
+                        "page_index": p,
+                        "content": "" if err else f"c{u}-{p}",
+                        "content_length": 0 if err else len(f"c{u}-{p}"),
+                        "status": "ERROR" if err else "SUCCESS",
+                        "error": "boom" if err else "",
+                        "input_tokens": 1,
+                        "output_tokens": 1,
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    @pytest.mark.parametrize("cut_points", [[7], [1, 2, 3], [39, 41, 100], [60], [40, 80]])
+    def test_arbitrary_block_splits_byte_identical(self, cut_points):
+        """Cuts may fall ANYWHERE in the stream — including mid-url —
+        as long as the stream itself is per-url-contiguous in page order
+        (the pipeline invariant: splitter emits each url's fragments as
+        one ordered run, and blocks slice the stream contiguously)."""
+        from zerox_ray.stages.reassemble import (
+            merge_partials_bucket,
+            partial_reassemble_block,
+            reassemble_bucket,
+        )
+
+        df = self._page_rows()  # grouped per url, page order ascending
+        expected = (
+            reassemble_bucket(df).sort_values("url").reset_index(drop=True)
+        )
+        cuts = [0] + cut_points + [len(df)]
+        partials = pd.concat(
+            [
+                partial_reassemble_block(df.iloc[a:b])
+                for a, b in zip(cuts, cuts[1:])
+                if b > a
+            ],
+            ignore_index=True,
+        )
+        got = (
+            merge_partials_bucket(partials).sort_values("url").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[expected.columns.tolist()], expected)
+
+    def test_overlapping_partials_fail_loudly(self):
+        """A reordered stream (broken invariant) must raise, never emit
+        silently-wrong markdown."""
+        from zerox_ray.stages.reassemble import (
+            merge_partials_bucket,
+            partial_reassemble_block,
+        )
+
+        df = self._page_rows(n_urls=1, pages_per_url=10, with_errors=False)
+        # interleave: block A gets odd pages, block B even → overlapping ranges
+        a, b = df.iloc[::2], df.iloc[1::2]
+        partials = pd.concat(
+            [partial_reassemble_block(a), partial_reassemble_block(b)],
+            ignore_index=True,
+        )
+        with pytest.raises(ValueError, match="overlapping partial"):
+            merge_partials_bucket(partials)
+
+    def test_giant_doc_end_to_end(self, tmp_path):
+        """A 600-page 'giant' url survives the full pipeline with tiny
+        batch sizes (forcing many blocks) byte-identically."""
+        import pyarrow as pa
+        import ray.data
+
+        from zerox_ray import ZeroxConfig, run_ocr
+        from zerox_ray.testgen import EPOCH_US, build_html
+
+        chunks = [f"page {i} body" for i in range(1, 601)]
+        payload = build_html(1, chunks, False)
+        t = pa.table(
+            {
+                "url": pa.array(["https://example.org/giant/1"]),
+                "warc_ts": pa.array([EPOCH_US], pa.timestamp("us")),
+                "html": pa.array([payload], pa.binary()),
+                "text": pa.array(["x"]),
+                "lang": pa.array(["en"]),
+            }
+        )
+        import pyarrow.parquet as pq2
+
+        pq2.write_table(t, str(tmp_path / "pages-00000.parquet"))
+        cfg = ZeroxConfig(split_batch_size=1, score_batch_size=16)
+        docs = run_ocr(str(tmp_path), cfg).to_pandas()
+        assert len(docs) == 1
+        assert docs.total_pages.iloc[0] == 600
+        assert docs.markdown.iloc[0] == "\n\n".join(chunks)

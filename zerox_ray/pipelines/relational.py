@@ -1,0 +1,278 @@
+"""Relational operators the engine adds beyond the reference (which has
+no joins at all — SURVEY §2.5): broadcast-dimension enrichment, an
+explicit partitioned hash join, an as-of (time-travel) join, and
+session windows over the events stream.
+
+Scale design:
+- **Broadcast join** (`orders_by_nation`): the small side (customer →
+  nation dims) is ``ray.put`` ONCE and read zero-copy by every task —
+  never a shuffle, never re-shipped per batch. Each batch pre-aggregates
+  (combiner) so the final groupby exchanges ~|nations| rows per block.
+- **Hash join** (`hash_join`): both sides get a ``bucket = hash(key)%B``
+  column, are tagged and unioned, and ONE groupby co-locates each
+  bucket; a pandas merge inside the group does the actual join. This is
+  the guide's explicit partitioned-join shape — portable across shuffle
+  strategies and transparent about its single all-to-all.
+- **As-of join** (`asof_purchase_view`): per-key ordered semantics →
+  groupby(user) + in-group sort + vectorized ``searchsorted`` (no
+  global sort). Concurrency comes from many users; a hot key only slows
+  its own bucket.
+- **Session windows** (`events_sessions`): gap-based sessionization =
+  per-key sort + diff/cumsum inside ``map_groups`` (batch analogue of a
+  streaming session window; watermark-free because input is bounded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+CENTS = 100
+
+
+# --- broadcast-dimension enrichment ------------------------------------------
+
+
+class _NationEnricher:
+    """map_batches combiner: orders batch → per-nation partial aggregates.
+
+    Dims arrive as ObjectRefs (ray.put on the driver); ray.get in the
+    ctor is a zero-copy read once per actor/worker process."""
+
+    def __init__(self, cust_ref, nation_ref):
+        cust = ray.get(cust_ref)
+        nation = ray.get(nation_ref)
+        # custkey → nation name, as a dense numpy lookup (custkeys are
+        # 0..N-1 in this corpus; a dict fallback covers sparse keys)
+        n_name = dict(
+            zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+        )
+        ck = np.asarray(cust["c_custkey"].to_pylist())
+        nk = np.asarray(cust["c_nationkey"].to_pylist())
+        self.cust_to_nation = {
+            int(c): n_name[int(n)] for c, n in zip(ck, nk)
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        names = df["o_custkey"].map(self.cust_to_nation)
+        cents = np.floor(df["o_totalprice"].to_numpy() * CENTS).astype(np.int64)
+        part = (
+            pd.DataFrame({"n_name": names, "cents": cents})
+            .groupby("n_name", sort=True)
+            .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        part["n_orders"] = part["n_orders"].astype("int64")
+        part["total_cents"] = part["total_cents"].astype("int64")
+        return part
+
+
+def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Orders enriched via broadcast dims, aggregated per nation.
+    Output: (n_name, n_orders, total_cents)."""
+    cust_ref = ray.put(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    )
+    nation_ref = ray.put(
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    partials = ds.map_batches(
+        _NationEnricher,
+        fn_constructor_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    agg = partials.groupby("n_name").sum(["n_orders", "total_cents"])
+    return agg.map_batches(
+        lambda df: df.rename(
+            columns={"sum(n_orders)": "n_orders", "sum(total_cents)": "total_cents"}
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- explicit partitioned hash join ------------------------------------------
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Partitioned hash join of two Datasets on an int64 key.
+
+    bucket(key) is added to both sides; a tagged union + ONE groupby
+    co-locates buckets; pandas merges within each bucket. At 100 TB the
+    bucket count is the shuffle width — size it to cluster CPUs; skewed
+    keys should be salted by the caller before joining."""
+
+    # capture per-side schemas up front: union() aligns schemas by
+    # null-filling, so each side must re-select only its own columns
+    # inside the merge — and null-filling upcasts ints to float in
+    # pandas, so original integer dtypes are restored post-merge
+    import pyarrow as _pa
+
+    def _is_int(typ) -> bool:
+        try:
+            return _pa.types.is_integer(typ)
+        except (AttributeError, TypeError):
+            # pandas-block schemas carry numpy dtypes / python types
+            return str(typ).startswith(("int", "uint"))
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    int_cols = {
+        name: str(typ)
+        for schema in (lschema, rschema)
+        for name, typ in zip(schema.names, schema.types)
+        if _is_int(typ)
+    }
+
+    def tag(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["__bucket"] = (out[on].astype("int64") % num_buckets).astype("int64")
+            out["__side"] = side
+            return out
+
+        return f
+
+    lt = left.map_batches(tag("L"), batch_format="pandas")
+    rt = right.map_batches(tag("R"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "L", lcols]
+        r = g.loc[g["__side"] == "R", rcols]
+        out = l.merge(r, on=on, how=how)
+        for c in out.columns:
+            if c in int_cols and str(out[c].dtype) != int_cols[c] and not out[c].isna().any():
+                out[c] = out[c].astype(int_cols[c])
+        return out
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ orders on orderkey → revenue per order priority.
+    Output: (o_orderpriority, n_items, revenue_cents)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    # combiner BEFORE the join: collapse lineitem to per-orderkey partial
+    # revenue (shrinks the shuffled left side to one row per order)
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * CENTS
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"), "cents": cents})
+            .groupby("l_orderkey", sort=False)
+            .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_items": "int64", "revenue_cents": "int64"})
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(li_agg, orders, on="l_orderkey")
+    agg = joined.groupby("o_orderpriority").sum(["n_items", "revenue_cents"])
+    return agg.map_batches(
+        lambda df: df.rename(
+            columns={"sum(n_items)": "n_items", "sum(revenue_cents)": "revenue_cents"}
+        ),
+        batch_format="pandas",
+    )
+
+
+# --- as-of join --------------------------------------------------------------
+
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's events → purchases joined to latest prior view."""
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    views = g[g["event_type"] == "view"]
+    buys = g[g["event_type"] == "purchase"]
+    if len(buys) == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "user_id": pd.Series([], dtype="int64"),
+             "view_ts_us": pd.Series([], dtype="int64")}
+        )
+    vts = views["ts"].astype("int64").to_numpy()  # us since epoch
+    bts = buys["ts"].astype("int64").to_numpy()
+    idx = np.searchsorted(vts, bts, side="right") - 1
+    out_ts = np.where(idx >= 0, vts[np.clip(idx, 0, None)], -1)
+    return pd.DataFrame(
+        {
+            "event_id": buys["event_id"].astype("int64").to_numpy(),
+            "user_id": buys["user_id"].astype("int64").to_numpy(),
+            "view_ts_us": out_ts.astype("int64"),
+        }
+    )
+
+
+def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
+    """As-of join inside the events stream: each purchase matched to the
+    user's latest view at-or-before it (-1 when none).
+    Output: (event_id, user_id, view_ts_us)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(  # vectorized predicate, not a per-row filter UDF
+        lambda df: df[df["event_type"].isin(["purchase", "view"])],
+        batch_format="pandas",
+    )
+    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
+
+
+# --- session windows ---------------------------------------------------------
+
+_US = 1_000_000
+
+
+def _sessionize_group(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    ts = g["ts"].astype("int64").to_numpy()
+    new_session = np.ones(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sid = np.cumsum(new_session)
+    df = pd.DataFrame({"session_id": sid, "ts": ts})
+    out = (
+        df.groupby("session_id", sort=True)
+        .agg(n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max"))
+        .reset_index()
+    )
+    out.insert(0, "user_id", np.int64(g["user_id"].iloc[0]))
+    return out.astype(
+        {"user_id": "int64", "session_id": "int64", "n_events": "int64",
+         "start_us": "int64", "end_us": "int64"}
+    )
+
+
+def events_sessions(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
+    """Gap-based session windows per user over the events stream.
+    Output: (user_id, session_id, n_events, start_us, end_us)."""
+    gap_us = gap_hours * 3600 * _US
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.groupby("user_id").map_groups(
+        lambda g: _sessionize_group(g, gap_us), batch_format="pandas"
+    )

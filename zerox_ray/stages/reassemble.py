@@ -97,6 +97,7 @@ def partial_reassemble_block(df: pd.DataFrame) -> pd.DataFrame:
         {
             "pid": grouped["pid"].first().astype("int64"),
             "first_page": grouped["page_index"].min().astype("int64"),
+            "last_page": grouped["page_index"].max().astype("int64"),
             "total_pages": grouped["page_index"].size().astype("int64"),
             "ocr_successful": grouped["status"]
             .agg(lambda s: int((s == STATUS_SUCCESS).sum()))
@@ -112,6 +113,7 @@ def partial_reassemble_block(df: pd.DataFrame) -> pd.DataFrame:
             "url",
             "pid",
             "first_page",
+            "last_page",
             "markdown",
             "total_pages",
             "ocr_successful",
@@ -127,8 +129,24 @@ def merge_partials_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
     Partials of a url are ordered by first_page; empty-markdown partials
     (all pages failed) are skipped from the join exactly as failed pages
-    are dropped from the page-level concat (py zerox.py:162)."""
+    are dropped from the page-level concat (py zerox.py:162).
+
+    PRECONDITION (guaranteed by the pipeline, checked here): a url's
+    partials cover disjoint, ordered page ranges — fragments are emitted
+    per-url-contiguous in page order and blocks only split the stream at
+    contiguous cuts. An overlap means something upstream reordered rows;
+    that cannot be repaired at this stage, so fail loudly rather than
+    concatenate wrong bytes."""
     df = df.sort_values(["url", "first_page"], kind="mergesort")
+    prev_url = df["url"].shift()
+    prev_last = df["last_page"].shift()
+    bad = (df["url"] == prev_url) & (df["first_page"] <= prev_last)
+    if bad.any():
+        culprit = df.loc[bad, "url"].iloc[0]
+        raise ValueError(
+            f"overlapping partial page ranges for url {culprit!r}: upstream "
+            "row order violated the contiguous-fragment invariant"
+        )
     # partials with zero successful pages contribute nothing to the page
     # concat (failed pages are dropped, not joined as empties) — gate on
     # the success COUNT, not on markdown truthiness: a successful page
