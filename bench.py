@@ -109,6 +109,13 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         timed("dedup_exact", lambda: dedup_exact(sf_dir).to_pandas())
         timed("events_hourly", lambda: events_hourly(sf_dir).to_pandas())
 
+        from zerox_ray.pipelines.dedup import minhash_lsh_pairs
+        from zerox_ray.pipelines.relational import events_sessions, orders_by_nation
+
+        timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(sf_dir).to_pandas())
+        timed("orders_by_nation", lambda: orders_by_nation(sf_dir).to_pandas())
+        timed("events_sessions", lambda: events_sessions(sf_dir).to_pandas())
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)

@@ -193,3 +193,24 @@ class TestExtraction:
     def test_requires_schema(self):
         with pytest.raises(ValueError):
             extract_pages(_pages_table([("u", b"<p>x</p>")]), ZeroxConfig())
+
+
+class TestMarkdownSink:
+    def test_write_markdown_files(self, pages_dir, tmp_path):
+        import os
+
+        from zerox_ray.pipelines.ocr import run_ocr, write_markdown_files
+        from zerox_ray.testgen import expected_documents_rows
+
+        docs = run_ocr(pages_dir)
+        n = write_markdown_files(docs, str(tmp_path / "md"))
+        assert n == 500
+        files = os.listdir(tmp_path / "md")
+        assert len(files) == 500 and all(f.endswith(".md") for f in files)
+        # spot-check: file content equals the golden markdown
+        from zerox_ray.functions.text import sanitize_filename
+
+        exp = expected_documents_rows("/root/testdata/sf0.001/documents.parquet")
+        for row in exp[:5]:
+            p = tmp_path / "md" / (sanitize_filename(row["url"]) + ".md")
+            assert p.read_text(encoding="utf-8") == row["markdown"]

@@ -42,9 +42,18 @@ PPM = 1_000_000
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+#: coarse shuffle buckets: map_groups is called once per GROUP, so
+#: grouping directly on (band_id, band_key) means one Python call per
+#: tiny LSH bucket (~0.5 ms each — measured 41 CPU-s at sf0.1). Grouping
+#: on a coarse hash of the key instead gives ~N_COARSE calls, each
+#: handling thousands of buckets with vectorized pandas ops.
+N_COARSE = 256
+MAX_BUCKET_DOCS = 512
+
+
 class MinHashBander:
-    """map_batches: documents → (band_id, band_key, doc_id) LSH rows.
-    Permutation params are built once per actor/worker (seeded)."""
+    """map_batches: documents → (band_id, band_key, bucket, doc_id) LSH
+    rows. Permutation params are built once per actor/worker (seeded)."""
 
     def __init__(self, k: int = 64, n_bands: int = 16, shingle_n: int = 3):
         self.a, self.b = minhash_params(k)
@@ -62,26 +71,53 @@ class MinHashBander:
                 doc_ids.append(doc_id)
                 bands.append(band_id)
                 keys.append(key)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
                 "band_id": pd.Series(bands, dtype="int64"),
                 "band_key": pd.Series(keys, dtype="int64"),
             }
         )
+        out["bucket"] = (
+            (out["band_key"] * 1_000_003 + out["band_id"]) % N_COARSE
+        ).astype("int64")
+        return out
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket → candidate pairs (a < b)."""
-    ids = sorted(set(df["doc_id"].tolist()))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pd.DataFrame(
-        {"doc_a": pd.Series(a_out, dtype="int64"), "doc_b": pd.Series(b_out, dtype="int64")}
-    )
+def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One COARSE bucket (many LSH buckets) → candidate pairs (a < b),
+    vectorized: self-merge on the bucket key, upper-triangle filter.
+    Degenerate buckets (hash collapse) are truncated with a sentinel row
+    (doc_a = doc_b = -1) so the cap is visible, never silent."""
+    keys = ["band_id", "band_key"]
+    sizes = g.groupby(keys)["doc_id"].transform("size")
+    out_parts = []
+    big = sizes > MAX_BUCKET_DOCS
+    if big.any():
+        gb = g[big].sort_values(keys + ["doc_id"], kind="mergesort")
+        n_big = gb.groupby(keys).ngroups
+        out_parts.append(
+            pd.DataFrame({"doc_a": [-1] * n_big, "doc_b": [-1] * n_big})
+        )
+        g = pd.concat([g[~big], gb.groupby(keys).head(MAX_BUCKET_DOCS)])
+    m = g.merge(g, on=keys)
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    pairs = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})[
+        ["doc_a", "doc_b"]
+    ].drop_duplicates()
+    out_parts.append(pairs)
+    out = pd.concat(out_parts, ignore_index=True)
+    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def _pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out["pb"] = ((out["doc_a"] * 1_000_003 + out["doc_b"]) % N_COARSE).astype("int64")
+    return out
+
+
+def _dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
 
 class JaccardVerifier:
@@ -107,6 +143,8 @@ class JaccardVerifier:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = {"doc_a": [], "doc_b": [], "jaccard_ppm": []}
         for a, b in zip(df["doc_a"], df["doc_b"]):
+            if a < 0:  # degenerate-bucket sentinel — not a real pair
+                continue
             j = int(jaccard(self._shingles(int(a)), self._shingles(int(b))) * PPM)
             if j >= self.threshold_ppm:
                 rows["doc_a"].append(int(a))
@@ -132,13 +170,17 @@ def minhash_lsh_pairs(
     bands = ds.map_batches(
         MinHashBander(k, n_bands, shingle_n), batch_format="pandas"
     )
-    cands = bands.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    cands = bands.groupby("bucket").map_groups(
+        _coarse_bucket_pairs, batch_format="pandas"
     )
     # a pair surfaces once per colliding band — dedupe before the
-    # (expensive) verify stage with an aggregating groupby (partial
-    # combine inside each block, then a small shuffle)
-    uniq = cands.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+    # (expensive) verify stage; coarse pair-hash buckets again keep the
+    # per-group call count at N_COARSE, not per-pair
+    uniq = (
+        cands.map_batches(_pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(_dedupe_pairs, batch_format="pandas")
+    )
     docs_ref = ray.put(pq.read_table(path, columns=["doc_id", "text"]))
     return uniq.map_batches(
         JaccardVerifier,
@@ -180,38 +222,67 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_simhash_batch, batch_format="pandas")
 
 
-MAX_BLOCK_DOCS = 512
-
-
-def _simhash_block_pairs(df: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    rows = {"doc_a": [], "doc_b": [], "hamming": []}
-    recs = sorted(
-        zip(df["doc_id"].tolist(), df["simhash"].tolist())
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
     )
-    if len(recs) > MAX_BLOCK_DOCS:
-        # degenerate block (hash collapse) — cap the quadratic blow-up to
-        # the first MAX_BLOCK_DOCS ids; NOT silent: emit a sentinel row
-        # (doc_a = doc_b = -1, hamming = block size) so callers see it.
-        rows["doc_a"].append(-1)
-        rows["doc_b"].append(-1)
-        rows["hamming"].append(len(recs))
-        recs = recs[:MAX_BLOCK_DOCS]
-    for i in range(len(recs)):
-        for j in range(i + 1, len(recs)):
-            h = hamming64(recs[i][1] & ((1 << 64) - 1), recs[j][1] & ((1 << 64) - 1))
-            if h <= max_hamming:
-                rows["doc_a"].append(recs[i][0])
-                rows["doc_b"].append(recs[j][0])
-                rows["hamming"].append(h)
-    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+def _coarse_simhash_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """One coarse bucket of exploded simhash block rows → verified
+    hamming-≤k pairs, vectorized (self-merge + xor-popcount). Degenerate
+    blocks are truncated with a sentinel row (doc_a = doc_b = -1,
+    hamming = block size) so the cap is visible, never silent."""
+    keys = ["block_id", "key"]
+    sizes = g.groupby(keys)["doc_id"].transform("size")
+    parts = []
+    big = sizes > MAX_BUCKET_DOCS
+    if big.any():
+        gb = g[big].sort_values(keys + ["doc_id"], kind="mergesort")
+        big_sizes = gb.groupby(keys)["doc_id"].size()
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_a": np.full(len(big_sizes), -1, dtype=np.int64),
+                    "doc_b": np.full(len(big_sizes), -1, dtype=np.int64),
+                    "hamming": big_sizes.to_numpy().astype(np.int64),
+                }
+            )
+        )
+        g = pd.concat([g[~big], gb.groupby(keys).head(MAX_BUCKET_DOCS)])
+    m = g.merge(g, on=keys)
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    if len(m):
+        x = m["simhash_x"].to_numpy(dtype=np.int64).view(np.uint64)
+        y = m["simhash_y"].to_numpy(dtype=np.int64).view(np.uint64)
+        h = _popcount64(x ^ y)
+        m = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(),
+                "doc_b": m["doc_id_y"].to_numpy(),
+                "hamming": h,
+            }
+        )
+        m = m[m["hamming"] <= max_hamming].drop_duplicates(["doc_a", "doc_b"])
+        parts.append(m)
+    out = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    )
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
 
 
 def _explode_simhash_blocks(df: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, simhash, block0..3) → 4 rows (doc_id, simhash, block_id, key).
+    """(doc_id, simhash, block0..3) → 4 rows (doc_id, simhash, block_id,
+    key, bucket).
 
-    One exploded table + ONE groupby replaces four groupby branches over a
-    shared upstream — at scale a union of N groupbys re-executes the
-    signature stage N times and runs N all-to-all shuffles; this runs one."""
+    One exploded table + ONE coarse groupby replaces four groupby
+    branches over a shared upstream — at scale a union of N groupbys
+    re-executes the signature stage N times and runs N shuffles."""
     parts = []
     for blk in range(4):
         parts.append(
@@ -224,7 +295,11 @@ def _explode_simhash_blocks(df: pd.DataFrame) -> pd.DataFrame:
                 }
             )
         )
-    return pd.concat(parts, ignore_index=True)
+    out = pd.concat(parts, ignore_index=True)
+    out["bucket"] = ((out["key"] * 1_000_003 + out["block_id"]) % N_COARSE).astype(
+        "int64"
+    )
+    return out
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
@@ -234,15 +309,20 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     exploded = simhash_signatures(sf_dir).map_batches(
         _explode_simhash_blocks, batch_format="pandas"
     )
-    pairs = exploded.groupby(["block_id", "key"]).map_groups(
-        lambda g: _simhash_block_pairs(g, max_hamming), batch_format="pandas"
+    pairs = exploded.groupby("bucket").map_groups(
+        lambda g: _coarse_simhash_pairs(g, max_hamming), batch_format="pandas"
     )
-    # a pair surfaces once per colliding block — collapse with a cheap
-    # partial-aggregating groupby (not map_groups-per-pair)
-    uniq = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
-    return uniq.map_batches(
-        lambda df: df.rename(columns={"min(hamming)": "hamming"}),
-        batch_format="pandas",
+    # a pair surfaces once per colliding block — dedupe keeping the
+    # (identical) hamming via coarse pair-hash buckets
+    return (
+        pairs.map_batches(_pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.sort_values(["doc_a", "doc_b", "hamming"]).drop_duplicates(
+                ["doc_a", "doc_b"]
+            )[["doc_a", "doc_b", "hamming"]],
+            batch_format="pandas",
+        )
     )
 
 
@@ -257,20 +337,36 @@ def _block_key_batch(df: pd.DataFrame, shingle_n: int) -> pd.DataFrame:
     for t in df["text"]:
         sh = token_shingles(TOKEN_RE.findall(t), shingle_n)
         keys.append(int(crc64_array([min(sh)] if sh else [b""])[0]) & 0x7FFFFFFF)
-    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "block": pd.Series(keys, dtype="int64"), "text": df["text"]})
+    out = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "block": pd.Series(keys, dtype="int64"),
+            "text": df["text"],
+        }
+    )
+    out["bucket"] = (out["block"] % N_COARSE).astype("int64")
+    return out
 
 
-def _jaccard_block_pairs(df: pd.DataFrame, shingle_n: int, threshold_ppm: int) -> pd.DataFrame:
-    recs = sorted(zip(df["doc_id"].tolist(), df["text"].tolist()))
-    shingles = [set(token_shingles(TOKEN_RE.findall(t), shingle_n)) for _, t in recs]
+def _coarse_jaccard_pairs(
+    g: pd.DataFrame, shingle_n: int, threshold_ppm: int
+) -> pd.DataFrame:
+    """Coarse bucket of blocked docs → exact-Jaccard pairs. Singleton
+    blocks (the vast majority) are skipped BEFORE any shingle work."""
     rows = {"doc_a": [], "doc_b": [], "jaccard_ppm": []}
-    for i in range(len(recs)):
-        for j in range(i + 1, len(recs)):
-            jp = int(jaccard(shingles[i], shingles[j]) * PPM)
-            if jp >= threshold_ppm:
-                rows["doc_a"].append(recs[i][0])
-                rows["doc_b"].append(recs[j][0])
-                rows["jaccard_ppm"].append(jp)
+    sizes = g.groupby("block")["doc_id"].transform("size")
+    for _, sub in g[sizes > 1].groupby("block", sort=True):
+        recs = sorted(zip(sub["doc_id"].tolist(), sub["text"].tolist()))
+        shingles = [
+            set(token_shingles(TOKEN_RE.findall(t), shingle_n)) for _, t in recs
+        ]
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                jp = int(jaccard(shingles[i], shingles[j]) * PPM)
+                if jp >= threshold_ppm:
+                    rows["doc_a"].append(recs[i][0])
+                    rows["doc_b"].append(recs[j][0])
+                    rows["jaccard_ppm"].append(jp)
     return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
 
@@ -283,8 +379,8 @@ def ngram_jaccard_pairs(
     blocked = ds.map_batches(
         lambda df: _block_key_batch(df, shingle_n), batch_format="pandas"
     )
-    return blocked.groupby("block").map_groups(
-        lambda g: _jaccard_block_pairs(g, shingle_n, threshold_ppm),
+    return blocked.groupby("bucket").map_groups(
+        lambda g: _coarse_jaccard_pairs(g, shingle_n, threshold_ppm),
         batch_format="pandas",
     )
 
@@ -311,19 +407,24 @@ class HyperplaneBander:
         # generation is ONE groupby shuffle, not four
         n = len(df)
         vec_ids = df["vec_id"].astype("int64").to_numpy()
-        out = {
-            "vec_id": np.tile(vec_ids, 4),
-            "block_id": np.repeat(np.arange(4, dtype=np.int64), n),
-            "key": np.concatenate(
-                [
-                    ((sketch >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(
-                        np.int64
-                    )
-                    for blk in range(4)
-                ]
-            ),
-        }
-        return pd.DataFrame(out)
+        out = pd.DataFrame(
+            {
+                "vec_id": np.tile(vec_ids, 4),
+                "block_id": np.repeat(np.arange(4, dtype=np.int64), n),
+                "key": np.concatenate(
+                    [
+                        ((sketch >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(
+                            np.int64
+                        )
+                        for blk in range(4)
+                    ]
+                ),
+            }
+        )
+        out["bucket"] = ((out["key"] * 1_000_003 + out["block_id"]) % N_COARSE).astype(
+            "int64"
+        )
+        return out
 
 
 class CosineVerifier:
@@ -340,6 +441,8 @@ class CosineVerifier:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = {"vec_a": [], "vec_b": [], "cosine_ppm": []}
         for a, b in zip(df["vec_a"], df["vec_b"]):
+            if a < 0:  # degenerate-bucket sentinel
+                continue
             c = int(float(self.row[int(a)] @ self.row[int(b)]) * PPM)
             if c >= self.threshold_ppm:
                 rows["vec_a"].append(int(a))
@@ -348,15 +451,27 @@ class CosineVerifier:
         return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
 
-def _vec_block_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(df["vec_id"].tolist()))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pd.DataFrame(
-        {"vec_a": pd.Series(a_out, dtype="int64"), "vec_b": pd.Series(b_out, dtype="int64")}
+def _coarse_vec_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Coarse bucket of sign-sketch block rows → candidate pairs (a < b),
+    vectorized self-merge; degenerate blocks truncated with a sentinel."""
+    keys = ["block_id", "key"]
+    sizes = g.groupby(keys)["vec_id"].transform("size")
+    parts = []
+    big = sizes > MAX_BUCKET_DOCS
+    if big.any():
+        gb = g[big].sort_values(keys + ["vec_id"], kind="mergesort")
+        n_big = gb.groupby(keys).ngroups
+        parts.append(pd.DataFrame({"vec_a": [-1] * n_big, "vec_b": [-1] * n_big}))
+        g = pd.concat([g[~big], gb.groupby(keys).head(MAX_BUCKET_DOCS)])
+    m = g.merge(g, on=keys)
+    m = m[m["vec_id_x"] < m["vec_id_y"]]
+    parts.append(
+        m.rename(columns={"vec_id_x": "vec_a", "vec_id_y": "vec_b"})[
+            ["vec_a", "vec_b"]
+        ].drop_duplicates()
+    )
+    return pd.concat(parts, ignore_index=True).astype(
+        {"vec_a": "int64", "vec_b": "int64"}
     )
 
 
@@ -375,10 +490,20 @@ def embedding_near_dup(
         batch_format="pandas",
         concurrency=(1, 4),
     )
-    cands = sk.groupby(["block_id", "key"]).map_groups(
-        _vec_block_pairs, batch_format="pandas"
+    cands = sk.groupby("bucket").map_groups(_coarse_vec_pairs, batch_format="pandas")
+    uniq = (
+        cands.map_batches(
+            lambda df: df.assign(
+                pb=((df["vec_a"] * 1_000_003 + df["vec_b"]) % N_COARSE).astype("int64")
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]],
+            batch_format="pandas",
+        )
     )
-    uniq = cands.groupby(["vec_a", "vec_b"]).count().select_columns(["vec_a", "vec_b"])
     emb_ref = ray.put(pq.read_table(path, columns=["vec_id", "embedding"]))
     return uniq.map_batches(
         CosineVerifier,

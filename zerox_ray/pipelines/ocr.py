@@ -185,3 +185,30 @@ def run_ocr(
     return partials.groupby("pid").map_groups(
         merge_partials_bucket, batch_format="pandas"
     )
+
+
+def write_markdown_files(docs: ray.data.Dataset, out_dir: str) -> int:
+    """S4 parity (node index.ts:556-568 / py zerox.py:169-172): one
+    ``<sanitized-url>.md`` file per document, written from the workers
+    (distributed sink, no driver collection). Returns files written."""
+    import os
+
+    from zerox_ray.functions.text import sanitize_filename
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(df):
+        import pandas as pd
+
+        n = 0
+        for url, md in zip(df["url"], df["markdown"]):
+            path = os.path.join(out_dir, sanitize_filename(url) + ".md")
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(md)
+            os.replace(tmp, path)  # atomic per file (resume-safe)
+            n += 1
+        return pd.DataFrame({"files_written": [n]})
+
+    counts = docs.map_batches(write_batch, batch_format="pandas")
+    return int(sum(r["files_written"] for r in counts.take_all()))

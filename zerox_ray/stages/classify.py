@@ -69,4 +69,19 @@ class ClassifyPayload:
             dtype=np.int64,
             count=batch.num_rows,
         )
-        return batch.append_column("kind", kind).append_column("pid", pa.array(pids, pa.int64()))
+        # M8 parity (getNumberOfPagesFromPdf, file.ts:332-340): cheap
+        # vectorized page-count estimate from payload structure markers —
+        # drives skew observability and giant-doc routing without parsing
+        page_count = pc.max_element_wise(
+            pc.if_else(
+                pc.equal(kind, pa.scalar("pdf")),
+                pc.count_substring(payload, b"\nendstream"),
+                pc.count_substring(payload, b'class="page"'),
+            ),
+            pa.scalar(1, pa.int32()),
+        ).cast(pa.int64())
+        return (
+            batch.append_column("kind", kind)
+            .append_column("pid", pa.array(pids, pa.int64()))
+            .append_column("page_count", page_count)
+        )
