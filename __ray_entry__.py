@@ -28,7 +28,9 @@ from zerox_ray.pipelines.dataops import (
     events_hourly,
     lang_id,
     quality_scores,
+    token_counts_bpe,
     token_stats,
+    top_spenders,
 )
 from zerox_ray.pipelines.dedup import (
     doc_fingerprints,
@@ -136,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
         "token_stats": token_stats,
+        "token_counts_bpe": token_counts_bpe,
+        "top_spenders": top_spenders,
         "quality_scores": quality_scores,
         "dedup_exact": dedup_exact,
         "events_hourly": events_hourly,
@@ -272,6 +276,20 @@ SELECT lang,
        CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_tokens,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
+""",
+        "token_counts_bpe": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+'
+       )) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+        "top_spenders": """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+ORDER BY total_cents DESC, o_custkey LIMIT 10
 """,
         "quality_scores": r"""
 SELECT doc_id,

@@ -69,3 +69,30 @@ def test_events_hourly(sf_dir):
         "sum(CAST(floor(value*100) AS BIGINT)) sum_value_cents FROM events GROUP BY user_id, hour_id",
     )
     _cmp(got, exp, ["user_id", "hour_id"])
+
+
+def test_token_counts_bpe_sane(sf_dir):
+    from zerox_ray.pipelines.dataops import token_counts_bpe
+
+    got = token_counts_bpe(sf_dir).to_pandas()
+    assert len(got) == 500
+    # BPE-ish pretokens are at least as numerous as whitespace tokens
+    assert (got.n_bpe_tokens >= got.n_ws_tokens).all()
+
+
+def test_top_spenders_deterministic_topk(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import top_spenders
+
+    got = top_spenders(sf_dir, k=10).to_pandas()
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    o["cents"] = np.floor(o.o_totalprice * 100).astype("int64")
+    exp = (
+        o.groupby("o_custkey")["cents"].sum().reset_index(name="total_cents")
+        .sort_values(["total_cents", "o_custkey"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    assert list(got.o_custkey) == list(exp.o_custkey)
+    assert list(got.total_cents) == list(exp.total_cents)

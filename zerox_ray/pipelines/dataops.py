@@ -186,3 +186,66 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_cents", alias_name="sum_value_cents"),
     )
+
+
+# --- BPE-style pre-tokenization counting -------------------------------------
+
+# GPT-2-style pretokenizer shape (contractions / letter runs / digit runs /
+# punctuation runs / whitespace), RE2-compatible so the DuckDB oracle can
+# run the IDENTICAL pattern. Lowercase corpus → [a-z] suffices.
+BPE_RE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+import re as _re2
+
+_BPE_RE = _re2.compile(BPE_RE_PATTERN)
+
+
+def _bpe_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_bpe_tokens": df["text"].str.count(_BPE_RE).astype("int64"),
+            "n_ws_tokens": df["text"].str.split().str.len().astype("int64"),
+        }
+    )
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token counts: BPE-ish pretokenizer regex + whitespace split.
+    Output: (doc_id, n_bpe_tokens, n_ws_tokens)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_bpe_count_batch, batch_format="pandas")
+
+
+# --- top-k (sort + limit over a pre-aggregated groupby) ----------------------
+
+
+def top_spenders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k customers by total order spend (cents). Pre-aggregates per
+    batch (combiner), groupby-sums, then a small global sort+limit —
+    the only globally-ordered step runs over |customers| rows, not
+    |orders|. Output: (o_custkey, total_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (
+            pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"), "total_cents": cents})
+            .groupby("o_custkey", sort=False)["total_cents"]
+            .sum()
+            .reset_index()
+        )
+        return out.astype({"total_cents": "int64"})
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").sum(
+        "total_cents"
+    )
+    renamed = agg.map_batches(
+        lambda df: df.rename(columns={"sum(total_cents)": "total_cents"}),
+        batch_format="pandas",
+    )
+    # deterministic tie-break: (-total, custkey)
+    return renamed.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
