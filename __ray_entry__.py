@@ -50,6 +50,12 @@ from zerox_ray.pipelines.relational import (
     revenue_by_priority,
 )
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
+from zerox_ray.pipelines.sketches import (
+    distinct_users_exact,
+    distinct_users_hll,
+    price_histogram,
+    price_quantiles,
+)
 from zerox_ray.testgen import pages_dir_for, sheet_pages_dir_for
 
 DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
@@ -148,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": revenue_by_priority,
         "asof_purchase_view": asof_purchase_view,
         "events_sessions": events_sessions,
+        "price_histogram": price_histogram,
+        "distinct_users_exact": distinct_users_exact,
+        # sketch outputs (hash/interpolation-based — rows-only checks)
+        "price_quantiles_sketch": price_quantiles,
+        "distinct_users_hll": distinct_users_hll,
         # training-data ops (deterministic, rows-only checks — not
         # SQL-expressible: iterative/hash-based algorithms)
         "dedup_minhash_lsh": minhash_lsh_pairs,
@@ -366,6 +377,14 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
        CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
 FROM s GROUP BY user_id, session_id
+""",
+        "price_histogram": """
+SELECT CAST(least(floor(l_extendedprice / (200000.0 / 256)), 255) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY bin_id
+""",
+        "distinct_users_exact": """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 """,
         "events_hourly": """
 SELECT user_id,

@@ -1,0 +1,167 @@
+"""Mergeable sketch operators (streaming synopses).
+
+The reference has no approximate aggregates (SURVEY §2.6); a 100 TB
+engine needs them. Both operators here follow the ONE canonical scale
+shape: per-batch PARTIAL sketch (vectorized numpy) → tiny groupby/sum
+merge — the all-to-all moves sketch rows, never data rows.
+
+- ``price_histogram`` — fixed-edge equi-width histogram (the mergeable
+  synopsis behind approximate quantiles): partial ``np.bincount`` per
+  batch, merged by bin id. Deterministic, so the DuckDB oracle mirrors
+  the exact binning rule.
+- ``histogram_quantiles`` — client-side linear interpolation over the
+  merged histogram (approximate quantiles with error ≤ bin width).
+- ``distinct_users_hll`` — HyperLogLog with a crc32-derived hash
+  (deterministic across runs/cluster sizes): per-batch register-max
+  partials, merged with a grouped max. Estimate checked against the
+  exact distinct count in tests (rows-only driver check: hash-based
+  estimates are not SQL-reproducible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+PRICE_LO = 0.0
+PRICE_HI = 200_000.0
+N_BINS = 256
+
+
+def _hist_partial(df: pd.DataFrame, n_bins: int, lo: float, hi: float) -> pd.DataFrame:
+    x = df["l_extendedprice"].to_numpy()
+    width = (hi - lo) / n_bins
+    bins = np.clip(((x - lo) // width).astype(np.int64), 0, n_bins - 1)
+    counts = np.bincount(bins, minlength=n_bins)
+    nz = np.nonzero(counts)[0]
+    return pd.DataFrame(
+        {
+            "bin_id": nz.astype(np.int64),
+            "n_items": counts[nz].astype(np.int64),
+        }
+    )
+
+
+def price_histogram(
+    sf_dir: str, n_bins: int = N_BINS, lo: float = PRICE_LO, hi: float = PRICE_HI
+) -> ray.data.Dataset:
+    """Equi-width histogram of lineitem extended price.
+    Output: (bin_id, n_items) for non-empty bins."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    partials = ds.map_batches(
+        lambda df: _hist_partial(df, n_bins, lo, hi), batch_format="pandas"
+    )
+    agg = partials.groupby("bin_id").sum("n_items")
+    return agg.map_batches(
+        lambda df: df.rename(columns={"sum(n_items)": "n_items"}),
+        batch_format="pandas",
+    )
+
+
+def histogram_quantiles(
+    hist: pd.DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = N_BINS,
+    lo: float = PRICE_LO,
+    hi: float = PRICE_HI,
+) -> pd.DataFrame:
+    """Approximate quantiles from a merged (bin_id, n_items) histogram:
+    linear interpolation inside the containing bin (error ≤ bin width)."""
+    width = (hi - lo) / n_bins
+    h = hist.sort_values("bin_id")
+    counts = np.zeros(n_bins, dtype=np.int64)
+    counts[h["bin_id"].to_numpy()] = h["n_items"].to_numpy()
+    cum = np.cumsum(counts)
+    total = cum[-1]
+    rows = []
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        prev = cum[b - 1] if b > 0 else 0
+        inside = (target - prev) / counts[b] if counts[b] else 0.0
+        rows.append(
+            {"q_ppm": int(q * 1_000_000), "value": lo + (b + inside) * width}
+        )
+    return pd.DataFrame(rows)
+
+
+def price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate p50/p90/p99 of lineitem extended price via the merged
+    histogram sketch. Output: (q_ppm, value)."""
+    hist = price_histogram(sf_dir).to_pandas()
+    return histogram_quantiles(hist)
+
+
+# --- HyperLogLog distinct count ----------------------------------------------
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def _hll_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche hash (splitmix64) of int64 ids."""
+    x = ids.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hll_partial(df: pd.DataFrame, column: str, p: int) -> pd.DataFrame:
+    h = _hll_hash(df[column].to_numpy(dtype=np.int64))
+    m = np.uint64(1 << p)
+    reg = (h & (m - np.uint64(1))).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rank = leading position of first set bit in the remaining 64-p bits
+    width = 64 - p
+    rank = np.full(len(h), width + 1, dtype=np.int64)
+    found = np.zeros(len(h), dtype=bool)
+    for bit in range(width):
+        hit = (~found) & ((rest >> np.uint64(width - 1 - bit)) & np.uint64(1)).astype(
+            bool
+        )
+        rank[hit] = bit + 1
+        found |= hit
+    out = pd.DataFrame({"register": reg, "rank": rank})
+    return (
+        out.groupby("register", sort=False)["rank"].max().reset_index()
+        .astype({"register": "int64", "rank": "int64"})
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
+    """Standard HLL estimator with small-range (linear counting) switch."""
+    m = 1 << p
+    ranks = np.zeros(m, dtype=np.int64)
+    ranks[registers["register"].to_numpy()] = registers["rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-ranks.astype(np.float64)))
+    zeros = int(np.sum(ranks == 0))
+    if raw <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(raw)
+
+
+def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
+    """Approximate distinct user_id count over events via HLL.
+    Output: one row (n_users_estimate,). Deterministic across runs and
+    cluster shapes (hash-based, order-free register max-merge)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    partials = ds.map_batches(
+        lambda df: _hll_partial(df, "user_id", p), batch_format="pandas"
+    )
+    merged = partials.groupby("register").max("rank")
+    regs = merged.map_batches(
+        lambda df: df.rename(columns={"max(rank)": "rank"}), batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame({"n_users_estimate": [int(round(hll_estimate(regs, p)))]})
+
+
+def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct user count (the shuffle-based baseline the sketch
+    replaces at scale). Output: one row (n_users,)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pd.DataFrame({"n_users": [n]})
