@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the pure functions that carry
+the byte-identity invariant — coverage the reference entirely lacks
+(SURVEY §5: no property/randomized testing)."""
+
+import string
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zerox_ray.functions.htmlx import extract_main_text, split_html_pages
+from zerox_ray.functions.sheetx import build_sheet_payload, split_sheet_pages
+from zerox_ray.functions.text import format_markdown
+from zerox_ray.stages.classify import url_pid
+from zerox_ray.stages.reassemble import (
+    merge_partials_bucket,
+    partial_reassemble_block,
+    reassemble_bucket,
+)
+from zerox_ray.testgen import build_html
+
+_plain = st.text(
+    alphabet=string.ascii_lowercase + string.digits + " .,;:!?-",
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(st.text(min_size=0, max_size=200).filter(lambda s: "```" not in s and "§§§" not in s))
+def test_format_markdown_identity_without_fences(s):
+    assert format_markdown(s) == s
+
+
+@given(_plain)
+def test_format_markdown_strips_html_fence_exactly(body):
+    assert format_markdown(f"```html\n{body}\n```") == f"\n{body}\n"
+
+
+@given(st.lists(_plain, min_size=1, max_size=6))
+def test_html_roundtrip_byte_identical(chunks):
+    """build_html page chunks survive split + main-text extraction
+    byte-for-byte (the core deterministic-OCR invariant)."""
+    payload = build_html(1, chunks, False)
+    pages = split_html_pages(payload)
+    assert len(pages) == len(chunks)
+    got = [extract_main_text(p.decode("utf-8")) for p in pages]
+    assert got == chunks
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=12),
+            st.text(
+                alphabet=string.printable.replace("\r", ""),
+                min_size=0,
+                max_size=60,
+            ).filter(lambda c: "== sheet:" not in c and not c.endswith("\n")),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_sheet_payload_roundtrip(sheets):
+    pages = split_sheet_pages(build_sheet_payload(sheets))
+    assert len(pages) == len(sheets)
+    for page, (name, cell) in zip(pages, sheets):
+        text = page.decode("utf-8")
+        assert text.startswith("<h1>") and "<table>" in text
+
+
+@given(st.text(min_size=0, max_size=100), st.integers(min_value=1, max_value=4096))
+def test_url_pid_bounds_and_stability(url, p):
+    a, b = url_pid(url, p), url_pid(url, p)
+    assert a == b and 0 <= a < p
+
+
+@settings(deadline=1000)
+@given(
+    n_pages=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=5),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=4),
+    err_every=st.integers(min_value=2, max_value=9),
+)
+def test_combiner_equals_single_shot_reassembly(n_pages, cuts, err_every):
+    """For ANY per-url page counts and ANY contiguous cut positions, the
+    combiner (partial + merge) equals single-shot bucket reassembly."""
+    rows = []
+    for u, np_ in enumerate(n_pages):
+        for p in range(1, np_ + 1):
+            err = (u * 31 + p) % err_every == 0
+            rows.append(
+                {
+                    "url": f"u{u:03d}",
+                    "pid": 0,
+                    "page_index": p,
+                    "content": "" if err else f"c{u}.{p}",
+                    "content_length": 0 if err else len(f"c{u}.{p}"),
+                    "status": "ERROR" if err else "SUCCESS",
+                    "error": "e" if err else "",
+                    "input_tokens": 1,
+                    "output_tokens": 1,
+                }
+            )
+    df = pd.DataFrame(rows)
+    expected = reassemble_bucket(df).sort_values("url").reset_index(drop=True)
+    bounds = sorted({0, len(df), *[c for c in cuts if c <= len(df)]})
+    partials = pd.concat(
+        [
+            partial_reassemble_block(df.iloc[a:b])
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        ],
+        ignore_index=True,
+    )
+    got = merge_partials_bucket(partials).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[expected.columns.tolist()], expected)
