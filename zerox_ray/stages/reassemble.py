@@ -211,19 +211,21 @@ def maintain_format_fold_bucket(
     for url, g in df.groupby("url", sort=True):
         prior_tail = ""
         broken = False
-        for _, r in g.iterrows():
+        for pid, page_index, kind, fragment in zip(
+            g["pid"].to_numpy(), g["page_index"].to_numpy(), g["kind"], g["fragment"]
+        ):
             if broken:
                 break  # error breaks the chain (index.ts:361-364)
-            if r["kind"] == "error":
-                err = (r["fragment"] or b"corrupt payload").decode("utf-8", "replace")
+            if kind == "error":
+                err = (fragment or b"corrupt payload").decode("utf-8", "replace")
                 if error_mode == "THROW":
                     raise ValueError(f"{url}: {err}")
                 comp = Completion("", 0, 0, error=err)
             else:
                 comp = _complete_retry(
-                    model, bytes(r["fragment"]), r["kind"], prior_tail, max_retries, error_mode
+                    model, bytes(fragment), kind, prior_tail, max_retries, error_mode
                 )
-            rows.append(completion_to_row(url, r["pid"], r["page_index"], comp))
+            rows.append(completion_to_row(url, pid, page_index, comp))
             if comp.error is not None:
                 broken = True
             else:
