@@ -35,6 +35,7 @@ from zerox_ray.pipelines.dataops import (
 from zerox_ray.pipelines.dedup import (
     doc_fingerprints,
     embedding_near_dup,
+    minhash_dedup_docs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (deterministic, rows-only checks — not
         # SQL-expressible: iterative/hash-based algorithms)
         "dedup_minhash_lsh": minhash_lsh_pairs,
+        "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,

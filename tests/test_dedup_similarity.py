@@ -174,3 +174,25 @@ class TestMediaAndLang:
         assert len(got) == 500
         # synthetic corpus is English-ish query words → 'the'/'a' dominate
         assert (got.pred_lang == "en").mean() > 0.9
+
+
+class TestKeeperSelection:
+    def test_minhash_dedup_docs(self, sf_dir):
+        from zerox_ray.pipelines.dedup import (
+            _union_find_components,
+            minhash_dedup_docs,
+        )
+
+        pairs = minhash_lsh_pairs(sf_dir).to_pandas()
+        kept = minhash_dedup_docs(sf_dir).to_pandas()
+        # survivors: every doc except non-min members of any component
+        comp = _union_find_components(pairs)
+        dropped = {d for d, c in comp.items() if c != d}
+        assert set(kept.doc_id) == set(range(500)) - dropped
+        assert (kept.doc_id == kept.cluster_id).all()
+        # transitivity: chain a-b, b-c → one cluster
+        import pandas as pd
+
+        chain = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+        c = _union_find_components(chain)
+        assert c[1] == c[2] == c[3] == 1

@@ -535,3 +535,58 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     Output: (doc_id, fingerprint)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_fingerprint_batch, batch_format="pandas")
+
+
+# --- duplicate-cluster keeper selection --------------------------------------
+
+
+def _union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
+    """doc_id → component keeper (min id). Runs on the DRIVER: verified
+    near-dup pairs are the tiny output of the pipeline (orders of
+    magnitude smaller than the corpus), i.e. the canonical small side.
+    At 10^12-doc scale with pathological duplication this becomes K
+    rounds of min-label propagation as map_batches + groupby-min; the
+    contract (doc → min reachable id) is identical."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
+    """End-to-end near-dup REMOVAL: MinHash-LSH pairs → connected
+    components → keep only each cluster's min doc_id.
+    Output: (doc_id, cluster_id) for the SURVIVING documents
+    (cluster_id = doc_id for docs with no near-dup)."""
+    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs).to_pandas()
+    comp = _union_find_components(pairs)
+    comp_ref = ray.put(comp)
+
+    class KeeperFilter:
+        def __init__(self, ref):
+            self.comp = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].astype("int64")
+            cluster = ids.map(lambda d: self.comp.get(int(d), int(d))).astype("int64")
+            keep = ids == cluster
+            out = pd.DataFrame({"doc_id": ids[keep], "cluster_id": cluster[keep]})
+            return out.astype({"doc_id": "int64", "cluster_id": "int64"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        KeeperFilter,
+        fn_constructor_kwargs={"ref": comp_ref},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
