@@ -47,6 +47,7 @@ from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.relational import (
     asof_purchase_view,
     events_sessions,
+    events_sliding,
     orders_by_nation,
     revenue_by_priority,
 )
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": revenue_by_priority,
         "asof_purchase_view": asof_purchase_view,
         "events_sessions": events_sessions,
+        "events_sliding": events_sliding,
         "price_histogram": price_histogram,
         "distinct_users_exact": distinct_users_exact,
         # sketch outputs (hash/interpolation-based — rows-only checks)
@@ -379,6 +381,14 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
        CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
 FROM s GROUP BY user_id, session_id
+""",
+        "events_sliding": """
+SELECT user_id,
+       CAST((epoch_us(ts) // 3600000000 - k) * 3600000000 AS BIGINT) AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+GROUP BY user_id, window_start_us
 """,
         "price_histogram": """
 SELECT CAST(least(floor(l_extendedprice / (200000.0 / 256)), 255) AS BIGINT) AS bin_id,

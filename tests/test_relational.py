@@ -197,3 +197,15 @@ class TestCombinerReassembly:
         assert len(docs) == 1
         assert docs.total_pages.iloc[0] == 600
         assert docs.markdown.iloc[0] == "\n\n".join(chunks)
+
+
+def test_sliding_windows_cover_each_event_twice(sf_dir):
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.relational import events_sliding
+
+    got = events_sliding(sf_dir).to_pandas()
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    # window=2h slide=1h → every event counted in exactly 2 windows
+    assert got.n_events.sum() == 2 * n_events
+    assert (got.window_start_us % 3_600_000_000 == 0).all()

@@ -276,3 +276,60 @@ def events_sessions(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(
         lambda g: _sessionize_group(g, gap_us), batch_format="pandas"
     )
+
+
+# --- sliding windows ---------------------------------------------------------
+
+
+def events_sliding(
+    sf_dir: str, window_hours: int = 2, slide_hours: int = 1
+) -> ray.data.Dataset:
+    """Sliding-window counts over the events stream: each event lands in
+    window_hours/slide_hours consecutive windows; the explode happens
+    per batch (vectorized repeat) and the only shuffle is the final
+    pre-aggregated groupby. Output: (user_id, window_start_us, n_events,
+    sum_value_cents)."""
+    w_us = window_hours * 3600 * _US
+    s_us = slide_hours * 3600 * _US
+    n_windows = w_us // s_us
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        uid = df["user_id"].astype("int64").to_numpy()
+        # window starts containing ts: last start = ts//s*s, going back
+        last_start = (ts // s_us) * s_us
+        offs = (np.arange(n_windows, dtype=np.int64) * s_us)[None, :]
+        starts = (last_start[:, None] - offs).ravel()
+        part = pd.DataFrame(
+            {
+                "user_id": np.repeat(uid, n_windows),
+                "window_start_us": starts,
+                "n_events": np.ones(len(starts), dtype=np.int64),
+                "sum_value_cents": np.repeat(cents, n_windows),
+            }
+        )
+        # combiner: collapse within the batch before the shuffle
+        out = (
+            part.groupby(["user_id", "window_start_us"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": "int64", "window_start_us": "int64",
+             "n_events": "int64", "sum_value_cents": "int64"}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    agg = ds.map_batches(explode, batch_format="pandas").groupby(
+        ["user_id", "window_start_us"]
+    ).sum(["n_events", "sum_value_cents"])
+    return agg.map_batches(
+        lambda df: df.rename(
+            columns={"sum(n_events)": "n_events",
+                     "sum(sum_value_cents)": "sum_value_cents"}
+        ),
+        batch_format="pandas",
+    )
