@@ -209,3 +209,25 @@ def test_sliding_windows_cover_each_event_twice(sf_dir):
     # window=2h slide=1h → every event counted in exactly 2 windows
     assert got.n_events.sum() == 2 * n_events
     assert (got.window_start_us % 3_600_000_000 == 0).all()
+
+
+def test_hash_join_salted_equals_unsalted(sf_dir):
+    import ray.data
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()[
+        ["o_orderkey", "o_orderpriority"]
+    ].rename(columns={"o_orderkey": "k"})
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()[
+        ["l_orderkey", "l_linenumber"]
+    ].rename(columns={"l_orderkey": "k"})
+    a = (
+        hash_join(ray.data.from_pandas(li), ray.data.from_pandas(o), on="k",
+                  num_buckets=8, salt=4)
+        .to_pandas().sort_values(["k", "l_linenumber"]).reset_index(drop=True)
+    )
+    b = (
+        hash_join(ray.data.from_pandas(li), ray.data.from_pandas(o), on="k",
+                  num_buckets=8)
+        .to_pandas().sort_values(["k", "l_linenumber"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns.tolist()], b)

@@ -14,7 +14,7 @@ semantically required (reassembly, maintain_format fold).
 """
 
 from zerox_ray.config import ZeroxConfig
-from zerox_ray.pipelines.ocr import run_ocr, extracted_pages
+from zerox_ray.pipelines.ocr import extracted_pages, run_ocr, write_markdown_files
 
-__all__ = ["ZeroxConfig", "run_ocr", "extracted_pages"]
+__all__ = ["ZeroxConfig", "run_ocr", "extracted_pages", "write_markdown_files"]
 __version__ = "0.1.0"

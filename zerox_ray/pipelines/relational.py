@@ -106,13 +106,20 @@ def hash_join(
     on: str,
     num_buckets: int = 64,
     how: str = "inner",
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two Datasets on an int64 key.
 
     bucket(key) is added to both sides; a tagged union + ONE groupby
     co-locates buckets; pandas merges within each bucket. At 100 TB the
-    bucket count is the shuffle width — size it to cluster CPUs; skewed
-    keys should be salted by the caller before joining."""
+    bucket count is the shuffle width — size it to cluster CPUs.
+
+    ``salt > 1`` is the hot-key lever: LEFT rows spread across ``salt``
+    sub-buckets per key (round-robin — join output is order-insensitive,
+    so the spread needs no stable hash), RIGHT rows replicate into every
+    sub-bucket. A key carrying 10% of the left side then costs ~10%/salt
+    per task instead of one straggler task. Use when the left side is
+    the big, skewed one (fact table) and right is moderate."""
 
     # capture per-side schemas up front: union() aligns schemas by
     # null-filling, so each side must re-select only its own columns
@@ -136,17 +143,28 @@ def hash_join(
         if _is_int(typ)
     }
 
-    def tag(side: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["__bucket"] = (out[on].astype("int64") % num_buckets).astype("int64")
-            out["__side"] = side
-            return out
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        base = (out[on].astype("int64") % num_buckets).astype("int64")
+        sub = np.arange(len(out), dtype=np.int64) % salt
+        out["__bucket"] = base * salt + sub
+        out["__side"] = "L"
+        return out
 
-        return f
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        if salt > 1:  # replicate into every sub-bucket
+            out = out.loc[out.index.repeat(salt)].reset_index(drop=True)
+            sub = np.tile(np.arange(salt, dtype=np.int64), len(df))
+        else:
+            sub = np.zeros(len(out), dtype=np.int64)
+        base = (out[on].astype("int64") % num_buckets).astype("int64")
+        out["__bucket"] = base * salt + sub
+        out["__side"] = "R"
+        return out
 
-    lt = left.map_batches(tag("L"), batch_format="pandas")
-    rt = right.map_batches(tag("R"), batch_format="pandas")
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
