@@ -208,9 +208,12 @@ class TestMarkdownSink:
         files = os.listdir(tmp_path / "md")
         assert len(files) == 500 and all(f.endswith(".md") for f in files)
         # spot-check: file content equals the golden markdown
+        import zlib
+
         from zerox_ray.functions.text import sanitize_filename
 
         exp = expected_documents_rows("/root/testdata/sf0.001/documents.parquet")
         for row in exp[:5]:
-            p = tmp_path / "md" / (sanitize_filename(row["url"]) + ".md")
+            name = f"{sanitize_filename(row['url'])}-{zlib.crc32(row['url'].encode()):08x}.md"
+            p = tmp_path / "md" / name
             assert p.read_text(encoding="utf-8") == row["markdown"]

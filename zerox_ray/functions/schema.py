@@ -26,9 +26,17 @@ def validate_llm_params(params: dict, provider: str) -> dict:
     for key, value in params.items():
         if key not in defaults:
             raise ValueError(f"invalid LLM param {key!r} for provider {provider!r}")
-        if not isinstance(value, type(defaults[key])) and not (
-            isinstance(value, (int, float)) and isinstance(defaults[key], (int, float))
-        ):
+        # bool is an int subclass in Python — check it explicitly FIRST so
+        # logprobs=1.5 and temperature=True are rejected (the reference's
+        # validateLLMParams distinguishes boolean from number, model.ts:84-119)
+        if isinstance(defaults[key], bool) or isinstance(value, bool):
+            ok = isinstance(defaults[key], bool) and isinstance(value, bool)
+        else:
+            ok = isinstance(value, type(defaults[key])) or (
+                isinstance(value, (int, float))
+                and isinstance(defaults[key], (int, float))
+            )
+        if not ok:
             raise ValueError(f"LLM param {key!r} has wrong type {type(value).__name__}")
         out[key] = value
     return out

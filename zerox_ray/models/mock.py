@@ -66,7 +66,8 @@ class DeterministicExtractorModel(ScorerModel):
         else:
             return Completion("", in_tok, 0, error=f"unsupported payload kind {kind!r}")
         text = format_markdown(text)
-        tail = text[-self.prior_tail_chars :]
+        # text[-0:] is the WHOLE string — 0 must mean "no conditioning"
+        tail = text[-self.prior_tail_chars :] if self.prior_tail_chars > 0 else ""
         if maintain_format and prior_tail:
             text = f"<!-- cont:{prior_tail} -->\n{text}"
         return Completion(text, in_tok, _tokens(len(text)), tail=tail)

@@ -64,9 +64,15 @@ def _quality_batch(df: pd.DataFrame) -> pd.DataFrame:
             "n_chars": df["text"].str.len().astype("int64"),
             "n_tokens": n_tokens,
             "n_stopwords": n_stop,
-            # integer ppm (floor) — exactly reproducible in SQL with //
-            "stop_ratio_ppm": (PPM * n_stop) // n_tokens,
-            "avg_token_len_ppm": (PPM * letters) // n_tokens,
+            # integer ppm (floor) — exactly reproducible in SQL with //;
+            # zero-token docs get ratio 0 (pandas int64 // 0 would yield
+            # NaN and silently flip the columns to float64)
+            "stop_ratio_ppm": ((PPM * n_stop) // n_tokens.clip(lower=1)).where(
+                n_tokens > 0, 0
+            ).astype("int64"),
+            "avg_token_len_ppm": ((PPM * letters) // n_tokens.clip(lower=1)).where(
+                n_tokens > 0, 0
+            ).astype("int64"),
         }
     )
 

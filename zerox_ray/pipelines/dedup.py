@@ -394,31 +394,31 @@ class HyperplaneBander:
     once per worker)."""
 
     def __init__(self, dim: int, n_bits: int = 64, seed: int = 42):
+        if n_bits % 16 != 0 or n_bits <= 0:
+            raise ValueError(
+                f"n_bits must be a positive multiple of 16 (got {n_bits}): "
+                "the sketch is blocked into 16-bit bucket keys"
+            )
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((dim, n_bits))
+        self.n_blocks = n_bits // 16
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack(df["embedding"].to_numpy())
-        signs = (emb @ self.planes) > 0
-        sketch = np.packbits(signs.astype(np.uint8), axis=1, bitorder="little").view(
-            np.uint64
-        )[:, 0]
-        # explode: 4 rows per vector (block_id, key) so candidate
-        # generation is ONE groupby shuffle, not four
+        signs = ((emb @ self.planes) > 0).astype(np.int64)
+        # (n, n_blocks, 16) → each block of 16 sign bits becomes a key
         n = len(df)
+        bits = signs.reshape(n, self.n_blocks, 16)
+        weights = (1 << np.arange(16, dtype=np.int64))[None, None, :]
+        keys = (bits * weights).sum(axis=2)  # (n, n_blocks)
+        # explode: n_blocks rows per vector (block_id, key) so candidate
+        # generation is ONE groupby shuffle, not one per block
         vec_ids = df["vec_id"].astype("int64").to_numpy()
         out = pd.DataFrame(
             {
-                "vec_id": np.tile(vec_ids, 4),
-                "block_id": np.repeat(np.arange(4, dtype=np.int64), n),
-                "key": np.concatenate(
-                    [
-                        ((sketch >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(
-                            np.int64
-                        )
-                        for blk in range(4)
-                    ]
-                ),
+                "vec_id": np.repeat(vec_ids, self.n_blocks),
+                "block_id": np.tile(np.arange(self.n_blocks, dtype=np.int64), n),
+                "key": keys.reshape(-1),
             }
         )
         out["bucket"] = ((out["key"] * 1_000_003 + out["block_id"]) % N_COARSE).astype(

@@ -129,10 +129,17 @@ def _merge_bucket(
     from zerox_ray.stages.reassemble import _cached_model
 
     model = _cached_model(model_provider, model_kwargs)
+    all_urls = set(df["url"])
     df = df[df["status"] == STATUS_SUCCESS].sort_values(
         ["url", "page_index"], kind="mergesort"
     )
     out_urls, out_json = [], []
+    # urls whose pages ALL failed still get a row with an empty
+    # extraction object — mirroring run_ocr, which keeps one documents
+    # row per url (empty markdown) rather than dropping the url
+    for url in sorted(all_urls - set(df["url"])):
+        out_urls.append(url)
+        out_json.append("{}")
     for url, g in df.groupby("url", sort=True):
         merged: dict = {}
         if per_page_schema is not None:

@@ -198,11 +198,17 @@ def write_markdown_files(docs: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(df):
+        import zlib
+
         import pandas as pd
 
         n = 0
         for url, md in zip(df["url"], df["markdown"]):
-            path = os.path.join(out_dir, sanitize_filename(url) + ".md")
+            # crc suffix: sanitization is lossy (case, punctuation), so
+            # distinct urls could otherwise collapse to one path and
+            # silently clobber each other
+            name = f"{sanitize_filename(url)}-{zlib.crc32(url.encode()):08x}.md"
+            path = os.path.join(out_dir, name)
             tmp = path + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(md)

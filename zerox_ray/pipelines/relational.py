@@ -120,6 +120,11 @@ def hash_join(
     sub-bucket. A key carrying 10% of the left side then costs ~10%/salt
     per task instead of one straggler task. Use when the left side is
     the big, skewed one (fact table) and right is moderate."""
+    if salt > 1 and how != "inner":
+        raise ValueError(
+            "salt > 1 requires how='inner': replicated right rows would "
+            "emit phantom unmatched rows under outer/right joins"
+        )
 
     # capture per-side schemas up front: union() aligns schemas by
     # null-filling, so each side must re-select only its own columns
@@ -234,8 +239,11 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
         )
     vts = views["ts"].astype("int64").to_numpy()  # us since epoch
     bts = buys["ts"].astype("int64").to_numpy()
-    idx = np.searchsorted(vts, bts, side="right") - 1
-    out_ts = np.where(idx >= 0, vts[np.clip(idx, 0, None)], -1)
+    if len(vts) == 0:  # purchases but no views → all unmatched
+        out_ts = np.full(len(bts), -1, dtype=np.int64)
+    else:
+        idx = np.searchsorted(vts, bts, side="right") - 1
+        out_ts = np.where(idx >= 0, vts[np.clip(idx, 0, None)], -1)
     return pd.DataFrame(
         {
             "event_id": buys["event_id"].astype("int64").to_numpy(),
@@ -309,7 +317,9 @@ def events_sliding(
     sum_value_cents)."""
     w_us = window_hours * 3600 * _US
     s_us = slide_hours * 3600 * _US
-    n_windows = w_us // s_us
+    # number of slide-aligned starts in (ts - w, ts]: ceil, not floor —
+    # floor silently drops the earliest covering window when w % s != 0
+    n_windows = -(-w_us // s_us)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].astype("int64").to_numpy()
@@ -319,12 +329,14 @@ def events_sliding(
         last_start = (ts // s_us) * s_us
         offs = (np.arange(n_windows, dtype=np.int64) * s_us)[None, :]
         starts = (last_start[:, None] - offs).ravel()
+        # a start is valid iff start > ts - w (always true when s | w)
+        valid = starts > (np.repeat(ts, n_windows) - w_us)
         part = pd.DataFrame(
             {
-                "user_id": np.repeat(uid, n_windows),
-                "window_start_us": starts,
-                "n_events": np.ones(len(starts), dtype=np.int64),
-                "sum_value_cents": np.repeat(cents, n_windows),
+                "user_id": np.repeat(uid, n_windows)[valid],
+                "window_start_us": starts[valid],
+                "n_events": np.ones(int(valid.sum()), dtype=np.int64),
+                "sum_value_cents": np.repeat(cents, n_windows)[valid],
             }
         )
         # combiner: collapse within the batch before the shuffle

@@ -187,8 +187,10 @@ _MODEL_CACHE: dict = {}
 
 def _cached_model(provider: str, kwargs: dict | None):
     """One model per (worker process, config) — map_groups runs as tasks, so
-    actor-style __init__ state is emulated with a module-level cache."""
-    key = (provider, tuple(sorted((kwargs or {}).items())))
+    actor-style __init__ state is emulated with a module-level cache.
+    Key is repr-based: model_kwargs legitimately contain unhashable
+    values (e.g. a credentials dict for networked providers)."""
+    key = (provider, repr(sorted((kwargs or {}).items())))
     if key not in _MODEL_CACHE:
         _MODEL_CACHE[key] = create_model(provider, **(kwargs or {}))
     return _MODEL_CACHE[key]
