@@ -27,6 +27,7 @@ from zerox_ray.pipelines.dataops import (
     dedup_exact,
     events_hourly,
     lang_id,
+    quality_filter,
     quality_scores,
     token_counts_bpe,
     token_stats,
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": token_counts_bpe,
         "top_spenders": top_spenders,
         "quality_scores": quality_scores,
+        "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "events_hourly": events_hourly,
         "ann_cosine_topk": ann_bruteforce_topk,
@@ -316,6 +318,18 @@ SELECT doc_id,
        CAST((1000000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
             // len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS avg_token_len_ppm
 FROM documents
+""",
+        "quality_filter": r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(regexp_extract_all(text, '[a-z]+')) = 0 THEN 0
+              ELSE (1000000 * len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')))
+                   // len(regexp_extract_all(text, '[a-z]+')) END AS BIGINT) AS stop_ratio_ppm
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_ratio_ppm FROM q
+WHERE n_tokens >= 20 AND stop_ratio_ppm <= 500000
 """,
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -255,3 +255,23 @@ def top_spenders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     )
     # deterministic tie-break: (-total, custkey)
     return renamed.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+
+def quality_filter(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_stop_ratio_ppm: int = 500_000,
+) -> ray.data.Dataset:
+    """End-to-end quality filtering: score then keep docs above the
+    length floor and below the stopword-ratio ceiling — the standard
+    web-corpus pruning step built on quality_scores.
+    Output: (doc_id, n_tokens, stop_ratio_ppm) for SURVIVING docs."""
+    scored = quality_scores(sf_dir)
+    return scored.map_batches(
+        lambda df: df.loc[
+            (df["n_tokens"] >= min_tokens)
+            & (df["stop_ratio_ppm"] <= max_stop_ratio_ppm),
+            ["doc_id", "n_tokens", "stop_ratio_ppm"],
+        ],
+        batch_format="pandas",
+    )

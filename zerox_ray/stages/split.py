@@ -96,3 +96,34 @@ class PageSplitter:
                 "fragment": pa.array(frags, pa.binary()),
             }
         )
+
+
+class OfficeToPdf:
+    """M3 parity stub (convertFileToPdf, node-zerox/src/utils/file.ts:129-150):
+    legacy-Office (CFB) / docx payloads → PDF via a warm libreoffice
+    subprocess pool. No office runtime exists in this container, so the
+    stage raises clearly; on a cluster with soffice installed, implement
+    ``_convert`` and route kind='cfb' through this actor pool BEFORE the
+    PageSplitter — no other stage changes."""
+
+    def __init__(self):
+        import shutil
+
+        self.soffice = shutil.which("soffice")
+
+    def _convert(self, payload: bytes) -> bytes:
+        raise NotImplementedError(
+            "office→pdf conversion requires libreoffice (soffice), which is "
+            "not available in this runtime"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.soffice is None:
+            raise NotImplementedError(
+                "office→pdf conversion requires libreoffice (soffice), which "
+                "is not available in this runtime"
+            )
+        payloads = [self._convert(bytes(p)) for p in batch["html"].to_pylist()]
+        return batch.set_column(
+            batch.schema.get_field_index("html"), "html", pa.array(payloads, pa.binary())
+        )
