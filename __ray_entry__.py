@@ -29,8 +29,10 @@ from zerox_ray.pipelines.dataops import (
     lang_id,
     quality_filter,
     quality_scores,
+    sample_documents,
     token_counts_bpe,
     token_stats,
+    top_orders_per_priority,
     top_spenders,
 )
 from zerox_ray.pipelines.dedup import (
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": token_stats,
         "token_counts_bpe": token_counts_bpe,
         "top_spenders": top_spenders,
+        "top_orders_per_priority": top_orders_per_priority,
         "quality_scores": quality_scores,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
@@ -174,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": embedding_near_dup,
         "doc_fingerprints": doc_fingerprints,
         "lang_id": lang_id,
+        "sample_documents": sample_documents,
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
         "media_thumbnails": media_thumbnails,
@@ -307,6 +311,16 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_custkey
 ORDER BY total_cents DESC, o_custkey LIMIT 10
+""",
+        "top_orders_per_priority": """
+SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY floor(o_totalprice * 100) DESC, o_orderkey)
+             AS rank
+  FROM orders
+) WHERE rank <= 3
 """,
         "quality_scores": r"""
 SELECT doc_id,

@@ -96,3 +96,31 @@ def test_top_spenders_deterministic_topk(sf_dir):
     )
     assert list(got.o_custkey) == list(exp.o_custkey)
     assert list(got.total_cents) == list(exp.total_cents)
+
+
+def test_top_orders_per_priority(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import top_orders_per_priority
+
+    got = top_orders_per_priority(sf_dir, k=3).to_pandas()
+    o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    o["total_cents"] = np.floor(o.o_totalprice * 100).astype("int64")
+    for prio, g in got.groupby("o_orderpriority"):
+        exp = (
+            o[o.o_orderpriority == prio]
+            .sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+            .head(3)
+        )
+        g = g.sort_values("rank")
+        assert list(g.o_orderkey) == list(exp.o_orderkey)
+
+
+def test_sample_documents_deterministic(sf_dir):
+    from zerox_ray.pipelines.dataops import sample_documents
+
+    a = set(sample_documents(sf_dir, 200_000).to_pandas().doc_id)
+    b = set(sample_documents(sf_dir, 200_000).to_pandas().doc_id)
+    assert a == b
+    assert 0.1 < len(a) / 500 < 0.35  # ~20% nominal rate

@@ -275,3 +275,69 @@ def quality_filter(
         ],
         batch_format="pandas",
     )
+
+
+def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-k: the k highest-value orders within each priority.
+    Per-batch partial top-k (combiner) bounds the shuffle to k rows per
+    (priority, batch); the groupby finishes the selection.
+    Output: (o_orderpriority, o_orderkey, total_cents, rank)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "total_cents": np.floor(df["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return (
+            out.sort_values(
+                ["o_orderpriority", "total_cents", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            .groupby("o_orderpriority")
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rank"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("o_orderpriority").map_groups(final, batch_format="pandas")
+
+
+def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
+    """Deterministic hash sampling: keep docs where crc32(doc_id) lands
+    under the rate threshold. Unlike random_sample, the kept set is a
+    pure function of the key — identical across runs, cluster shapes,
+    and resumes (the property a reproducible training-data pipeline
+    needs). Output: (doc_id,)."""
+    import zlib
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = np.fromiter(
+            (zlib.crc32(str(i).encode()) % PPM for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pd.DataFrame({"doc_id": ids[h < rate_ppm]})
+
+    return ds.map_batches(keep, batch_format="pandas")
