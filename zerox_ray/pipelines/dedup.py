@@ -155,6 +155,25 @@ class JaccardVerifier:
         )
 
 
+_WORKER_STATE: dict = {}
+
+
+def _jaccard_verify_batch(
+    df: pd.DataFrame, docs_ref, shingle_n: int, threshold_ppm: int
+) -> pd.DataFrame:
+    key = ("jac", docs_ref.hex(), shingle_n, threshold_ppm)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = JaccardVerifier(docs_ref, shingle_n, threshold_ppm)
+    return _WORKER_STATE[key](df)
+
+
+def _cosine_verify_batch(df: pd.DataFrame, emb_ref, threshold_ppm: int) -> pd.DataFrame:
+    key = ("cos", emb_ref.hex(), threshold_ppm)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = CosineVerifier(emb_ref, threshold_ppm)
+    return _WORKER_STATE[key](df)
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     k: int = 64,
@@ -182,15 +201,17 @@ def minhash_lsh_pairs(
         .map_groups(_dedupe_pairs, batch_format="pandas")
     )
     docs_ref = ray.put(pq.read_table(path, columns=["doc_id", "text"]))
+    # task mode + per-worker cache instead of an actor pool: the state is
+    # one zero-copy ray.get of the broadcast table — cheap to build once
+    # per worker, and task mode skips per-query actor-pool startup
     return uniq.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={
+        _jaccard_verify_batch,
+        fn_kwargs={
             "docs_ref": docs_ref,
             "shingle_n": shingle_n,
             "threshold_ppm": threshold_ppm,
         },
         batch_format="pandas",
-        concurrency=(1, 4),
     )
 
 
@@ -484,11 +505,10 @@ def embedding_near_dup(
     meta = pq.read_table(path, columns=["embedding"]).slice(0, 1)
     dim = len(meta["embedding"][0].as_py())
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    # instance → task mode: plane state is a pure function of the seed,
+    # rebuilt cheaply per worker; avoids per-query actor-pool startup
     sk = ds.map_batches(
-        HyperplaneBander,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
-        batch_format="pandas",
-        concurrency=(1, 4),
+        HyperplaneBander(dim=dim, n_bits=n_bits), batch_format="pandas"
     )
     cands = sk.groupby("bucket").map_groups(_coarse_vec_pairs, batch_format="pandas")
     uniq = (
@@ -506,10 +526,9 @@ def embedding_near_dup(
     )
     emb_ref = ray.put(pq.read_table(path, columns=["vec_id", "embedding"]))
     return uniq.map_batches(
-        CosineVerifier,
-        fn_constructor_kwargs={"emb_ref": emb_ref, "threshold_ppm": threshold_ppm},
+        _cosine_verify_batch,
+        fn_kwargs={"emb_ref": emb_ref, "threshold_ppm": threshold_ppm},
         batch_format="pandas",
-        concurrency=(1, 4),
     )
 
 
@@ -572,21 +591,16 @@ def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
     comp = _union_find_components(pairs)
     comp_ref = ray.put(comp)
 
-    class KeeperFilter:
-        def __init__(self, ref):
-            self.comp = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids = df["doc_id"].astype("int64")
-            cluster = ids.map(lambda d: self.comp.get(int(d), int(d))).astype("int64")
-            keep = ids == cluster
-            out = pd.DataFrame({"doc_id": ids[keep], "cluster_id": cluster[keep]})
-            return out.astype({"doc_id": "int64", "cluster_id": "int64"})
+    def keeper_filter(df: pd.DataFrame, ref=comp_ref) -> pd.DataFrame:
+        key = ("keeper", ref.hex())
+        if key not in _WORKER_STATE:
+            _WORKER_STATE[key] = ray.get(ref)
+        comp = _WORKER_STATE[key]
+        ids = df["doc_id"].astype("int64")
+        cluster = ids.map(lambda d: comp.get(int(d), int(d))).astype("int64")
+        keep = ids == cluster
+        out = pd.DataFrame({"doc_id": ids[keep], "cluster_id": cluster[keep]})
+        return out.astype({"doc_id": "int64", "cluster_id": "int64"})
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(
-        KeeperFilter,
-        fn_constructor_kwargs={"ref": comp_ref},
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return ds.map_batches(keeper_filter, batch_format="pandas")

@@ -70,6 +70,16 @@ class _NationEnricher:
         return part
 
 
+_WORKER_STATE: dict = {}
+
+
+def _enrich_batch(df, cust_ref, nation_ref):
+    key = ("nation", cust_ref.hex(), nation_ref.hex())
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _NationEnricher(cust_ref, nation_ref)
+    return _WORKER_STATE[key](df)
+
+
 def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Orders enriched via broadcast dims, aggregated per nation.
     Output: (n_name, n_orders, total_cents)."""
@@ -82,11 +92,12 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    # task mode + per-worker cache (dims are one zero-copy ray.get) —
+    # avoids actor-pool startup per query
     partials = ds.map_batches(
-        _NationEnricher,
-        fn_constructor_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
+        _enrich_batch,
+        fn_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
         batch_format="pandas",
-        concurrency=(1, 4),
     )
     agg = partials.groupby("n_name").sum(["n_orders", "total_cents"])
     return agg.map_batches(

@@ -85,6 +85,25 @@ class _TopKPartial:
         )
 
 
+# per-worker state caches: task mode + one zero-copy ray.get per worker
+# replaces actor pools (whose per-query startup dominated at bench scale)
+_WORKER_STATE: dict = {}
+
+
+def _topk_partial_batch(df, queries_ref, k):
+    key = ("bf", queries_ref.hex(), k)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _TopKPartial(queries_ref, k)
+    return _WORKER_STATE[key](df)
+
+
+def _ivf_partial_batch(df, state_ref, k):
+    key = ("ivf", state_ref.hex(), k)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _IvfPartial(state_ref, k)
+    return _WORKER_STATE[key](df)
+
+
 def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
     df = df.head(k).reset_index(drop=True)
@@ -102,11 +121,10 @@ def ann_bruteforce_topk(
     queries_ref = ray.put(_load_queries(path, n_queries))
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _TopKPartial,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        _topk_partial_batch,
+        fn_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 4),
     )
     return partials.groupby("qid").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
@@ -183,11 +201,10 @@ def ann_ivf_topk(
     state_ref = ray.put((qids, qmat, centroids, probe_order))
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _IvfPartial,
-        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        _ivf_partial_batch,
+        fn_kwargs={"state_ref": state_ref, "k": k},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 4),
     )
     return partials.groupby("qid").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
