@@ -196,3 +196,12 @@ class TestKeeperSelection:
         chain = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
         c = _union_find_components(chain)
         assert c[1] == c[2] == c[3] == 1
+
+
+def test_minhash_join_verify_equals_broadcast(sf_dir):
+    bc = minhash_lsh_pairs(sf_dir).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    jn = (
+        minhash_lsh_pairs(sf_dir, verify="join")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(jn[bc.columns.tolist()], bc)

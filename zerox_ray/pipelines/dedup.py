@@ -174,16 +174,64 @@ def _cosine_verify_batch(df: pd.DataFrame, emb_ref, threshold_ppm: int) -> pd.Da
     return _WORKER_STATE[key](df)
 
 
+def _verify_pairs_by_join(
+    uniq: ray.data.Dataset, sf_dir: str, shingle_n: int, threshold_ppm: int
+) -> ray.data.Dataset:
+    """The 10^12-doc verify path: re-join candidate pairs to the docs
+    table on each side (partitioned hash joins — no broadcast of the
+    corpus), then exact Jaccard per joined row. Candidate pairs are the
+    small side of both joins, so the shuffle volume is O(pairs)."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    side_a = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
+        batch_format="pandas",
+    )
+    side_b = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    sane = uniq.map_batches(
+        lambda df: df[df["doc_a"] >= 0], batch_format="pandas"
+    )
+    joined = hash_join(hash_join(sane, side_a, on="doc_a"), side_b, on="doc_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_a": [], "doc_b": [], "jaccard_ppm": []}
+        for a, b, ta, tb in zip(df["doc_a"], df["doc_b"], df["text_a"], df["text_b"]):
+            sa = set(token_shingles(TOKEN_RE.findall(ta), shingle_n))
+            sb = set(token_shingles(TOKEN_RE.findall(tb), shingle_n))
+            j = int(jaccard(sa, sb) * PPM)
+            if j >= threshold_ppm:
+                rows["doc_a"].append(int(a))
+                rows["doc_b"].append(int(b))
+                rows["jaccard_ppm"].append(j)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     k: int = 64,
     n_bands: int = 16,
     shingle_n: int = 3,
     threshold_ppm: int = 500_000,
+    verify: str = "broadcast",
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup pipeline:
     shingle → minhash → band rows → groupby(band) → candidate pairs →
-    dedupe pairs → exact-Jaccard verify → (doc_a, doc_b, jaccard_ppm)."""
+    dedupe pairs → exact-Jaccard verify → (doc_a, doc_b, jaccard_ppm).
+
+    ``verify``: 'broadcast' ray.puts the (doc_id, text) table once and
+    looks pairs up per worker — right when the corpus fits the object
+    store of every node. 'join' re-joins pairs to the corpus with
+    partitioned hash joins — the 10^12-doc path, shuffling O(pairs)."""
+    if verify not in ("broadcast", "join"):
+        raise ValueError(f"verify must be 'broadcast' or 'join', got {verify!r}")
     path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     bands = ds.map_batches(
@@ -200,6 +248,8 @@ def minhash_lsh_pairs(
         .groupby("pb")
         .map_groups(_dedupe_pairs, batch_format="pandas")
     )
+    if verify == "join":
+        return _verify_pairs_by_join(uniq, sf_dir, shingle_n, threshold_ppm)
     docs_ref = ray.put(pq.read_table(path, columns=["doc_id", "text"]))
     # task mode + per-worker cache instead of an actor pool: the state is
     # one zero-copy ray.get of the broadcast table — cheap to build once

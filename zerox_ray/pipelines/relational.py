@@ -184,6 +184,11 @@ def hash_join(
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket whose rows all come from one side may arrive without
+        # the other side's columns (schema alignment is per block, not
+        # guaranteed per group) — reindex so both slices always exist
+        want = list(dict.fromkeys(lcols + rcols + ["__bucket", "__side"]))
+        g = g.reindex(columns=want)
         l = g.loc[g["__side"] == "L", lcols]
         r = g.loc[g["__side"] == "R", rcols]
         out = l.merge(r, on=on, how=how)
