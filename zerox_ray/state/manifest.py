@@ -52,6 +52,37 @@ class ShardResult:
     seconds: float
     engine_version: str
     config: dict = field(default_factory=dict)
+    stage_stats: dict = field(default_factory=dict)
+
+
+def _stage_stats(ds) -> dict:
+    """Compact per-operator metrics from ds.stats() (G6: run metrics come
+    from the execution engine, not wall-clock guesses): operator name →
+    {wall_s, udf_s?, rows?} parsed from the stats report."""
+    import re
+
+    out: dict = {}
+    try:
+        text = ds.stats()
+    except Exception:  # pragma: no cover - stats unavailable pre-execution
+        return out
+    for m in re.finditer(
+        r"Operator (\d+) ([^:]+):.*?(?=Operator \d|\Z)", text, re.S
+    ):
+        blk = m.group(0)
+        entry: dict = {}
+        wall = re.search(r"in ([\d.]+)s", blk.splitlines()[0])
+        if wall:
+            entry["wall_s"] = float(wall.group(1))
+        udf = re.search(r"UDF time:.*?([\d.]+)(m?s) total", blk)
+        if udf:
+            v = float(udf.group(1))
+            entry["udf_total_s"] = round(v / 1000 if udf.group(2) == "ms" else v, 3)
+        rows = re.search(r"Output num rows per block:.*?(\d+) total", blk)
+        if rows:
+            entry["rows_out"] = int(rows.group(1))
+        out[f"{m.group(1)}:{m.group(2).strip()[:60]}"] = entry
+    return out
 
 
 class CheckpointedOcrRunner:
@@ -126,6 +157,7 @@ class CheckpointedOcrRunner:
                 "error_mode": self.cfg.error_mode,
                 "model_provider": self.cfg.model_provider,
             },
+            stage_stats=_stage_stats(docs),
         )
         # manifest becomes visible only after the output rename above
         mtmp = os.path.join(self.manifest_dir, f".tmp-{shard_id:05d}.json")
