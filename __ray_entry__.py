@@ -105,6 +105,21 @@ def _q_ocr_summary(sf_dir: str):
     )
 
 
+def _q_ocr_totals(sf_dir: str):
+    """Corpus-level rollup consumed as a streaming aggregate over the
+    documents pipeline — no table ever materializes on the driver."""
+    import pandas as pd
+
+    docs = run_ocr(pages_dir_for(sf_dir))
+    agg = docs.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("total_pages", alias_name="total_pages"),
+        Sum("ocr_successful", alias_name="ok_pages"),
+        Sum("ocr_failed", alias_name="failed_pages"),
+    )
+    return pd.DataFrame([{k: int(v) for k, v in agg.items()}])
+
+
 def _q_ocr_maintain_format(sf_dir: str):
     cfg = ZeroxConfig(maintain_format=True)
     return run_ocr(pages_dir_for(sf_dir), cfg).select_columns(["url", "markdown"])
@@ -142,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_documents": _q_ocr_documents,
         "ocr_pages": _q_ocr_pages,
         "ocr_summary": _q_ocr_summary,
+        "ocr_totals": _q_ocr_totals,
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
         "extract_structured": _q_extract_structured,
@@ -239,6 +255,14 @@ FROM pages
 SELECT status, CAST(count(*) AS BIGINT) AS n_pages,
        CAST(sum(length(content)) AS BIGINT) AS total_chars
 FROM pages GROUP BY status
+""",
+        "ocr_totals": _PAGES_CTE
+        + """
+SELECT CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS total_pages,
+       CAST(sum(CASE WHEN is_err THEN 0 ELSE 1 END) AS BIGINT) AS ok_pages,
+       CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS failed_pages
+FROM pages
 """,
         "ocr_maintain_format": _PAGES_CTE
         + """
