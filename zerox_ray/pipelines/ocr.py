@@ -123,6 +123,85 @@ def fold_and_reassemble_bucket(df, **fold_kwargs):
     return reassemble_bucket(maintain_format_fold_bucket(df, **fold_kwargs))
 
 
+# --- maintain_format combiner: fold interior urls before the shuffle ---------
+#
+# The per-url fold carries NO cross-url state (prior_tail resets to ""
+# per url), so any url whose fragments are all inside one block can fold
+# locally, byte-identically. Only urls touching a block edge (whose
+# completeness the block cannot prove) ship their raw fragments through
+# the pid exchange. The shuffle then moves ~1 doc row per interior url
+# plus ≤2 urls' fragments per block — not every page payload.
+
+_MF_DOC_COLS = [
+    "url",
+    "markdown",
+    "total_pages",
+    "ocr_successful",
+    "ocr_failed",
+    "input_tokens",
+    "output_tokens",
+]
+
+
+def mf_fold_block(df, **fold_kwargs):
+    """One BLOCK of fragment rows → mixed rows: folded doc rows for
+    interior urls (row_kind='doc') + raw fragment rows for the block's
+    first/last urls (row_kind='frag')."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame(
+            columns=["row_kind", "pid", "page_index", "frag_kind", "fragment"]
+            + _MF_DOC_COLS
+        )
+    urls = df["url"]
+    edge = (urls == urls.iloc[0]) | (urls == urls.iloc[-1])
+    out_parts = []
+    interior = df[~edge]
+    if len(interior):
+        docs = fold_and_reassemble_bucket(interior, **fold_kwargs)
+        docs.insert(0, "row_kind", "doc")
+        docs["pid"] = interior.groupby("url", sort=True)["pid"].first().reindex(docs["url"]).to_numpy()
+        docs["page_index"] = 0
+        docs["frag_kind"] = ""
+        docs["fragment"] = b""
+        out_parts.append(docs)
+    boundary = df[edge]
+    if len(boundary):
+        frags = pd.DataFrame(
+            {
+                "row_kind": "frag",
+                "url": boundary["url"],
+                "pid": boundary["pid"],
+                "page_index": boundary["page_index"],
+                "frag_kind": boundary["kind"],
+                "fragment": boundary["fragment"],
+            }
+        )
+        for c in _MF_DOC_COLS[1:]:
+            frags[c] = 0 if c != "markdown" else ""
+        out_parts.append(frags)
+    cols = ["row_kind", "pid", "page_index", "frag_kind", "fragment"] + _MF_DOC_COLS
+    return pd.concat(out_parts, ignore_index=True)[cols]
+
+
+def mf_merge_bucket(df, **fold_kwargs):
+    """One pid bucket of mixed rows → final doc rows: doc rows pass
+    through; frag rows (boundary urls, now complete) fold here."""
+    import pandas as pd
+
+    docs = df[df["row_kind"] == "doc"][_MF_DOC_COLS]
+    frag = df[df["row_kind"] == "frag"]
+    parts = [docs]
+    if len(frag):
+        raw = frag.rename(columns={"frag_kind": "kind"})[
+            ["url", "pid", "page_index", "kind", "fragment"]
+        ]
+        parts.append(fold_and_reassemble_bucket(raw, **fold_kwargs)[_MF_DOC_COLS])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("url", kind="mergesort").reset_index(drop=True)
+
+
 def scored_fragments(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None = None,
@@ -166,9 +245,17 @@ def run_ocr(
     url regardless of parallelism (north-star invariant)."""
     cfg = cfg or ZeroxConfig()
     if cfg.maintain_format:
+        # combiner fold: interior urls fold inside their block; only
+        # block-edge urls ship raw fragments through the pid exchange
         frags = _fragments(pages, cfg, num_partitions)
-        return frags.groupby("pid").map_groups(
-            fold_and_reassemble_bucket,
+        mixed = frags.map_batches(
+            mf_fold_block,
+            batch_format="pandas",
+            batch_size=None,
+            fn_kwargs=_fold_kwargs(cfg),
+        )
+        return mixed.groupby("pid").map_groups(
+            mf_merge_bucket,
             batch_format="pandas",
             fn_kwargs=_fold_kwargs(cfg),
         )
