@@ -14,7 +14,9 @@ N→4N-nodes rule, BASELINE.md).
 Env:
   GRAFT_SF_DIR    input testdata dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
-  GRAFT_REPEAT    pages-corpus replication factor (default 4)
+  GRAFT_REPEAT    pages-corpus replication factor (default 16; the
+                  4x-smaller corpus finished in ~2 s at 32 cpus — too
+                  overhead-bound for a stable pages/sec headline)
 """
 
 from __future__ import annotations
@@ -156,7 +158,7 @@ def _run_subprocess(ncpu: int) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("GRAFT_REPEAT", "4"))
+    repeat = int(os.environ.get("GRAFT_REPEAT", "16"))
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
         r_lo, r_hi = _run_subprocess(lo), _run_subprocess(hi)
