@@ -217,3 +217,29 @@ class TestMarkdownSink:
             name = f"{sanitize_filename(row['url'])}-{zlib.crc32(row['url'].encode()):08x}.md"
             p = tmp_path / "md" / name
             assert p.read_text(encoding="utf-8") == row["markdown"]
+
+
+def test_extracted_pages_maintain_format_combiner(pages_dir):
+    """Page-rows maintain_format path (combiner fold): conditioning
+    markers appear from page 2 onward and page sets stay complete."""
+    from zerox_ray import ZeroxConfig
+    from zerox_ray.pipelines.ocr import extracted_pages
+
+    got = extracted_pages(pages_dir, ZeroxConfig(maintain_format=True)).to_pandas()
+    base = extracted_pages(pages_dir).to_pandas()
+    assert len(got) == len(base)
+    # marker appears exactly when the PRIOR page produced a non-empty
+    # tail (empty trailing chunks of 24-page docs yield empty tails)
+    prior = base.set_index(["url", "page_index"]).content
+    multi = got[(got.page_index > 1) & (got.status == "SUCCESS")]
+    prior_content = prior.reindex(
+        list(zip(multi.url, multi.page_index - 1))
+    ).to_numpy()
+    has_marker = multi.content.str.startswith("<!-- cont:").to_numpy()
+    import numpy as np
+
+    expect_marker = np.array([bool(p) for p in prior_content])
+    assert (has_marker == expect_marker).all()
+    assert expect_marker.sum() > 500  # substantial coverage
+    first = got[(got.page_index == 1) & (got.status == "SUCCESS")]
+    assert not first.content.str.startswith("<!-- cont:").any()

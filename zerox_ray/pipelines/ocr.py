@@ -185,6 +185,81 @@ def mf_fold_block(df, **fold_kwargs):
     return pd.concat(out_parts, ignore_index=True)[cols]
 
 
+_PAGE_COLS = [
+    "url",
+    "pid",
+    "page_index",
+    "content",
+    "content_length",
+    "status",
+    "error",
+    "input_tokens",
+    "output_tokens",
+]
+
+
+def mf_fold_block_pages(df, **fold_kwargs):
+    """Page-rows variant of the maintain_format combiner: interior urls
+    fold to extracted PAGE rows in-block; edge urls pass raw fragments
+    (row_kind='frag') to the pid exchange."""
+    import pandas as pd
+
+    from zerox_ray.stages.reassemble import maintain_format_fold_bucket
+
+    if len(df) == 0:
+        return pd.DataFrame(columns=["row_kind", "frag_kind", "fragment"] + _PAGE_COLS)
+    urls = df["url"]
+    edge = (urls == urls.iloc[0]) | (urls == urls.iloc[-1])
+    parts = []
+    interior = df[~edge]
+    if len(interior):
+        pages = maintain_format_fold_bucket(interior, **fold_kwargs)
+        pages.insert(0, "row_kind", "page")
+        pages["frag_kind"] = ""
+        pages["fragment"] = b""
+        parts.append(pages)
+    boundary = df[edge]
+    if len(boundary):
+        frags = pd.DataFrame(
+            {
+                "row_kind": "frag",
+                "url": boundary["url"],
+                "pid": boundary["pid"],
+                "page_index": boundary["page_index"],
+                "frag_kind": boundary["kind"],
+                "fragment": boundary["fragment"],
+            }
+        )
+        for c in ("content", "status", "error"):
+            frags[c] = ""
+        for c in ("content_length", "input_tokens", "output_tokens"):
+            frags[c] = 0
+        parts.append(frags)
+    return pd.concat(parts, ignore_index=True)[
+        ["row_kind", "frag_kind", "fragment"] + _PAGE_COLS
+    ]
+
+
+def mf_merge_bucket_pages(df, **fold_kwargs):
+    """One pid bucket of mixed rows → extracted page rows."""
+    import pandas as pd
+
+    from zerox_ray.stages.reassemble import maintain_format_fold_bucket
+
+    pages = df[df["row_kind"] == "page"][_PAGE_COLS]
+    frag = df[df["row_kind"] == "frag"]
+    parts = [pages]
+    if len(frag):
+        raw = frag.rename(columns={"frag_kind": "kind"})[
+            ["url", "pid", "page_index", "kind", "fragment"]
+        ]
+        parts.append(maintain_format_fold_bucket(raw, **fold_kwargs)[_PAGE_COLS])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["url", "page_index"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def mf_merge_bucket(df, **fold_kwargs):
     """One pid bucket of mixed rows → final doc rows: doc rows pass
     through; frag rows (boundary urls, now complete) fold here."""
@@ -216,9 +291,16 @@ def scored_fragments(
     frags = _fragments(pages, cfg, num_partitions)
     if cfg.maintain_format:
         # ordered per-url fold: sequential within url, concurrent across
-        # buckets (§2.11) — needs the url-colocating shuffle before scoring.
-        return frags.groupby("pid").map_groups(
-            maintain_format_fold_bucket,
+        # buckets (§2.11) — combiner folds interior urls in-block, only
+        # block-edge urls colocate raw fragments via the shuffle.
+        mixed = frags.map_batches(
+            mf_fold_block_pages,
+            batch_format="pandas",
+            batch_size=None,
+            fn_kwargs=_fold_kwargs(cfg),
+        )
+        return mixed.groupby("pid").map_groups(
+            mf_merge_bucket_pages,
             batch_format="pandas",
             fn_kwargs=_fold_kwargs(cfg),
         )
