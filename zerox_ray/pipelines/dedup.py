@@ -26,7 +26,6 @@ import ray.data
 from zerox_ray.functions.hashing import (
     band_keys,
     crc64_array,
-    hamming64,
     jaccard,
     minhash_params,
     minhash_signature,

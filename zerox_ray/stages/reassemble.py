@@ -30,7 +30,7 @@ from __future__ import annotations
 import pandas as pd
 
 from zerox_ray.models.base import create_model
-from zerox_ray.stages.score import STATUS_ERROR, STATUS_SUCCESS, completion_to_row
+from zerox_ray.stages.score import STATUS_SUCCESS, completion_to_row
 
 PAGE_JOIN = "\n\n"
 DOC_JOIN = "\n<hr><hr>\n"  # full-doc extraction separator (index.ts:482-491)
