@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding,
         "price_histogram": price_histogram,
         "distinct_users_exact": distinct_users_exact,
+        "lang_id": lang_id,
+        "sample_documents": sample_documents,
+        "doc_fingerprints": doc_fingerprints,
         # sketch outputs (hash/interpolation-based — rows-only checks)
         "price_quantiles_sketch": price_quantiles,
         "distinct_users_hll": distinct_users_hll,
@@ -191,9 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_embedding_cosine": embedding_near_dup,
-        "doc_fingerprints": doc_fingerprints,
-        "lang_id": lang_id,
-        "sample_documents": sample_documents,
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
         "media_thumbnails": media_thumbnails,
@@ -347,15 +347,20 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
 ) WHERE rank <= 3
 """,
         "quality_scores": r"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')) AS BIGINT) AS n_stopwords,
-       CAST((1000000 * len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')))
-            // len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS stop_ratio_ppm,
-       CAST((1000000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
-            // len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS avg_token_len_ppm
-FROM documents
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')) AS BIGINT) AS n_stopwords,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_stopwords,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (1000000 * n_stopwords) // n_tokens END AS BIGINT) AS stop_ratio_ppm,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (1000000 * n_letters) // n_tokens END AS BIGINT) AS avg_token_len_ppm
+FROM q
 """,
         "quality_filter": r"""
 WITH q AS (
@@ -456,5 +461,78 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, hour_id
+""",
+        # G5 merge mirror (reference index.ts:435-443, 539-552): per-page
+        # first_token entries in page order + full-doc n_tokens over the
+        # "\n<hr><hr>\n"-joined content, exactly the key-sorted compact
+        # JSON that extraction.py::_merge_bucket emits.
+        "extract_documents": _PAGES_CTE
+        + r"""
+, ok AS (SELECT * FROM pages WHERE NOT is_err),
+agg AS (
+  SELECT url,
+         '{"first_token":['
+         || string_agg('{"page":' || page_index || ',"value":"'
+                       || regexp_extract(content, '[a-z]+') || '"}',
+                       ',' ORDER BY page_index)
+         || '],"n_tokens":'
+         || len(regexp_extract_all(
+                string_agg(content, e'\n<hr><hr>\n' ORDER BY page_index),
+                '[a-z]+'))
+         || '}' AS extracted
+  FROM ok GROUP BY url
+)
+SELECT url, extracted FROM agg
+UNION ALL
+SELECT DISTINCT url, '{}' AS extracted FROM pages WHERE is_err
+""",
+        # mirrors dataops._lang_id_batch: count per function-word profile,
+        # argmax with alphabetical tie-break (CASE order = column order of
+        # the sorted profile dict), 'und' when nothing matches
+        "lang_id": r"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\b(?:der|die|und|das|ein|ist|zu|den|mit|nicht)\b')) AS BIGINT) AS de,
+    CAST(len(regexp_extract_all(text, '\b(?:the|and|of|to|a|in|is|that|it|for)\b')) AS BIGINT) AS en,
+    CAST(len(regexp_extract_all(text, '\b(?:el|de|que|y|en|un|ser|se|no|por)\b')) AS BIGINT) AS es,
+    CAST(len(regexp_extract_all(text, '\b(?:le|la|et|les|des|un|est|une|dans|que)\b')) AS BIGINT) AS fr,
+    CAST(len(regexp_extract_all(text, '\b(?:il|di|che|e|la|per|un|in|non|una)\b')) AS BIGINT) AS it
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(de, en, es, fr, it) = 0 THEN 'und'
+            WHEN de = greatest(de, en, es, fr, it) THEN 'de'
+            WHEN en = greatest(de, en, es, fr, it) THEN 'en'
+            WHEN es = greatest(de, en, es, fr, it) THEN 'es'
+            WHEN fr = greatest(de, en, es, fr, it) THEN 'fr'
+            ELSE 'it' END AS pred_lang,
+       greatest(de, en, es, fr, it) AS n_matches
+FROM c
+""",
+        # mirrors dataops.sample_documents: md5-derived 64-bit hash of the
+        # decimal doc_id string, kept when h % 1e6 < rate_ppm
+        "sample_documents": """
+SELECT doc_id FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+      % 1000000 < 100000
+""",
+        # mirrors hashing.rolling_fingerprint: Horner fold of md5-derived
+        # 64-bit token hashes mod 2^64, emitted as the int64 bit pattern
+        "doc_fingerprints": """
+WITH f AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(regexp_extract_all(text, '[a-z]+'),
+               t -> CAST(('0x' || substring(md5(t), 1, 16))::UBIGINT AS HUGEINT))),
+           (h, x) -> (h * 1000003 + x) % 18446744073709551616::HUGEINT
+         ) AS fp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                 THEN fp - 18446744073709551616::HUGEINT
+                 ELSE fp END AS BIGINT) AS fingerprint
+FROM f
 """,
     }

@@ -94,13 +94,24 @@ _FP_BASE = 1_000_003
 _FP_MASK = (1 << 64) - 1
 
 
+def md5_64(data: bytes) -> int:
+    """64-bit hash = first 16 hex chars of md5. Chosen over crc64 for the
+    fingerprint fold because md5 is computable in ANSI SQL (DuckDB
+    ``('0x'||substring(md5(t),1,16))::UBIGINT``), which lets the driver's
+    DuckDB oracle recompute fingerprints exactly (value-hash gate)."""
+    import hashlib
+
+    return int(hashlib.md5(data).hexdigest()[:16], 16)
+
+
 def rolling_fingerprint(tokens: list[str]) -> int:
-    """Order-sensitive document fingerprint: Horner fold of token hashes
-    (mod 2^64). Two docs with the same tokens in the same order collide;
-    any reorder/edit changes it."""
+    """Order-sensitive document fingerprint: Horner fold of md5-derived
+    token hashes (mod 2^64). Two docs with the same tokens in the same
+    order collide; any reorder/edit changes it. SQL-mirrorable: DuckDB
+    ``list_reduce`` over ``regexp_extract_all`` tokens reproduces it."""
     h = 0
     for t in tokens:
-        h = (h * _FP_BASE + crc64(t.encode())) & _FP_MASK
+        h = (h * _FP_BASE + md5_64(t.encode())) & _FP_MASK
     return h
 
 

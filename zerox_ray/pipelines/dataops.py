@@ -320,21 +320,22 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
 
 def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
-    """Deterministic hash sampling: keep docs where crc32(doc_id) lands
+    """Deterministic hash sampling: keep docs where md5_64(doc_id) lands
     under the rate threshold. Unlike random_sample, the kept set is a
     pure function of the key — identical across runs, cluster shapes,
     and resumes (the property a reproducible training-data pipeline
-    needs). Output: (doc_id,)."""
-    import zlib
-
+    needs), and md5 is SQL-computable so the DuckDB oracle checks the
+    exact kept set. Output: (doc_id,)."""
     import numpy as np
+
+    from zerox_ray.functions.hashing import md5_64
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
         h = np.fromiter(
-            (zlib.crc32(str(i).encode()) % PPM for i in ids),
+            (md5_64(str(i).encode()) % PPM for i in ids),
             dtype=np.int64,
             count=len(ids),
         )
