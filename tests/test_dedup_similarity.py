@@ -114,7 +114,8 @@ class TestEmbeddingOps:
         )
         assert inter / len(bf) >= 0.5  # n_probe=4 of 16 clusters
 
-    def test_embedding_near_dup_finds_planted(self):
+    @staticmethod
+    def _planted_embeddings_dir():
         import tempfile
 
         rng = np.random.RandomState(3)
@@ -134,8 +135,25 @@ class TestEmbeddingOps:
             ),
             os.path.join(d, "embeddings.parquet"),
         )
+        return d
+
+    def test_embedding_near_dup_finds_planted(self):
+        d = self._planted_embeddings_dir()
         got = embedding_near_dup(d, threshold_ppm=990_000).to_pandas()
         assert (0, 50) in set(zip(got.vec_a, got.vec_b))
+
+    def test_embedding_join_verify_equals_broadcast(self):
+        d = self._planted_embeddings_dir()
+        cols = ["vec_a", "vec_b", "cosine_ppm"]
+        bc = (
+            embedding_near_dup(d, threshold_ppm=990_000, verify="broadcast")
+            .to_pandas().sort_values(cols[:2]).reset_index(drop=True)
+        )
+        jn = (
+            embedding_near_dup(d, threshold_ppm=990_000, verify="join")
+            .to_pandas().sort_values(cols[:2]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(jn[cols], bc[cols])
 
 
 class TestMediaAndLang:
@@ -196,6 +214,33 @@ class TestKeeperSelection:
         chain = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
         c = _union_find_components(chain)
         assert c[1] == c[2] == c[3] == 1
+
+    def test_minlabel_components_matches_union_find(self):
+        """The distributed propagation must equal the single-process
+        union-find golden, including long chains (multi-round fixpoint)
+        and sentinel rows."""
+        import ray.data
+
+        from zerox_ray.pipelines.dedup import (
+            _union_find_components,
+            minlabel_components,
+        )
+
+        # chain 0-1-2-...-9 (diameter 9), a disjoint triangle, a sentinel
+        pairs = pd.DataFrame(
+            {
+                "doc_a": list(range(9)) + [20, 21, 20, -1],
+                "doc_b": list(range(1, 10)) + [21, 22, 22, -1],
+                "jaccard_ppm": 999_999,
+            }
+        )
+        got = (
+            minlabel_components(ray.data.from_pandas(pairs))
+            .to_pandas().set_index("node")["label"].to_dict()
+        )
+        want = _union_find_components(pairs[pairs.doc_a >= 0])
+        assert got == want
+        assert got[9] == 0 and got[22] == 20
 
 
 def test_minhash_join_verify_equals_broadcast(sf_dir):

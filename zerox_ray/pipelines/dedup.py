@@ -17,11 +17,14 @@ Scale design (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import ray
 import ray.data
+from ray.data.aggregate import Min, Sum
 
 from zerox_ray.functions.hashing import (
     band_keys,
@@ -48,6 +51,28 @@ PPM = 1_000_000
 #: handling thousands of buckets with vectorized pandas ops.
 N_COARSE = 256
 MAX_BUCKET_DOCS = 512
+
+#: auto verify-mode switch: broadcast the corpus table only while it
+#: comfortably fits every node's object store; past this, re-join the
+#: candidate pairs to the corpus instead (shuffles O(pairs), never
+#: broadcasts the big side)
+BROADCAST_VERIFY_MAX_BYTES = 1 << 30
+
+
+def _resolve_verify(verify: str, path: str) -> str:
+    """'auto' → 'broadcast' for small corpora, 'join' at scale (the
+    corpus parquet footprint is the cheap, driver-side size signal)."""
+    if verify not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"verify must be 'auto', 'broadcast' or 'join', got {verify!r}"
+        )
+    if verify != "auto":
+        return verify
+    return (
+        "broadcast"
+        if os.path.getsize(path) <= BROADCAST_VERIFY_MAX_BYTES
+        else "join"
+    )
 
 
 class MinHashBander:
@@ -219,7 +244,7 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle_n: int = 3,
     threshold_ppm: int = 500_000,
-    verify: str = "broadcast",
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Full MinHash-LSH near-dup pipeline:
     shingle → minhash → band rows → groupby(band) → candidate pairs →
@@ -228,10 +253,11 @@ def minhash_lsh_pairs(
     ``verify``: 'broadcast' ray.puts the (doc_id, text) table once and
     looks pairs up per worker — right when the corpus fits the object
     store of every node. 'join' re-joins pairs to the corpus with
-    partitioned hash joins — the 10^12-doc path, shuffling O(pairs)."""
-    if verify not in ("broadcast", "join"):
-        raise ValueError(f"verify must be 'broadcast' or 'join', got {verify!r}")
+    partitioned hash joins — the 10^12-doc path, shuffling O(pairs).
+    'auto' (default) picks by corpus size: broadcasting the BIG side is
+    the one thing this pipeline must never do at scale."""
     path = f"{sf_dir}/documents.parquet"
+    verify = _resolve_verify(verify, path)
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     bands = ds.map_batches(
         MinHashBander(k, n_bands, shingle_n), batch_format="pandas"
@@ -545,12 +571,75 @@ def _coarse_vec_pairs(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _verify_vec_pairs_by_join(
+    uniq: ray.data.Dataset, path: str, threshold_ppm: int
+) -> ray.data.Dataset:
+    """Scale verify path for embedding pairs: partitioned hash re-join of
+    candidate pairs to the embeddings table on each side (pairs are the
+    small side of both joins), then vectorized exact cosine per row."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    # embeddings travel through the join as packed float64 bytes: a plain
+    # binary Arrow column survives the tagged-union schema alignment that
+    # an object column of ndarrays (with NaN fill on the other side's
+    # blocks) does not
+    def _pack(df: pd.DataFrame, idc: str, embc: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                idc: df["vec_id"].astype("int64"),
+                embc: [
+                    np.asarray(e, dtype=np.float64).tobytes()
+                    for e in df["embedding"]
+                ],
+            }
+        )
+
+    side_a = emb.map_batches(
+        lambda df: _pack(df, "vec_a", "emb_a"), batch_format="pandas"
+    )
+    side_b = emb.map_batches(
+        lambda df: _pack(df, "vec_b", "emb_b"), batch_format="pandas"
+    )
+    sane = uniq.map_batches(lambda df: df[df["vec_a"] >= 0], batch_format="pandas")
+    joined = hash_join(hash_join(sane, side_a, on="vec_a"), side_b, on="vec_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype="int64") for k in ("vec_a", "vec_b", "cosine_ppm")}
+            )
+        a = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_a"]])
+        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_b"]])
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        # row-wise dot, then the same float→ppm truncation as the
+        # broadcast CosineVerifier (int() truncates toward zero)
+        cos = ((a * b).sum(axis=1) * PPM).astype(np.int64)
+        keep = cos >= threshold_ppm
+        return pd.DataFrame(
+            {
+                "vec_a": df["vec_a"].to_numpy()[keep].astype(np.int64),
+                "vec_b": df["vec_b"].to_numpy()[keep].astype(np.int64),
+                "cosine_ppm": cos[keep],
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
 def embedding_near_dup(
-    sf_dir: str, threshold_ppm: int = 900_000, n_bits: int = 64
+    sf_dir: str,
+    threshold_ppm: int = 900_000,
+    n_bits: int = 64,
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: sign-LSH bucketing → candidate pairs →
-    exact cosine verify. Output: (vec_a, vec_b, cosine_ppm)."""
+    exact cosine verify. Output: (vec_a, vec_b, cosine_ppm).
+    ``verify`` as in minhash_lsh_pairs: broadcast / join / auto-by-size."""
     path = f"{sf_dir}/embeddings.parquet"
+    verify = _resolve_verify(verify, path)
     meta = pq.read_table(path, columns=["embedding"]).slice(0, 1)
     dim = len(meta["embedding"][0].as_py())
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
@@ -573,6 +662,8 @@ def embedding_near_dup(
             batch_format="pandas",
         )
     )
+    if verify == "join":
+        return _verify_vec_pairs_by_join(uniq, path, threshold_ppm)
     emb_ref = ray.put(pq.read_table(path, columns=["vec_id", "embedding"]))
     return uniq.map_batches(
         _cosine_verify_batch,
@@ -609,12 +700,10 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def _union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
-    """doc_id → component keeper (min id). Runs on the DRIVER: verified
-    near-dup pairs are the tiny output of the pipeline (orders of
-    magnitude smaller than the corpus), i.e. the canonical small side.
-    At 10^12-doc scale with pathological duplication this becomes K
-    rounds of min-label propagation as map_batches + groupby-min; the
-    contract (doc → min reachable id) is identical."""
+    """doc_id → component keeper (min id), single-process union-find.
+    Kept as the REFERENCE implementation (test golden) for the
+    distributed ``minlabel_components`` below — the pipeline itself never
+    collects pairs to the driver."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -631,25 +720,136 @@ def _union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def _edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Verified pairs → undirected edge rows (both directions), dropping
+    degenerate-bucket sentinels."""
+    real = df[df["doc_a"] >= 0]
+    a = real["doc_a"].to_numpy(dtype=np.int64)
+    b = real["doc_b"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+        }
+    )
+
+
+def _propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse bucket of mixed rows (label rows have dst = -1, edge
+    rows carry dst ≥ 0): attach each node's current label to its outgoing
+    edges and emit (neighbor, label) messages plus the labels themselves."""
+    lab = g.loc[g["dst"] < 0, ["node", "label"]]
+    edg = g.loc[g["dst"] >= 0, ["node", "dst"]]
+    msgs = edg.merge(lab, on="node")[["dst", "label"]].rename(columns={"dst": "node"})
+    out = pd.concat([lab, msgs], ignore_index=True)
+    return out.astype({"node": "int64", "label": "int64"})
+
+
+def minlabel_components(
+    pairs: ray.data.Dataset, max_rounds: int = 64
+) -> ray.data.Dataset:
+    """Distributed connected components over verified near-dup pairs:
+    K-round min-label propagation (map_batches + groupby-min), the
+    scale-out replacement for driver union-find. Returns (node, label)
+    for every doc appearing in a pair; label = min reachable doc_id.
+
+    Scale posture: the per-round datasets are O(nodes-in-pairs) — tiny
+    next to the corpus — and are ``materialize()``d in the OBJECT STORE
+    between rounds (never collected to the driver). Convergence check is
+    a scalar Sum aggregate: labels are monotonically non-increasing, so
+    an unchanged label sum is exactly the fixpoint."""
+    edges = pairs.map_batches(_edges_batch, batch_format="pandas").materialize()
+    # round 0 for free: label(x) = min(x, min direct neighbor)
+    init = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = init.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": df["src"].astype("int64"),
+                "label": np.minimum(
+                    df["src"].to_numpy(dtype=np.int64),
+                    df["label"].to_numpy(dtype=np.int64),
+                ),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    if labels.count() == 0:
+        return labels
+    total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_rounds):
+        tagged_lab = labels.map_batches(
+            lambda df: df.assign(dst=np.int64(-1))[["node", "dst", "label"]],
+            batch_format="pandas",
+        )
+        tagged_edg = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["src"].astype("int64"),
+                    "dst": df["dst"].astype("int64"),
+                    "label": np.int64(-1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        mixed = tagged_lab.union(tagged_edg).map_batches(
+            lambda df: df.assign(bucket=(df["node"] % N_COARSE).astype("int64")),
+            batch_format="pandas",
+        )
+        msgs = mixed.groupby("bucket").map_groups(
+            _propagate_bucket, batch_format="pandas"
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_total == total:
+            return labels
+        total = new_total
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_rounds} rounds "
+        "(component diameter exceeds the cap) — raise max_rounds"
+    )
+
+
 def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
-    """End-to-end near-dup REMOVAL: MinHash-LSH pairs → connected
-    components → keep only each cluster's min doc_id.
+    """End-to-end near-dup REMOVAL: MinHash-LSH pairs → distributed
+    min-label connected components → keep only each cluster's min doc_id.
     Output: (doc_id, cluster_id) for the SURVIVING documents
-    (cluster_id = doc_id for docs with no near-dup)."""
-    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs).to_pandas()
-    comp = _union_find_components(pairs)
-    comp_ref = ray.put(comp)
+    (cluster_id = doc_id for docs with no near-dup).
 
-    def keeper_filter(df: pd.DataFrame, ref=comp_ref) -> pd.DataFrame:
-        key = ("keeper", ref.hex())
-        if key not in _WORKER_STATE:
-            _WORKER_STATE[key] = ray.get(ref)
-        comp = _WORKER_STATE[key]
+    Nothing materializes on the driver: components come from
+    ``minlabel_components`` (object-store rounds) and the keeper filter
+    is a partitioned hash join of the corpus against the (small) label
+    table — the 10^12-doc shape throughout."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    comp = minlabel_components(pairs)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if comp.count() == 0:  # materialized + tiny — a cheap driver scalar
+        return docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "cluster_id": df["doc_id"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    labels = comp.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(docs, labels, on="doc_id", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        cluster = ids.map(lambda d: comp.get(int(d), int(d))).astype("int64")
-        keep = ids == cluster
-        out = pd.DataFrame({"doc_id": ids[keep], "cluster_id": cluster[keep]})
-        return out.astype({"doc_id": "int64", "cluster_id": "int64"})
+        cluster = df["cluster_id"].fillna(ids).astype("int64")
+        keep = (ids == cluster).to_numpy()
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "cluster_id": cluster[keep]}
+        ).astype({"doc_id": "int64", "cluster_id": "int64"})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(keeper_filter, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pandas")

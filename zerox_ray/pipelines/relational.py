@@ -152,12 +152,33 @@ def hash_join(
 
     lschema, rschema = left.schema(), right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
-    int_cols = {
-        name: str(typ)
-        for schema in (lschema, rschema)
-        for name, typ in zip(schema.names, schema.types)
-        if _is_int(typ)
+    lints = {
+        n: str(t) for n, t in zip(lschema.names, lschema.types) if _is_int(t)
     }
+    rints = {
+        n: str(t) for n, t in zip(rschema.names, rschema.types) if _is_int(t)
+    }
+
+    def _restore_int_dtypes(out: pd.DataFrame) -> pd.DataFrame:
+        """Post-merge integer restore: map merge-suffixed _x/_y columns
+        back to their source side's dtype; columns that picked up NaN
+        (left/outer unmatched rows) become pandas nullable Int64 instead
+        of silently staying float64."""
+        for c in out.columns:
+            if c.endswith("_x") and c[:-2] in lints:
+                want = lints[c[:-2]]
+            elif c.endswith("_y") and c[:-2] in rints:
+                want = rints[c[:-2]]
+            elif c in lints:
+                want = lints[c]
+            elif c in rints:
+                want = rints[c]
+            else:
+                continue
+            if str(out[c].dtype) == want:
+                continue
+            out[c] = out[c].astype("Int64" if out[c].isna().any() else want)
+        return out
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -192,10 +213,7 @@ def hash_join(
         l = g.loc[g["__side"] == "L", lcols]
         r = g.loc[g["__side"] == "R", rcols]
         out = l.merge(r, on=on, how=how)
-        for c in out.columns:
-            if c in int_cols and str(out[c].dtype) != int_cols[c] and not out[c].isna().any():
-                out[c] = out[c].astype(int_cols[c])
-        return out
+        return _restore_int_dtypes(out)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
