@@ -144,6 +144,15 @@ def _q_extract_documents(sf_dir: str):
     return extract_documents(pages_dir_for(sf_dir), cfg)
 
 
+def _q_extract_direct(sf_dir: str):
+    """extractOnly / directImageExtraction mode: the extractor consumes the
+    RAW page fragments (no OCR stage at all — reference index.ts:125)."""
+    cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA, extract_only=True)
+    return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
+        ["url", "page_index", "first_token", "n_tokens"]
+    )
+
+
 def _q_structured_pages(sf_dir: str):
     """Spreadsheet branch: ZXSHEET payloads → sheet-as-page rows (S6/M12)."""
     return extracted_pages(sheet_pages_dir_for(sf_dir)).select_columns(
@@ -161,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
         "extract_structured": _q_extract_structured,
+        "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
         "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
@@ -485,6 +495,42 @@ agg AS (
 SELECT url, extracted FROM agg
 UNION ALL
 SELECT DISTINCT url, '{}' AS extracted FROM pages WHERE is_err
+""",
+        # direct extraction over RAW fragments: the fragment bytes are the
+        # deterministic testgen containers — pdf pages are the bare text
+        # chunk, html pages are nav + page-div(escaped chunk) + footer
+        # (testgen.build_html / htmlx.split_html_pages)
+        "extract_direct": """
+WITH p AS (
+  SELECT doc_id, text,
+         'https://example.org/doc/' || doc_id AS url,
+         (doc_id % 10 = 7) AS is_pdf,
+         CASE WHEN doc_id % 50 = 0 THEN 24
+              ELSE 1 + (doc_id % 4) END AS np
+  FROM documents WHERE doc_id % 101 != 13
+),
+pg AS (
+  SELECT url, is_pdf, text,
+         unnest(generate_series(1, np)) AS page_index,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / np) AS BIGINT) AS L
+  FROM p
+),
+fr AS (
+  SELECT url, page_index,
+         CASE WHEN is_pdf THEN substring(text, (page_index - 1) * L + 1, L)
+              ELSE '<nav class="site-nav"><ul><li><a href="/">home</a></li><li><a href="/about">about us</a></li><li><a href="/contact">contact</a></li><li><a href="/login">log in</a></li></ul></nav>'
+                   || chr(10) || '<div class="page" data-page="' || page_index || '"><p>'
+                   || replace(replace(replace(substring(text, (page_index - 1) * L + 1, L),
+                          '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</p></div>' || chr(10)
+                   || '<footer><p><a href="/terms">terms of service</a> <a href="/privacy">privacy policy</a> <a href="/sitemap">site map</a> (c) example</p></footer>'
+         END AS frag
+  FROM pg
+)
+SELECT url, CAST(page_index AS BIGINT) AS page_index,
+       regexp_extract(frag, '[a-z]+') AS first_token,
+       CAST(len(regexp_extract_all(frag, '[a-z]+')) AS BIGINT) AS n_tokens
+FROM fr
 """,
         # mirrors dataops._lang_id_batch: count per function-word profile,
         # argmax with alphabetical tie-break (CASE order = column order of

@@ -194,6 +194,63 @@ class TestExtraction:
         with pytest.raises(ValueError):
             extract_pages(_pages_table([("u", b"<p>x</p>")]), ZeroxConfig())
 
+    def test_extract_only_uses_raw_fragments(self):
+        """extractOnly / directImageExtraction (index.ts:125): extraction
+        runs over the RAW fragment bytes, so markup tokens count and the
+        first token comes from the fragment's leading markup, not the
+        boilerplate-stripped markdown."""
+        from zerox_ray.functions.htmlx import split_html_pages
+        from zerox_ray.functions.text import TOKEN_RE
+
+        payload = build_html(0, ["alpha beta", "gamma"], False)
+        ds = _pages_table([("u1", payload)])
+        cfg = ZeroxConfig(schema=self.SCHEMA, extract_only=True)
+        out = _sorted(extract_pages(ds, cfg).to_pandas(), "page_index")
+        # pure-python golden straight from the splitter output
+        frags = [f.decode() for f in split_html_pages(payload)]
+        assert list(out.first_token) == [TOKEN_RE.findall(f)[0] for f in frags]
+        assert list(out.n_tokens) == [len(TOKEN_RE.findall(f)) for f in frags]
+        # direct tokens ≫ OCR'd tokens (markup counted)
+        ocr = _sorted(
+            extract_pages(ds, ZeroxConfig(schema=self.SCHEMA)).to_pandas(),
+            "page_index",
+        )
+        assert (out.n_tokens.to_numpy() > ocr.n_tokens.to_numpy()).all()
+
+    def test_extract_only_requires_schema(self):
+        with pytest.raises(ValueError):
+            ZeroxConfig(extract_only=True)
+
+
+class TestPromptOverride:
+    def test_prompt_reaches_model(self):
+        """cfg.prompt must thread into the scorer model (reference
+        index.ts:76): the deterministic model emits a stable marker
+        derived from the custom prompt; no marker under the default."""
+        import zlib
+
+        payload = build_html(0, ["alpha beta"], False)
+        custom = "Extract tables only."
+        marker = f"<!-- prompt:{zlib.crc32(custom.encode()):08x} -->"
+        base = run_ocr(_pages_table([("u1", payload)])).to_pandas()
+        over = run_ocr(
+            _pages_table([("u1", payload)]), ZeroxConfig(prompt=custom)
+        ).to_pandas()
+        assert marker not in base.markdown.iloc[0]
+        assert over.markdown.iloc[0].startswith(marker)
+
+    def test_prompt_reaches_provider_stub(self):
+        from zerox_ray.models.base import create_model
+        from zerox_ray.functions.prompts import SYSTEM_PROMPT_BASE
+
+        m = create_model(
+            "openai", credentials={"api_key": "k"}, prompt="custom sys"
+        )
+        assert m.system_prompt == "custom sys"
+        assert create_model(
+            "openai", credentials={"api_key": "k"}
+        ).system_prompt == SYSTEM_PROMPT_BASE
+
 
 class TestMarkdownSink:
     def test_write_markdown_files(self, pages_dir, tmp_path):

@@ -46,6 +46,16 @@ class ZeroxConfig:
     # zero amortization benefit.
     stateful_stages: bool | None = None
 
+    def resolved_model_kwargs(self) -> dict:
+        """Model ctor kwargs with the custom system-prompt override
+        threaded in (reference: ``prompt`` replaces the OCR system prompt,
+        index.ts:76; py zerox.py:82-83). Every stage that constructs a
+        model goes through this — prompt is config, never dead weight."""
+        kwargs = dict(self.model_kwargs)
+        if self.prompt is not None:
+            kwargs["prompt"] = self.prompt
+        return kwargs
+
     def __post_init__(self) -> None:
         if self.error_mode not in ("IGNORE", "THROW"):
             raise ValueError(f"error_mode must be IGNORE or THROW, got {self.error_mode!r}")

@@ -19,6 +19,7 @@ last ``PRIOR_TAIL_CHARS`` characters.
 from __future__ import annotations
 
 import math
+import zlib
 
 from zerox_ray.functions.htmlx import extract_main_text
 from zerox_ray.functions.pdfx import extract_pdf_text
@@ -44,8 +45,21 @@ def _tokens(n: int) -> int:
 class DeterministicExtractorModel(ScorerModel):
     """Pure-function page model; safe to construct in every scorer actor."""
 
-    def __init__(self, prior_tail_chars: int = PRIOR_TAIL_CHARS):
+    def __init__(
+        self,
+        prior_tail_chars: int = PRIOR_TAIL_CHARS,
+        prompt: str | None = None,
+    ):
         self.prior_tail_chars = prior_tail_chars
+        # custom system prompt (ZeroxConfig.prompt → createModel,
+        # reference index.ts:76). The real models send it to the LLM; the
+        # deterministic model makes the conditioning byte-observable with
+        # a stable marker prefix derived from the prompt text.
+        if prompt is not None:
+            self.system_prompt = prompt
+        self._prompt_marker = (
+            "" if prompt is None else f"<!-- prompt:{zlib.crc32(prompt.encode()):08x} -->\n"
+        )
 
     def complete(
         self,
@@ -65,7 +79,7 @@ class DeterministicExtractorModel(ScorerModel):
             text = fragment.decode("utf-8", errors="replace")
         else:
             return Completion("", in_tok, 0, error=f"unsupported payload kind {kind!r}")
-        text = format_markdown(text)
+        text = self._prompt_marker + format_markdown(text)
         # text[-0:] is the WHOLE string — 0 must mean "no conditioning"
         tail = text[-self.prior_tail_chars :] if self.prior_tail_chars > 0 else ""
         if maintain_format and prior_tail:

@@ -22,7 +22,13 @@ class _NetworkedModel(ScorerModel):
     provider = "base"
     stateful = True  # holds an HTTP client/session → actor-pool stages
 
-    def __init__(self, model: str = "", credentials: dict | None = None, **llm_params):
+    def __init__(
+        self,
+        model: str = "",
+        credentials: dict | None = None,
+        prompt: str | None = None,
+        **llm_params,
+    ):
         credentials = credentials or {}
         missing = [k for k in self.required_credentials if not credentials.get(k)]
         if missing:
@@ -32,6 +38,10 @@ class _NetworkedModel(ScorerModel):
             )
         self.model = model
         self.credentials = credentials
+        # ZeroxConfig.prompt override (index.ts:76): the system prompt the
+        # real transport would send in place of SYSTEM_PROMPT_BASE
+        if prompt is not None:
+            self.system_prompt = prompt
         self.llm_params = validate_llm_params(llm_params, self.provider)
 
     required_credentials: tuple[str, ...] = ()

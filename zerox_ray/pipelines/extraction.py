@@ -33,7 +33,7 @@ from zerox_ray.pipelines.ocr import (
     scored_fragments,
 )
 from zerox_ray.stages.reassemble import DOC_JOIN
-from zerox_ray.stages.score import STATUS_SUCCESS
+from zerox_ray.stages.score import STATUS_ERROR, STATUS_SUCCESS
 
 _ARROW_TYPES = {
     "string": pa.string(),
@@ -86,6 +86,43 @@ class PageExtractor:
         return pa.table(cols)
 
 
+def _direct_rows(batch: pa.Table) -> pa.Table:
+    """Fragment rows → extractor-input rows with the RAW page payload as
+    ``content`` (directImageExtraction/extractOnly parity, reference
+    index.ts:125, 457-459: extraction consumes the page directly; the OCR
+    model never runs). Error fragments become status=ERROR rows."""
+    content = [
+        f.decode("utf-8", errors="replace") for f in batch["fragment"].to_pylist()
+    ]
+    status = [
+        STATUS_ERROR if k == "error" else STATUS_SUCCESS
+        for k in batch["kind"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "pid": batch["pid"],
+            "page_index": batch["page_index"],
+            "content": pa.array(content, pa.large_string()),
+            "status": pa.array(status, pa.string()),
+        }
+    )
+
+
+def _content_rows(pages, cfg: ZeroxConfig, num_partitions: int):
+    """The extractor's input rows: OCR'd page markdown normally, raw
+    fragment text when ``cfg.extract_only`` — same columns either way, so
+    both extraction pipelines are mode-agnostic downstream."""
+    if not cfg.extract_only:
+        return scored_fragments(pages, cfg, num_partitions)
+    from zerox_ray.pipelines.ocr import _fragments
+
+    frags = _fragments(pages, cfg, num_partitions)
+    return frags.map_batches(
+        _direct_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def extract_pages(
     pages,
     cfg: ZeroxConfig,
@@ -100,18 +137,18 @@ def extract_pages(
     schema = per_page if per_page is not None else cfg.schema
     from zerox_ray.pipelines.ocr import _stage_kwargs
 
-    scored = scored_fragments(pages, cfg, num_partitions)
+    rows = _content_rows(pages, cfg, num_partitions)
     fn, kwargs = _stage_kwargs(
         cfg,
         PageExtractor,
         {
             "schema": schema,
             "model_provider": cfg.model_provider,
-            "model_kwargs": cfg.model_kwargs,
+            "model_kwargs": cfg.resolved_model_kwargs(),
         },
         cfg.score_batch_size,
     )
-    return scored.map_batches(fn, **kwargs)
+    return rows.map_batches(fn, **kwargs)
 
 
 def _merge_bucket(
@@ -143,10 +180,14 @@ def _merge_bucket(
     for url, g in df.groupby("url", sort=True):
         merged: dict = {}
         if per_page_schema is not None:
-            for _, r in g.iterrows():
-                ex = model.extract(r["content"], per_page_schema)
+            # column zip, not iterrows — measured ~10× faster in the
+            # identical maintain_format fold loop (reassemble.py:216)
+            for pi, content in zip(
+                g["page_index"].to_numpy(), g["content"].tolist()
+            ):
+                ex = model.extract(content, per_page_schema)
                 for k, v in ex.extracted.items():
-                    merged.setdefault(k, []).append({"page": int(r["page_index"]), "value": v})
+                    merged.setdefault(k, []).append({"page": int(pi), "value": v})
         if full_doc_schema is not None:
             doc_content = DOC_JOIN.join(g["content"])  # G2 separator
             ex = model.extract(doc_content, full_doc_schema)
@@ -166,14 +207,14 @@ def extract_documents(
     if cfg.schema is None:
         raise ValueError("extraction requires cfg.schema")
     full_doc, per_page = split_schema(cfg.schema, cfg.extract_per_page)
-    scored = scored_fragments(pages, cfg, num_partitions)
-    return scored.groupby("pid").map_groups(
+    rows = _content_rows(pages, cfg, num_partitions)
+    return rows.groupby("pid").map_groups(
         _merge_bucket,
         batch_format="pandas",
         fn_kwargs={
             "full_doc_schema": full_doc,
             "per_page_schema": per_page,
             "model_provider": cfg.model_provider,
-            "model_kwargs": cfg.model_kwargs,
+            "model_kwargs": cfg.resolved_model_kwargs(),
         },
     )

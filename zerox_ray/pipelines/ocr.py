@@ -111,7 +111,7 @@ def _fragments(
 def _fold_kwargs(cfg: ZeroxConfig) -> dict:
     return {
         "model_provider": cfg.model_provider,
-        "model_kwargs": cfg.model_kwargs,
+        "model_kwargs": cfg.resolved_model_kwargs(),
         "error_mode": cfg.error_mode,
         "max_retries": cfg.max_retries,
     }
