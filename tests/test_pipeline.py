@@ -276,6 +276,84 @@ class TestMarkdownSink:
             assert p.read_text(encoding="utf-8") == row["markdown"]
 
 
+class TestGiantDocChunking:
+    def test_chunk_stage_ranges_partition_pages(self):
+        """chunk_giant_docs: rows replicate into adjacent page-range
+        chunks covering [1..page_count] with the last chunk open-ended;
+        small docs pass through as one open row."""
+        import pyarrow as pa
+
+        from zerox_ray.stages.split import chunk_giant_docs
+
+        batch = pa.table(
+            {
+                "url": ["giant", "small"],
+                "page_count": pa.array([24, 2], pa.int64()),
+            }
+        )
+        out = chunk_giant_docs(batch, chunk_pages=8).to_pandas()
+        g = out[out.url == "giant"]
+        assert list(g.first_page) == [1, 9, 17]
+        assert list(g.last_page) == [8, 16, -1]
+        s = out[out.url == "small"]
+        assert list(s.first_page) == [1] and list(s.last_page) == [-1]
+        # adjacency invariant: chunk rows of a url are consecutive
+        assert list(out.url) == ["giant"] * 3 + ["small"]
+
+    def test_end_to_end_equal_with_and_without_chunking(self, pages_dir):
+        """Chunked execution must be byte-identical to unchunked, on both
+        reassembly paths (free-order and maintain_format) — the skew fix
+        changes scheduling, never results. The corpus includes 24-page
+        giant docs (doc_id % 50 == 0) and corrupt docs."""
+        for mf in (False, True):
+            on = _sorted(
+                run_ocr(
+                    pages_dir,
+                    ZeroxConfig(maintain_format=mf, giant_page_threshold=4),
+                ).to_pandas()[DOC_COLS],
+                "url",
+            )
+            off = _sorted(
+                run_ocr(
+                    pages_dir,
+                    ZeroxConfig(maintain_format=mf, giant_page_threshold=None),
+                ).to_pandas()[DOC_COLS],
+                "url",
+            )
+            pd.testing.assert_frame_equal(on, off)
+
+    def test_split_cost_per_row_is_bounded(self):
+        """The point of the chunking: after chunk_giant_docs, no single
+        splitter input row yields more than chunk_pages fragments."""
+        import pyarrow as pa
+
+        from zerox_ray.stages.classify import ClassifyPayload
+        from zerox_ray.stages.split import PageSplitter, chunk_giant_docs
+        from zerox_ray.testgen import build_html
+
+        payload = build_html(0, [f"page {i}" for i in range(1, 25)], False)
+        batch = pa.table(
+            {
+                "url": pa.array(["u1"], pa.string()),
+                "html": pa.array([payload], pa.binary()),
+            }
+        )
+        classified = ClassifyPayload(16)(batch)
+        assert classified["page_count"][0].as_py() == 24
+        chunked = chunk_giant_docs(classified, chunk_pages=8)
+        split = PageSplitter()
+        per_row_pages = [
+            split(chunked.slice(i, 1)).num_rows for i in range(chunked.num_rows)
+        ]
+        assert per_row_pages == [8, 8, 8]
+        # union of chunk outputs = the unchunked split, same page indexes
+        full = split(classified)
+        merged = pa.concat_tables(
+            [split(chunked.slice(i, 1)) for i in range(chunked.num_rows)]
+        )
+        assert merged.sort_by("page_index").equals(full.sort_by("page_index"))
+
+
 def test_extracted_pages_maintain_format_combiner(pages_dir):
     """Page-rows maintain_format path (combiner fold): conditioning
     markers appear from page 2 onward and page sets stay complete."""

@@ -92,3 +92,22 @@ def test_stale_partial_output_recovered(sharded_input, tmp_path):
     assert 1 in summary["processed_shards"]
     df = _read_all(out)
     assert df.url.is_unique
+
+
+def test_shifted_shard_lineage_reprocessed(sharded_input, tmp_path):
+    """Adding an input file between runs shifts positional shard ids; a
+    manifest whose recorded input_files no longer matches its position
+    must be reprocessed, not silently trusted."""
+    import shutil
+
+    src = str(tmp_path / "input")
+    shutil.copytree(sharded_input, src)
+    out = str(tmp_path / "out")
+    CheckpointedOcrRunner(src, out, files_per_shard=1).run()
+    # a new file that sorts FIRST shifts every later shard id by one
+    first = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
+    shutil.copyfile(first, os.path.join(src, "pages-00000-a-early.parquet"))
+    runner = CheckpointedOcrRunner(src, out, files_per_shard=1)
+    # every manifest's lineage now mismatches its shifted position except
+    # none — all 5 shards are pending again
+    assert runner.pending_shards() == [0, 1, 2, 3, 4]

@@ -38,6 +38,11 @@ class ZeroxConfig:
     # physical knobs (per-stage Ray Data settings)
     split_batch_size: int = 64       # payload-heavy rows → small batches
     score_batch_size: int = 256
+    # page_count-aware skew handling: docs estimated above this many
+    # pages are pre-chunked into page-range work items so split/score
+    # cost per row is bounded (stages/split.py:chunk_giant_docs).
+    # None disables chunking.
+    giant_page_threshold: int | None = 8
     actor_concurrency: tuple[int, int] | int | None = None  # None → (1, CPUs)
     # None → auto: actor pools iff the model provider holds real state
     # (network clients, warm parsers); the deterministic model is a pure

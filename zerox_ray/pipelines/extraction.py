@@ -109,7 +109,7 @@ def _direct_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _content_rows(pages, cfg: ZeroxConfig, num_partitions: int):
+def _content_rows(pages, cfg: ZeroxConfig, num_partitions: int | None):
     """The extractor's input rows: OCR'd page markdown normally, raw
     fragment text when ``cfg.extract_only`` — same columns either way, so
     both extraction pipelines are mode-agnostic downstream."""
@@ -126,7 +126,7 @@ def _content_rows(pages, cfg: ZeroxConfig, num_partitions: int):
 def extract_pages(
     pages,
     cfg: ZeroxConfig,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: int | None = None,
 ):
     """Per-page structured extraction table: (url, pid, page_index,
     <one typed column per schema property>). Uses the page schema from
@@ -200,7 +200,7 @@ def _merge_bucket(
 def extract_documents(
     pages,
     cfg: ZeroxConfig,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: int | None = None,
 ):
     """Document-level extraction: (url, extracted) with the per-page /
     full-doc split driven by cfg.extract_per_page (splitSchema)."""

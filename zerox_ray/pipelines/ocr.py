@@ -15,7 +15,8 @@ reassembly then happen in one map_groups call; still exactly one shuffle.
 
 Scale notes (100 TB design):
 - the only all-to-all is the pid exchange; P (num_partitions) is the
-  shuffle width AND the resume granularity (state/manifest.py);
+  shuffle width, derived from cluster CPUs at build time (resume
+  granularity is separate: input-file shards, state/manifest.py);
 - splitter/scorer are autoscaling actor pools sized from cluster CPUs;
   payload-heavy stages use small batch sizes so batch × concurrency fits
   worker heaps;
@@ -30,7 +31,11 @@ import ray.data
 
 from zerox_ray.config import ZeroxConfig
 from zerox_ray.sources.pages import read_pages
-from zerox_ray.stages.classify import DEFAULT_NUM_PARTITIONS, ClassifyPayload
+from zerox_ray.stages.classify import (
+    DEFAULT_NUM_PARTITIONS,  # noqa: F401 — re-exported for callers/tests
+    ClassifyPayload,
+    default_num_partitions,
+)
 from zerox_ray.stages.reassemble import (
     maintain_format_fold_bucket,
     merge_partials_bucket,
@@ -92,13 +97,27 @@ def _stage_kwargs(cfg: ZeroxConfig, cls, ctor_kwargs: dict, batch_size: int) -> 
 def _fragments(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig,
-    num_partitions: int,
+    num_partitions: int | None,
 ) -> ray.data.Dataset:
-    """pages → page-fragment rows (classify + split)."""
+    """pages → page-fragment rows (classify + split). ``num_partitions``
+    None → derived from cluster CPUs at build time."""
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     ds = _as_dataset(pages)
     ds = ds.map_batches(
         ClassifyPayload(num_partitions), batch_format="pyarrow", zero_copy_batch=True
     )
+    if cfg.giant_page_threshold is not None:
+        # page_count-aware skew repartition: giant docs become bounded
+        # page-range work items (task-fusable map, no shuffle)
+        from zerox_ray.stages.split import chunk_giant_docs
+
+        ds = ds.map_batches(
+            chunk_giant_docs,
+            fn_kwargs={"chunk_pages": cfg.giant_page_threshold},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     fn, kwargs = _stage_kwargs(
         cfg,
         PageSplitter,
@@ -280,7 +299,7 @@ def mf_merge_bucket(df, **fold_kwargs):
 def scored_fragments(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None = None,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """pages → extracted per-page rows (url, pid, page_index, content,
     content_length, status, error, input_tokens, output_tokens).
@@ -311,7 +330,7 @@ def scored_fragments(
 def extracted_pages(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None = None,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Per-page extracted table (the reference's Page rows, types.ts:124-133)."""
     return scored_fragments(pages, cfg, num_partitions)
@@ -320,7 +339,7 @@ def extracted_pages(
 def run_ocr(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None = None,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """pages → documents table (url, markdown, total_pages, ocr_successful,
     ocr_failed, input_tokens, output_tokens); markdown byte-identical per

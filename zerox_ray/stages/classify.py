@@ -18,8 +18,28 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-#: default number of url-hash partitions (resume granularity × shuffle width)
+#: fallback partition count when Ray is not initialised at plan time
+#: (resume granularity × shuffle width)
 DEFAULT_NUM_PARTITIONS = 64
+
+#: partitions per cluster CPU: ~2 waves of reduce tasks per core
+PARTITIONS_PER_CPU = 2
+MIN_NUM_PARTITIONS = 16
+
+
+def default_num_partitions() -> int:
+    """Shuffle width derived from the CLUSTER, not a constant: a fixed
+    P=64 serializes the reduce on any cluster wider than 64 cores, and
+    over-shards tiny local runs. Resolved once at pipeline build (stable
+    for the run) as ~2 reduce tasks per CPU. Resume granularity is NOT
+    affected: manifest shard ids key on input files (state/manifest.py),
+    not on P."""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        return max(MIN_NUM_PARTITIONS, PARTITIONS_PER_CPU * cpus)
+    return DEFAULT_NUM_PARTITIONS
 
 
 def url_pid(url: str, num_partitions: int) -> int:

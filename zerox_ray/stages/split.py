@@ -21,9 +21,42 @@ Error semantics (errorMode, node types.ts:172-175, index.ts:338-352):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from zerox_ray.functions import htmlx, pdfx, sheetx
+
+#: docs with more estimated pages than this are pre-chunked (ZeroxConfig
+#: default; None disables)
+GIANT_PAGE_THRESHOLD = 8
+
+
+def chunk_giant_docs(batch: pa.Table, chunk_pages: int) -> pa.Table:
+    """page_count-aware skew repartition (the M8 consumer; the north rule
+    names it explicitly): a doc whose estimated ``page_count`` exceeds
+    ``chunk_pages`` is replicated into ⌈page_count/chunk_pages⌉ work-item
+    rows, each carrying a [first_page, last_page] range the splitter
+    honors. Per-ROW split/score cost is then bounded by ~chunk_pages
+    regardless of document size, so a 24-page doc spreads across batches
+    and tasks instead of skewing one — robust to any block/batch layout.
+
+    last_page = -1 marks the final chunk open-ended: page_count is an
+    ESTIMATE (cheap payload markers, classify.py); pages beyond it must
+    not be dropped. Payload bytes are duplicated per extra chunk —
+    bounded by the giant-doc fraction, the standard trade for skew-free
+    fan-out. Chunk rows stay ADJACENT per url (np.repeat), preserving
+    the url-contiguity invariant the reassembly combiners rely on."""
+    counts = np.maximum(batch["page_count"].to_numpy(), 1)
+    n_chunks = np.maximum(1, -(-counts // chunk_pages))
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+    starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    ordinal = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, n_chunks)
+    first = ordinal * chunk_pages + 1
+    last = np.where(ordinal == n_chunks[idx] - 1, -1, (ordinal + 1) * chunk_pages)
+    out = batch.take(pa.array(idx))
+    return out.append_column(
+        "first_page", pa.array(first, pa.int64())
+    ).append_column("last_page", pa.array(last, pa.int64()))
 
 FRAGMENT_SCHEMA = pa.schema(
     [
@@ -61,18 +94,32 @@ class PageSplitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls, pids, idxs, kinds, frags = [], [], [], [], []
-        for url, pid, payload, kind in zip(
+        n = batch.num_rows
+        # optional giant-doc chunk ranges (chunk_giant_docs): absent →
+        # every row covers all pages
+        names = batch.column_names
+        firsts = (
+            batch["first_page"].to_pylist() if "first_page" in names else [1] * n
+        )
+        lasts = (
+            batch["last_page"].to_pylist() if "last_page" in names else [-1] * n
+        )
+        for url, pid, payload, kind, first, last in zip(
             batch["url"].to_pylist(),
             batch["pid"].to_pylist(),
             batch["html"].to_pylist(),
             batch["kind"].to_pylist(),
+            firsts,
+            lasts,
         ):
             try:
                 out_kind, fragments = self._split_one(payload, kind)
             except Exception as exc:  # noqa: BLE001 — error-row containment
                 if self.error_mode == "THROW":
                     raise
-                if self.select is None or 1 in self.select:
+                # only the chunk covering page 1 emits the error row —
+                # replicated chunks must not duplicate it
+                if (self.select is None or 1 in self.select) and first <= 1:
                     urls.append(url)
                     pids.append(pid)
                     idxs.append(1)
@@ -80,6 +127,8 @@ class PageSplitter:
                     frags.append(str(exc).encode()[:256])
                 continue
             for i, frag in enumerate(fragments, 1):
+                if i < first or (last != -1 and i > last):
+                    continue
                 if self.select is not None and i not in self.select:
                     continue
                 urls.append(url)

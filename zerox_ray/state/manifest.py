@@ -112,9 +112,25 @@ class CheckpointedOcrRunner:
         return [files[i : i + k] for i in range(0, len(files), k)]
 
     def completed_shards(self) -> set[int]:
+        """Shard ids whose manifest exists AND whose recorded input_files
+        lineage matches the current shard plan. Shard ids are positional
+        over the sorted file list, so adding/removing input files between
+        runs shifts them — a manifest whose lineage no longer matches its
+        position is STALE and its shard is reprocessed (never silently
+        skipped as if it covered different files)."""
+        shards = self.shards()
         out = set()
         for f in glob.glob(os.path.join(self.manifest_dir, "*.json")):
-            out.add(int(os.path.splitext(os.path.basename(f))[0]))
+            sid = int(os.path.splitext(os.path.basename(f))[0])
+            if sid >= len(shards):
+                continue  # input shrank — positional id no longer exists
+            try:
+                with open(f) as fh:
+                    recorded = json.load(fh).get("input_files")
+            except (OSError, json.JSONDecodeError):
+                continue  # unreadable manifest → treat as incomplete
+            if recorded == shards[sid]:
+                out.add(sid)
         return out
 
     def pending_shards(self) -> list[int]:
