@@ -65,8 +65,11 @@ class TestSimHash:
         assert 24 < np.mean(hs) < 40  # independent docs ≈ 32
 
     def test_near_dup_low_hamming(self):
-        base = [os.urandom(8) for _ in range(60)]
-        dup = base[:57] + [os.urandom(8) for _ in range(3)]
+        # seeded, not os.urandom: the 12-bit bound is probabilistic and a
+        # random draw occasionally exceeds it (observed flake)
+        rng = np.random.RandomState(7)
+        base = [rng.bytes(8) for _ in range(60)]
+        dup = base[:57] + [rng.bytes(8) for _ in range(3)]
         assert hamming64(simhash64(base), simhash64(dup)) <= 12
 
     def test_pipeline_pairs_are_real_neardups(self, sf_dir):

@@ -68,6 +68,81 @@ class TestPdf:
             pdfx.split_pdf_pages(b"%PDF-1.7\nreal pdf bytes")
 
 
+class TestImportTrySeams:
+    """Every real-codec seam must work BOTH ways: NotImplementedError
+    without the library, real parse when a module is present (faked here —
+    the runtime ships none of them)."""
+
+    def test_real_pdf_without_pypdf(self):
+        with pytest.raises(NotImplementedError, match="pypdf"):
+            pdfx.parse_real_pdf(b"%PDF-1.7\nreal pdf bytes")
+
+    def test_real_pdf_with_fake_pypdf(self, monkeypatch):
+        import sys
+        import types
+
+        class FakePage:
+            def __init__(self, t):
+                self._t = t
+
+            def extract_text(self):
+                return self._t
+
+        class FakeReader:
+            def __init__(self, fh):
+                self.pages = [FakePage("page one"), FakePage(None)]
+
+        mod = types.ModuleType("pypdf")
+        mod.PdfReader = FakeReader
+        monkeypatch.setitem(sys.modules, "pypdf", mod)
+        frags = pdfx.parse_real_pdf(b"%PDF-1.7\nreal pdf bytes")
+        assert frags == [b"page one", b""]
+
+    def test_media_decode_without_pil(self):
+        from zerox_ray.pipelines.media import _decode_real
+
+        with pytest.raises(NotImplementedError, match="PIL"):
+            _decode_real(b"\x89PNG fake")
+
+    def test_media_decode_with_fake_pil(self, monkeypatch):
+        import sys
+        import types
+
+        class FakeImg:
+            def convert(self, mode):
+                return [[0, 255], [128, 64]]
+
+        pil = types.ModuleType("PIL")
+        img_mod = types.ModuleType("PIL.Image")
+        img_mod.open = lambda fh: FakeImg()
+        pil.Image = img_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+        from zerox_ray.pipelines.media import _decode_real
+
+        out = _decode_real(b"\x89PNG fake")
+        assert out["kind"] == "image" and out["width"] == 2 and out["height"] == 2
+
+    def test_heic_sniffed_and_error_row(self):
+        import pyarrow as pa
+
+        from zerox_ray.stages.classify import ClassifyPayload
+        from zerox_ray.stages.split import PageSplitter
+
+        heic = b"\x00\x00\x00\x18ftypheic" + b"\x00" * 32
+        batch = pa.table(
+            {
+                "url": pa.array(["u"], pa.string()),
+                "html": pa.array([heic], pa.binary()),
+            }
+        )
+        classified = ClassifyPayload(4)(batch)
+        assert classified["kind"][0].as_py() == "heic"
+        out = PageSplitter()(classified)
+        assert out["kind"][0].as_py() == "error"
+        assert b"pillow-heif" in out["fragment"][0].as_py()
+
+
 def test_plan_doc_chunking_covers_text():
     p = plan_doc(6, "abcdefghij")  # np = 1 + 6%4 = 3
     assert p["n_pages"] == 3

@@ -276,6 +276,44 @@ class TestMarkdownSink:
             assert p.read_text(encoding="utf-8") == row["markdown"]
 
 
+class TestSnapshotUniqueness:
+    @staticmethod
+    def _dup_table(tmp_path=None):
+        old = build_html(0, ["old version"], False)
+        new = build_html(0, ["new version"], False)
+        table = pa.table(
+            {
+                "url": pa.array(["u1", "u1", "u2"], pa.string()),
+                "warc_ts": pa.array([1, 2, 1], pa.timestamp("us")),
+                "html": pa.array([old, new, build_html(0, ["other"], False)], pa.binary()),
+                "text": pa.array([""] * 3, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        )
+        return table
+
+    def test_duplicate_urls_fail_loudly(self):
+        """Multiple snapshots of a url must never silently interleave —
+        both reassembly paths raise (ADVICE: warc_ts makes duplicate
+        snapshots realistic)."""
+        ds = ray.data.from_arrow(self._dup_table())
+        for cfg in (ZeroxConfig(), ZeroxConfig(maintain_format=True)):
+            with pytest.raises(Exception, match="one-row-per-url|duplicate"):
+                run_ocr(ds.drop_columns(["warc_ts", "text", "lang"]), cfg).to_pandas()
+
+    def test_latest_snapshot_only_collapses(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.sources.pages import read_pages
+
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(self._dup_table(), path)
+        ds = read_pages(path, latest_snapshot_only=True)
+        out = _sorted(run_ocr(ds).to_pandas(), "url")
+        assert list(out.url) == ["u1", "u2"]
+        assert out[out.url == "u1"].markdown.iloc[0] == "new version"
+
+
 class TestGiantDocChunking:
     def test_chunk_stage_ranges_partition_pages(self):
         """chunk_giant_docs: rows replicate into adjacent page-range

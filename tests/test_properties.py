@@ -52,11 +52,14 @@ def test_html_roundtrip_byte_identical(chunks):
     st.lists(
         st.tuples(
             st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=12),
+            # any content is legal — the length-prefixed container never
+            # splits on content, so the header marker and trailing
+            # newlines round-trip exactly
             st.text(
                 alphabet=string.printable.replace("\r", ""),
                 min_size=0,
                 max_size=60,
-            ).filter(lambda c: "== sheet:" not in c and not c.endswith("\n")),
+            ),
         ),
         min_size=1,
         max_size=5,

@@ -41,6 +41,14 @@ class TestSheetBranch:
             b"<h1>Sheet2</h1>\n<table><tr><td>x\ny</td></tr></table>",
         ]
 
+    def test_header_marker_in_cell_roundtrips(self):
+        """A cell containing the literal sheet-header marker must stay ONE
+        sheet (length-prefixed parse — no phantom sheets, ADVICE fix)."""
+        evil = "before\n== sheet:FakeName ==\nafter"
+        pages = split_sheet_pages(build_sheet_payload([("Real", evil)]))
+        assert len(pages) == 1
+        assert b"FakeName" in pages[0] and pages[0].startswith(b"<h1>Real</h1>")
+
     def test_xlsx_stub_raises(self):
         with pytest.raises(NotImplementedError):
             split_xlsx_pages(b"PK\x03\x04 not a real zip")

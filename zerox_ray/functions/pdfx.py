@@ -60,10 +60,20 @@ def extract_pdf_text(fragment: bytes) -> str:
 
 
 def parse_real_pdf(payload: bytes) -> list[bytes]:
-    """STUB: real-PDF parsing requires pdfium/poppler, not present in this
-    container. The Ray-side plumbing (actor pool, fragment schema, error
-    rows) is identical for real PDFs; only this function changes."""
-    raise NotImplementedError(
-        "real PDF parsing requires a PDF library not available in this "
-        "environment; zx-synthetic containers are fully supported"
-    )
+    """Real-PDF parsing seam (M6, poppler fallback in the reference,
+    file.ts:184-206): uses pypdf when the cluster ships it (import-try,
+    mirroring the openpyxl seam in sheetx.py); otherwise a clearly-marked
+    NotImplementedError. The Ray-side plumbing (actor pool, fragment
+    schema, error rows) is identical either way."""
+    try:
+        import pypdf
+    except ImportError as exc:  # pragma: no cover - runtime has no pypdf
+        raise NotImplementedError(
+            "real PDF parsing requires pypdf (or pdfium/poppler), not "
+            "available in this environment; zx-synthetic containers are "
+            "fully supported"
+        ) from exc
+    import io
+
+    reader = pypdf.PdfReader(io.BytesIO(payload))
+    return [(page.extract_text() or "").encode() for page in reader.pages]

@@ -22,11 +22,18 @@ _SHEET_HDR = b"== sheet:"
 
 
 def build_sheet_payload(sheets: list[tuple[str, str]]) -> bytes:
-    """[(name, cell_text), ...] → ZXSHEET container bytes."""
+    """[(name, cell_text), ...] → ZXSHEET container bytes.
+
+    Headers are LENGTH-PREFIXED (``== sheet:<name_len>:<cell_len> ==``)
+    so a cell whose text contains the header marker can never round-trip
+    into phantom sheets — the parser reads exact byte counts, it never
+    splits on content."""
     parts = [SHEET_MAGIC]
     for name, cell in sheets:
-        parts.append(_SHEET_HDR + name.encode() + b" ==\n")
-        parts.append(cell.encode() + b"\n")
+        nb, cb = name.encode(), cell.encode()
+        parts.append(_SHEET_HDR + str(len(nb)).encode() + b":" + str(len(cb)).encode() + b" ==\n")
+        parts.append(nb + b"\n")
+        parts.append(cb + b"\n")
     return b"".join(parts)
 
 
@@ -44,20 +51,34 @@ def sheet_to_html(name: str, cell: str) -> str:
 
 def split_sheet_pages(payload: bytes) -> list[bytes]:
     """ZXSHEET payload → ordered per-sheet page fragments (each fragment
-    is the rendered sheet HTML, utf-8)."""
+    is the rendered sheet HTML, utf-8). Sequential length-prefixed parse:
+    cell content is read by byte count, never pattern-matched, so content
+    containing the header marker is unambiguous; a malformed container
+    raises (→ ERROR row under errorMode IGNORE) rather than mis-splitting."""
     if not payload.startswith(SHEET_MAGIC):
         return split_xlsx_pages(payload)
-    body = payload[len(SHEET_MAGIC) :]
     pages: list[bytes] = []
-    for chunk in body.split(_SHEET_HDR):
-        if not chunk:
-            continue
-        hdr, _, cell = chunk.partition(b" ==\n")
-        name = hdr.decode("utf-8", errors="replace")
-        if cell.endswith(b"\n"):  # exactly the writer-added terminator
-            cell = cell[:-1]
-        cell_text = cell.decode("utf-8", errors="replace")
-        pages.append(sheet_to_html(name, cell_text).encode())
+    pos = len(SHEET_MAGIC)
+    while pos < len(payload):
+        if payload[pos : pos + len(_SHEET_HDR)] != _SHEET_HDR:
+            raise ValueError(f"ZXSHEET: expected sheet header at offset {pos}")
+        eol = payload.index(b" ==\n", pos)
+        try:
+            name_len, cell_len = (
+                int(x) for x in payload[pos + len(_SHEET_HDR) : eol].split(b":")
+            )
+        except ValueError:
+            raise ValueError(
+                f"ZXSHEET: malformed length-prefixed header at offset {pos}"
+            ) from None
+        pos = eol + 4
+        name = payload[pos : pos + name_len].decode("utf-8", errors="replace")
+        pos += name_len + 1  # +1: writer-added newline after the name
+        cell = payload[pos : pos + cell_len]
+        pos += cell_len + 1
+        if pos > len(payload) + 1:
+            raise ValueError("ZXSHEET: truncated payload (cell shorter than header)")
+        pages.append(sheet_to_html(name, cell.decode("utf-8", errors="replace")).encode())
     if not pages:
         raise ValueError("ZXSHEET payload contains no sheets")
     return pages

@@ -29,12 +29,26 @@ AUD_MAGIC = b"ZXAUD"
 
 
 def _decode_real(payload: bytes):
-    """STUB: real codec decode (PIL / libsndfile / ffmpeg) — not available
-    in this environment."""
-    raise NotImplementedError(
-        "real media codecs are unavailable in this runtime; ZX* synthetic "
-        "containers are fully supported"
-    )
+    """Real-codec decode seam: PIL when the cluster ships it (import-try,
+    mirroring the openpyxl/pypdf seams); else a clearly-marked
+    NotImplementedError. Audio (libsndfile/ffmpeg) stays stubbed."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - runtime has no PIL
+        raise NotImplementedError(
+            "real media codecs (PIL/libsndfile/ffmpeg) are unavailable in "
+            "this runtime; ZX* synthetic containers are fully supported"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    data = np.asarray(img, dtype=np.uint8)
+    return {
+        "kind": "image",
+        "width": int(data.shape[1]),
+        "height": int(data.shape[0]),
+        "data": data,
+    }
 
 
 def decode_payload(payload: bytes) -> dict:

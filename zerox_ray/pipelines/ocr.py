@@ -274,6 +274,13 @@ def mf_merge_bucket_pages(df, **fold_kwargs):
         ]
         parts.append(maintain_format_fold_bucket(raw, **fold_kwargs)[_PAGE_COLS])
     out = pd.concat(parts, ignore_index=True)
+    dup = out.duplicated(["url", "page_index"])
+    if dup.any():
+        raise ValueError(
+            f"url {out.loc[dup, 'url'].iloc[0]!r} produced duplicate page "
+            "rows: input violates the one-row-per-url precondition "
+            "(read_pages latest_snapshot_only=True collapses snapshots)"
+        )
     return out.sort_values(["url", "page_index"], kind="mergesort").reset_index(
         drop=True
     )
@@ -281,7 +288,12 @@ def mf_merge_bucket_pages(df, **fold_kwargs):
 
 def mf_merge_bucket(df, **fold_kwargs):
     """One pid bucket of mixed rows → final doc rows: doc rows pass
-    through; frag rows (boundary urls, now complete) fold here."""
+    through; frag rows (boundary urls, now complete) fold here.
+
+    GUARD (url uniqueness, see sources/pages.py): a url folded as
+    interior in one block must not reappear anywhere else — a duplicate
+    here means the input carried multiple rows per url (unmerged WARC
+    snapshots) and the outputs would silently duplicate. Fail loudly."""
     import pandas as pd
 
     docs = df[df["row_kind"] == "doc"][_MF_DOC_COLS]
@@ -293,6 +305,13 @@ def mf_merge_bucket(df, **fold_kwargs):
         ]
         parts.append(fold_and_reassemble_bucket(raw, **fold_kwargs)[_MF_DOC_COLS])
     out = pd.concat(parts, ignore_index=True)
+    dup = out["url"].duplicated()
+    if dup.any():
+        raise ValueError(
+            f"url {out.loc[dup, 'url'].iloc[0]!r} produced multiple document "
+            "rows: input violates the one-row-per-url precondition "
+            "(read_pages latest_snapshot_only=True collapses snapshots)"
+        )
     return out.sort_values("url", kind="mergesort").reset_index(drop=True)
 
 

@@ -59,12 +59,67 @@ def validate_pages_schema(path: str | list[str]) -> None:
 
 
 def read_pages(
-    path: str | list[str], columns: tuple[str, ...] = ("url", "html")
+    path: str | list[str],
+    columns: tuple[str, ...] = ("url", "html"),
+    latest_snapshot_only: bool = False,
 ) -> ray.data.Dataset:
     """Streaming parquet scan of the pages table (dir, file, or explicit
     file list — the checkpoint runner passes per-shard lists), pruned to
-    ``columns``."""
+    ``columns``.
+
+    PRECONDITION (url uniqueness): the OCR pipeline assumes each url
+    appears ONCE in its input — duplicates (multiple WARC snapshots of a
+    url, which ``warc_ts`` makes realistic) would interleave duplicated
+    page rows into one document (in-block) or trip the merge stage's
+    overlap guard (across blocks). Pass ``latest_snapshot_only=True`` to
+    collapse snapshots to the newest per url at ingest (one bucketed
+    groupby — the snapshot-corpus path), or pre-deduplicate upstream.
+    The same assumption underpins shard independence in
+    state/manifest.py (all rows of a url in one shard)."""
     validate_pages_schema(path)
-    return ray.data.read_parquet(
-        list(path) if isinstance(path, (list, tuple)) else path, columns=list(columns)
+    cols = list(columns)
+    read_cols = cols if not latest_snapshot_only else list(
+        dict.fromkeys(["warc_ts", *cols])
     )
+    ds = ray.data.read_parquet(
+        list(path) if isinstance(path, (list, tuple)) else path, columns=read_cols
+    )
+    if latest_snapshot_only:
+        ds = latest_snapshots(ds, keep_columns=cols)
+    return ds
+
+
+#: coarse url-hash buckets for the snapshot-dedupe groupby
+_SNAPSHOT_BUCKETS = 256
+
+
+def latest_snapshots(
+    ds: ray.data.Dataset, keep_columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Collapse multiple snapshots of a url to the newest (max warc_ts).
+
+    Shape: coarse url-hash bucket column → ONE groupby shuffle →
+    vectorized per-bucket "keep last" (sort + tail(1) per url). Ties on
+    warc_ts break deterministically on payload crc32 so the kept row is
+    identical across runs and block layouts."""
+    import zlib
+
+    import pandas as pd  # noqa: F401 — map_batches pandas format
+
+    def tag(df):
+        df = df.copy()
+        df["__bucket"] = [
+            zlib.crc32(u.encode()) % _SNAPSHOT_BUCKETS for u in df["url"]
+        ]
+        return df
+
+    def pick(g):
+        g = g.copy()
+        g["__h"] = [zlib.crc32(p) for p in g["html"]]
+        g = g.sort_values(["url", "warc_ts", "__h"], kind="mergesort")
+        out = g.groupby("url", sort=False).tail(1)
+        cols = keep_columns or [c for c in out.columns if not c.startswith("__")]
+        return out[cols]
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(pick, batch_format="pandas")

@@ -59,6 +59,19 @@ class ClassifyPayload:
         head5 = pc.binary_slice(payload, 0, 5)
         head4 = pc.binary_slice(payload, 0, 4)
         head1 = pc.binary_slice(payload, 0, 1)
+        # M4: ISO-BMFF ftyp box with a HEIC/HEIF brand (image.ts HEIC
+        # convert path) — bytes 4..8 = 'ftyp', brand at 8..12
+        ftyp = pc.binary_slice(payload, 4, 8)
+        brand = pc.binary_slice(payload, 8, 12)
+        is_heic = pc.and_(
+            pc.equal(ftyp, pa.scalar(b"ftyp", pa.binary())),
+            pc.is_in(
+                brand,
+                value_set=pa.array(
+                    [b"heic", b"heix", b"heif", b"mif1"], pa.binary()
+                ),
+            ),
+        )
         kind = pc.if_else(
             pc.equal(head5, pa.scalar(b"%PDF-", pa.binary())),
             pa.scalar("pdf"),
@@ -77,7 +90,9 @@ class ClassifyPayload:
                                 head4, pa.scalar(b"\xd0\xcf\x11\xe0", pa.binary())
                             ),
                             pa.scalar("cfb"),
-                            pa.scalar("unknown"),
+                            pc.if_else(
+                                is_heic, pa.scalar("heic"), pa.scalar("unknown")
+                            ),
                         ),
                     ),
                 ),

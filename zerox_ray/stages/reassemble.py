@@ -88,8 +88,20 @@ def partial_reassemble_block(df: pd.DataFrame) -> pd.DataFrame:
 
     Output adds ``first_page`` (partial ordering key for the merge).
     Rows within a url arrive in emission order (page_index ascending) —
-    sorted here anyway for safety at trivial in-block cost."""
+    sorted here anyway for safety at trivial in-block cost.
+
+    GUARD (url uniqueness, sources/pages.py): duplicate (url, page_index)
+    rows inside a block — unmerged WARC snapshots of the same url — would
+    silently interleave duplicated markdown; fail loudly instead (the
+    cross-block case is caught by merge_partials_bucket's overlap guard)."""
     df = df.sort_values(["url", "page_index"], kind="mergesort")
+    dup = df.duplicated(["url", "page_index"])
+    if dup.any():
+        raise ValueError(
+            f"url {df.loc[dup, 'url'].iloc[0]!r} has duplicate page rows: "
+            "input violates the one-row-per-url precondition (read_pages "
+            "latest_snapshot_only=True collapses snapshots)"
+        )
     ok = df[df["status"] == STATUS_SUCCESS]
     md = ok.groupby("url", sort=True)["content"].agg(PAGE_JOIN.join)
     grouped = df.groupby("url", sort=True)
@@ -209,6 +221,15 @@ def maintain_format_fold_bucket(
 
     model = _cached_model(model_provider, model_kwargs)
     df = df.sort_values(["url", "page_index"], kind="mergesort")
+    # url-uniqueness guard (sources/pages.py): duplicate fragments would
+    # interleave into one fold and corrupt the chain silently
+    dup = df.duplicated(["url", "page_index"])
+    if dup.any():
+        raise ValueError(
+            f"url {df.loc[dup, 'url'].iloc[0]!r} has duplicate page "
+            "fragments: input violates the one-row-per-url precondition "
+            "(read_pages latest_snapshot_only=True collapses snapshots)"
+        )
     rows: list[dict] = []
     for url, g in df.groupby("url", sort=True):
         prior_tail = ""

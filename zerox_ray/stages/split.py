@@ -31,6 +31,28 @@ from zerox_ray.functions import htmlx, pdfx, sheetx
 GIANT_PAGE_THRESHOLD = 8
 
 
+def heic_to_jpeg(payload: bytes) -> bytes:
+    """M4 parity (HEIC→JPEG before processing, reference utils/image.ts):
+    pillow-heif + PIL when the cluster ships them (import-try seam like
+    openpyxl/pypdf); else a clearly-marked NotImplementedError, which the
+    splitter turns into an ERROR row under errorMode IGNORE."""
+    try:
+        import pillow_heif
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - runtime has neither
+        raise NotImplementedError(
+            "HEIC conversion requires pillow-heif/PIL, not available in "
+            "this runtime"
+        ) from exc
+    import io
+
+    pillow_heif.register_heif_opener()
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
 def chunk_giant_docs(batch: pa.Table, chunk_pages: int) -> pa.Table:
     """page_count-aware skew repartition (the M8 consumer; the north rule
     names it explicitly): a doc whose estimated ``page_count`` exceeds
@@ -90,6 +112,12 @@ class PageSplitter:
             # structured data: sheet = page (file.ts:311-329); fragments
             # are already rendered sheet HTML, scored as pass-through
             return "sheet", sheetx.split_sheet_pages(payload)
+        if kind == "heic":
+            # M4 (HEIC→JPEG convert before processing, reference
+            # utils/image.ts): single-image payload → one page fragment;
+            # a vision-capable provider scores it, the deterministic
+            # model reports the kind as unsupported (honest error row)
+            return "image", [heic_to_jpeg(payload)]
         raise ValueError(f"unsupported or corrupt payload (kind={kind})")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 URL_PREFIX = "https://example.org/doc/"
-GEN_VERSION = 2
+GEN_VERSION = 3  # v3: length-prefixed ZXSHEET headers (sheetx.py)
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 ROWS_PER_FILE = 4096
 
