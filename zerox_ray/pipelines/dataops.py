@@ -23,9 +23,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min, Sum
 
+from zerox_ray.sources.tables import read_table
 from zerox_ray.functions.text import STOPWORD_RE, TOKEN_RE
+from zerox_ray.pipelines.agg import bucketed_group_agg
 
 PPM = 1_000_000
 
@@ -45,12 +46,16 @@ def _token_partials(df: pd.DataFrame) -> pd.DataFrame:
 def token_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-language token/char counts with per-batch partial aggregation.
     Output: (lang, n_docs, total_tokens, total_chars)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
     partials = ds.map_batches(_token_partials, batch_format="pandas")
-    return partials.groupby("lang").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_tokens", alias_name="total_tokens"),
-        Sum("total_chars", alias_name="total_chars"),
+    return bucketed_group_agg(
+        partials,
+        ["lang"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "total_tokens": ("total_tokens", "sum"),
+            "total_chars": ("total_chars", "sum"),
+        },
     )
 
 
@@ -82,7 +87,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     length) — the classic web-corpus quality filter signals, fully
     vectorized. Output: (doc_id, n_chars, n_tokens, n_stopwords,
     stop_ratio_ppm, avg_token_len_ppm)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_quality_batch, batch_format="pandas")
 
 
@@ -107,11 +112,12 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     count) → small groupby over partials → keeper rows.
     Output: (doc_id, n_copies), one row per distinct text, doc_id = the
     smallest id in the duplicate class."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     partials = ds.map_batches(_dedup_partials, batch_format="pandas")
-    agg = partials.groupby("h").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Sum("n_copies", alias_name="n_copies"),
+    agg = bucketed_group_agg(
+        partials,
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "n_copies": ("n_copies", "sum")},
     )
     return agg.select_columns(["doc_id", "n_copies"])
 
@@ -151,7 +157,7 @@ def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID over documents.
     Output: (doc_id, pred_lang, n_matches)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_lang_id_batch, batch_format="pandas")
 
 
@@ -173,9 +179,13 @@ def _events_partials(t: pa.Table) -> pa.Table:
         }
     )
     out = df.groupby(["user_id", "hour_id"], as_index=False).sum()
+    # strip the b'pandas' schema metadata: pa.Schema with a metadata dict
+    # is UNHASHABLE, which makes Ray's shuffle-side schema dedup log a
+    # "Failed to hash the schemas" warning per reduce task
     return pa.Table.from_pandas(
-        out.astype({"n_events": "int64", "sum_value_cents": "int64"}), preserve_index=False
-    )
+        out.astype({"n_events": "int64", "sum_value_cents": "int64"}),
+        preserve_index=False,
+    ).replace_schema_metadata(None)
 
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
@@ -184,13 +194,17 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     guide pattern). Pre-aggregated per batch; value summed in integer
     cents so the result is order-independent and exactly SQL-checkable.
     Output: (user_id, hour_id, n_events, sum_value_cents)."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
     )
     partials = ds.map_batches(_events_partials, batch_format="pyarrow")
-    return partials.groupby(["user_id", "hour_id"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    return bucketed_group_agg(
+        partials,
+        ["user_id", "hour_id"],
+        {
+            "n_events": ("n_events", "sum"),
+            "sum_value_cents": ("sum_value_cents", "sum"),
+        },
     )
 
 
@@ -218,7 +232,7 @@ def _bpe_count_batch(df: pd.DataFrame) -> pd.DataFrame:
 def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
     """Per-doc token counts: BPE-ish pretokenizer regex + whitespace split.
     Output: (doc_id, n_bpe_tokens, n_ws_tokens)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_bpe_count_batch, batch_format="pandas")
 
 
@@ -230,7 +244,7 @@ def top_spenders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     batch (combiner), groupby-sums, then a small global sort+limit —
     the only globally-ordered step runs over |customers| rows, not
     |orders|. Output: (o_custkey, total_cents)."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -246,15 +260,13 @@ def top_spenders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         )
         return out.astype({"total_cents": "int64"})
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").sum(
-        "total_cents"
-    )
-    renamed = agg.map_batches(
-        lambda df: df.rename(columns={"sum(total_cents)": "total_cents"}),
-        batch_format="pandas",
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"total_cents": ("total_cents", "sum")},
     )
     # deterministic tie-break: (-total, custkey)
-    return renamed.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
+    return agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
 
 
 def quality_filter(
@@ -284,7 +296,7 @@ def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     Output: (o_orderpriority, o_orderkey, total_cents, rank)."""
     import numpy as np
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
@@ -330,7 +342,7 @@ def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
 
     from zerox_ray.functions.hashing import md5_64
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")

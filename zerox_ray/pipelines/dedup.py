@@ -24,7 +24,9 @@ import pandas as pd
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+
+from zerox_ray.sources.tables import read_table
+from zerox_ray.pipelines.agg import bucketed_group_agg
 
 from zerox_ray.functions.hashing import (
     band_keys,
@@ -207,7 +209,7 @@ def _verify_pairs_by_join(
     small side of both joins, so the shuffle volume is O(pairs)."""
     from zerox_ray.pipelines.relational import hash_join
 
-    docs = ray.data.read_parquet(
+    docs = read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     side_a = docs.map_batches(
@@ -258,7 +260,7 @@ def minhash_lsh_pairs(
     the one thing this pipeline must never do at scale."""
     path = f"{sf_dir}/documents.parquet"
     verify = _resolve_verify(verify, path)
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = read_table(path, columns=["doc_id", "text"])
     bands = ds.map_batches(
         MinHashBander(k, n_bands, shingle_n), batch_format="pandas"
     )
@@ -314,7 +316,7 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     """Per-doc 64-bit simhash + the 4 16-bit block keys used for
     hamming-≤3 candidate blocking. Output: (doc_id, simhash, block0..3)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_simhash_batch, batch_format="pandas")
 
 
@@ -471,7 +473,7 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard dedup within deterministic blocks.
     Output: (doc_a, doc_b, jaccard_ppm)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     blocked = ds.map_batches(
         lambda df: _block_key_batch(df, shingle_n), batch_format="pandas"
     )
@@ -579,7 +581,7 @@ def _verify_vec_pairs_by_join(
     small side of both joins), then vectorized exact cosine per row."""
     from zerox_ray.pipelines.relational import hash_join
 
-    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = read_table(path, columns=["vec_id", "embedding"])
 
     # embeddings travel through the join as packed float64 bytes: a plain
     # binary Arrow column survives the tagged-union schema alignment that
@@ -642,7 +644,7 @@ def embedding_near_dup(
     verify = _resolve_verify(verify, path)
     meta = pq.read_table(path, columns=["embedding"]).slice(0, 1)
     dim = len(meta["embedding"][0].as_py())
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_table(path, columns=["vec_id", "embedding"])
     # instance → task mode: plane state is a pure function of the seed,
     # rebuilt cheaply per worker; avoids per-query actor-pool startup
     sk = ds.map_batches(
@@ -692,7 +694,7 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Order-sensitive rolling-hash fingerprints (exact-dup detection that
     survives column pruning: fingerprint equality ⇔ same token stream).
     Output: (doc_id, fingerprint)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_fingerprint_batch, batch_format="pandas")
 
 
@@ -760,7 +762,7 @@ def minlabel_components(
     an unchanged label sum is exactly the fixpoint."""
     edges = pairs.map_batches(_edges_batch, batch_format="pandas").materialize()
     # round 0 for free: label(x) = min(x, min direct neighbor)
-    init = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    init = bucketed_group_agg(edges, ["src"], {"label": ("dst", "min")})
     labels = init.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -775,7 +777,17 @@ def minlabel_components(
     ).materialize()
     if labels.count() == 0:
         return labels
-    total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def label_sum(ds: ray.data.Dataset) -> int:
+        # convergence scalar: the label table is materialized and
+        # O(pair-nodes) small, so a driver-side block sum skips a whole
+        # Aggregate operator per round
+        return sum(
+            int(b["label"].sum())
+            for b in ds.iter_batches(batch_format="pandas", batch_size=None)
+        )
+
+    total = label_sum(labels)
     for _ in range(max_rounds):
         tagged_lab = labels.map_batches(
             lambda df: df.assign(dst=np.int64(-1))[["node", "dst", "label"]],
@@ -798,12 +810,10 @@ def minlabel_components(
         msgs = mixed.groupby("bucket").map_groups(
             _propagate_bucket, batch_format="pandas"
         )
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        new_total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        labels = bucketed_group_agg(
+            msgs, ["node"], {"label": ("label", "min")}
+        ).materialize()
+        new_total = label_sum(labels)
         if new_total == total:
             return labels
         total = new_total
@@ -827,7 +837,7 @@ def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
 
     pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
     comp = minlabel_components(pairs)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     if comp.count() == 0:  # materialized + tiny — a cheap driver scalar
         return docs.map_batches(
             lambda df: pd.DataFrame(

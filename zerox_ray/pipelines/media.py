@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from zerox_ray.sources.tables import read_table
+
 from zerox_ray.testgen import media_path_for
 
 IMG_MAGIC = b"ZXIMG"
@@ -189,7 +191,7 @@ class MediaCleanup:
 def media_cleanup(sf_dir: str, max_bytes: int = 15 * 1024 * 1024) -> ray.data.Dataset:
     """Image cleanup pipeline over the media table.
     Output: (media_id, fragment_index, payload, width, height)."""
-    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    ds = read_table(media_path_for(sf_dir))
     return ds.map_batches(
         MediaCleanup,
         fn_constructor_kwargs={"max_bytes": max_bytes},
@@ -203,7 +205,7 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
     """Features over the (generated, cached) media table.
     Output: (media_id, kind, width, height, sample_rate, n_units,
     mean_value_ppm, status)."""
-    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    ds = read_table(media_path_for(sf_dir))
     return ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pandas",
@@ -214,7 +216,7 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
 
 def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
     """Resize stage over the media table. Output: (media_id, payload)."""
-    ds = ray.data.read_parquet(media_path_for(sf_dir))
+    ds = read_table(media_path_for(sf_dir))
     return ds.map_batches(
         ImageResizer, batch_format="pandas", batch_size=64, concurrency=(1, 4)
     )

@@ -30,6 +30,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from zerox_ray.sources.tables import read_table
+from zerox_ray.pipelines.agg import bucketed_group_agg
+
 CENTS = 100
 
 
@@ -89,7 +92,7 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     nation_ref = ray.put(
         pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     )
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     # task mode + per-worker cache (dims are one zero-copy ray.get) —
@@ -99,12 +102,10 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
         fn_kwargs={"cust_ref": cust_ref, "nation_ref": nation_ref},
         batch_format="pandas",
     )
-    agg = partials.groupby("n_name").sum(["n_orders", "total_cents"])
-    return agg.map_batches(
-        lambda df: df.rename(
-            columns={"sum(n_orders)": "n_orders", "sum(total_cents)": "total_cents"}
-        ),
-        batch_format="pandas",
+    return bucketed_group_agg(
+        partials,
+        ["n_name"],
+        {"n_orders": ("n_orders", "sum"), "total_cents": ("total_cents", "sum")},
     )
 
 
@@ -221,7 +222,7 @@ def hash_join(
 def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
     """lineitem ⋈ orders on orderkey → revenue per order priority.
     Output: (o_orderpriority, n_items, revenue_cents)."""
-    li = ray.data.read_parquet(
+    li = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -241,19 +242,17 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"n_items": "int64", "revenue_cents": "int64"})
 
     li_agg = li.map_batches(li_partial, batch_format="pandas")
-    orders = ray.data.read_parquet(
+    orders = read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas",
     )
     joined = hash_join(li_agg, orders, on="l_orderkey")
-    agg = joined.groupby("o_orderpriority").sum(["n_items", "revenue_cents"])
-    return agg.map_batches(
-        lambda df: df.rename(
-            columns={"sum(n_items)": "n_items", "sum(revenue_cents)": "revenue_cents"}
-        ),
-        batch_format="pandas",
+    return bucketed_group_agg(
+        joined,
+        ["o_orderpriority"],
+        {"n_items": ("n_items", "sum"), "revenue_cents": ("revenue_cents", "sum")},
     )
 
 
@@ -291,7 +290,7 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
     """As-of join inside the events stream: each purchase matched to the
     user's latest view at-or-before it (-1 when none).
     Output: (event_id, user_id, view_ts_us)."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
     ).map_batches(  # vectorized predicate, not a per-row filter UDF
@@ -330,12 +329,14 @@ def events_sessions(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
     """Gap-based session windows per user over the events stream.
     Output: (user_id, session_id, n_events, start_us, end_us)."""
     gap_us = gap_hours * 3600 * _US
-    ds = ray.data.read_parquet(
+    from zerox_ray.sources.tables import strip_schema_metadata
+
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return ds.groupby("user_id").map_groups(
         lambda g: _sessionize_group(g, gap_us), batch_format="pandas"
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- sliding windows ---------------------------------------------------------
@@ -384,16 +385,11 @@ def events_sliding(
              "n_events": "int64", "sum_value_cents": "int64"}
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
-    agg = ds.map_batches(explode, batch_format="pandas").groupby(
-        ["user_id", "window_start_us"]
-    ).sum(["n_events", "sum_value_cents"])
-    return agg.map_batches(
-        lambda df: df.rename(
-            columns={"sum(n_events)": "n_events",
-                     "sum(sum_value_cents)": "sum_value_cents"}
-        ),
-        batch_format="pandas",
+    return bucketed_group_agg(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["user_id", "window_start_us"],
+        {"n_events": ("n_events", "sum"), "sum_value_cents": ("sum_value_cents", "sum")},
     )

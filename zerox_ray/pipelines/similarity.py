@@ -24,6 +24,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from zerox_ray.sources.tables import read_table
+
 
 def _load_queries(path: str, n_queries: int):
     """Driver-side load of the (small) query set only — row-group predicate
@@ -119,7 +121,7 @@ def ann_bruteforce_topk(
     Output: (qid, neighbor_id, rank), rank 1 = most similar."""
     path = f"{sf_dir}/embeddings.parquet"
     queries_ref = ray.put(_load_queries(path, n_queries))
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_table(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         _topk_partial_batch,
         fn_kwargs={"queries_ref": queries_ref, "k": k},
@@ -199,7 +201,7 @@ def ann_ivf_topk(
     qids, qmat = _load_queries(path, n_queries)
     probe_order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     state_ref = ray.put((qids, qmat, centroids, probe_order))
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_table(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         _ivf_partial_batch,
         fn_kwargs={"state_ref": state_ref, "k": k},

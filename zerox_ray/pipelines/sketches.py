@@ -24,6 +24,9 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from zerox_ray.pipelines.agg import bucketed_group_agg
+from zerox_ray.sources.tables import read_table
+
 PRICE_LO = 0.0
 PRICE_HI = 200_000.0
 N_BINS = 256
@@ -48,16 +51,14 @@ def price_histogram(
 ) -> ray.data.Dataset:
     """Equi-width histogram of lineitem extended price.
     Output: (bin_id, n_items) for non-empty bins."""
-    ds = ray.data.read_parquet(
+    ds = read_table(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
     partials = ds.map_batches(
         lambda df: _hist_partial(df, n_bins, lo, hi), batch_format="pandas"
     )
-    agg = partials.groupby("bin_id").sum("n_items")
-    return agg.map_batches(
-        lambda df: df.rename(columns={"sum(n_items)": "n_items"}),
-        batch_format="pandas",
+    return bucketed_group_agg(
+        partials, ["bin_id"], {"n_items": ("n_items", "sum")}
     )
 
 
@@ -148,13 +149,12 @@ def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
     """Approximate distinct user_id count over events via HLL.
     Output: one row (n_users_estimate,). Deterministic across runs and
     cluster shapes (hash-based, order-free register max-merge)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     partials = ds.map_batches(
         lambda df: _hll_partial(df, "user_id", p), batch_format="pandas"
     )
-    merged = partials.groupby("register").max("rank")
-    regs = merged.map_batches(
-        lambda df: df.rename(columns={"max(rank)": "rank"}), batch_format="pandas"
+    regs = bucketed_group_agg(
+        partials, ["register"], {"rank": ("rank", "max")}
     ).to_pandas()
     return pd.DataFrame({"n_users_estimate": [int(round(hll_estimate(regs, p)))]})
 
@@ -162,6 +162,6 @@ def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
     """Exact distinct user count (the shuffle-based baseline the sketch
     replaces at scale). Output: one row (n_users,)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     n = len(ds.unique("user_id"))
     return pd.DataFrame({"n_users": [n]})

@@ -81,9 +81,11 @@ def read_pages(
     read_cols = cols if not latest_snapshot_only else list(
         dict.fromkeys(["warc_ts", *cols])
     )
+    from zerox_ray.sources.tables import strip_schema_metadata
+
     ds = ray.data.read_parquet(
         list(path) if isinstance(path, (list, tuple)) else path, columns=read_cols
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
     if latest_snapshot_only:
         ds = latest_snapshots(ds, keep_columns=cols)
     return ds
