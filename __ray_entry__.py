@@ -160,6 +160,15 @@ def _q_structured_pages(sf_dir: str):
     )
 
 
+def _q_embedding_cosine(sf_dir: str):
+    """Sign-LSH + exact-cosine near-dup over embeddings. Registered with
+    threshold_ppm=0: the synthetic corpus has no true near-dups (max
+    pairwise cosine ≈0.51), so a production threshold yields an empty —
+    trivially matching — result; at 0 the oracle actually verifies the
+    hyperplane blocking and the cosine arithmetic on real rows."""
+    return embedding_near_dup(sf_dir, threshold_ppm=0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # OCR / extraction pipelines (reference parity)
@@ -193,17 +202,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "sample_documents": sample_documents,
         "doc_fingerprints": doc_fingerprints,
-        # sketch outputs (hash/interpolation-based — rows-only checks)
-        "price_quantiles_sketch": price_quantiles,
+        # sketches + dedup family (SQL-oracled: md5-derived hashing and
+        # seeded params are reproduced literally in the oracle SQL)
         "distinct_users_hll": distinct_users_hll,
-        # training-data ops (deterministic, rows-only checks — not
-        # SQL-expressible: iterative/hash-based algorithms)
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
-        "dedup_embedding_cosine": embedding_near_dup,
+        "dedup_embedding_cosine": _q_embedding_cosine,
+        # interpolation-based sketch (rows-only: the merged-histogram
+        # interpolation is deterministic but pytest-checked, not SQL)
+        "price_quantiles_sketch": price_quantiles,
+        # approximate ANN (rows-only: recall-tested vs brute force in pytest)
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
         "media_thumbnails": media_thumbnails,
@@ -214,6 +225,283 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
+
+# --- dedup-family SQL builders ---------------------------------------------
+# The dedup pipelines hash shingles with md5_64 (functions/hashing.py) and
+# derive every other constant from seeded numpy params, so DuckDB can
+# recompute each signature EXACTLY: md5 via substring(md5(s),1,16), the
+# (a*x+b) mod 2^64 minhash family via 32-bit-split multiplication in
+# HUGEINT, and the seeded params/planes inlined as literals by the very
+# same Python constructors the engine uses.
+
+_MOD64 = "18446744073709551616::HUGEINT"
+
+
+def _sql_mulmod64(a: str, x: str) -> str:
+    """SQL expr for (a*x) mod 2^64; a, x HUGEINT expressions < 2^64."""
+    return (
+        f"((({a})%4294967296)*(({x})%4294967296)"
+        f" + (((({a})%4294967296)*(({x})//4294967296)"
+        f" + (({a})//4294967296)*(({x})%4294967296)) % 4294967296) * 4294967296"
+        f") % {_MOD64}"
+    )
+
+
+def _sql_md5_u64(expr: str) -> str:
+    """SQL expr mirroring functions/hashing.py::md5_64 (UBIGINT)."""
+    return f"('0x'||substring(md5({expr}),1,16))::UBIGINT"
+
+
+def _sql_shingles(shingle_n: int) -> str:
+    """SQL list expr mirroring hashing.token_shingles over regex tokens
+    `t` (space-joined n-grams, multiset — wrap in list_distinct for sets)."""
+    joined = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(shingle_n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len(t)-{shingle_n - 1},0)+1),"
+        f" i -> {joined})"
+    )
+
+
+def _minhash_pairs_ctes(
+    k: int = 64, n_bands: int = 16, shingle_n: int = 3, threshold_ppm: int = 500_000
+) -> str:
+    """CTE chain ending in mh_pairs(doc_a, doc_b, jaccard_ppm) — an exact
+    mirror of pipelines/dedup.py::minhash_lsh_pairs (same default params,
+    same md5 shingle hashes, same seeded (a,b) family, same band keys,
+    same truncating jaccard→ppm arithmetic)."""
+    from zerox_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(k)
+    params = ",".join(
+        f"({i},{int(a[i])}::HUGEINT,{int(b[i])}::HUGEINT)" for i in range(k)
+    )
+    r = k // n_bands
+    jac = "floor((CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE))*1000000)"
+    return f"""
+mh_tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+mh_sh AS (
+  SELECT doc_id, list_distinct({_sql_shingles(shingle_n)}) AS sh FROM mh_tk
+),
+mh_xs AS (
+  SELECT doc_id, CAST({_sql_md5_u64("u.s")} AS HUGEINT) AS x
+  FROM mh_sh, unnest(mh_sh.sh) AS u(s)
+),
+mh_params(k, a, b) AS (VALUES {params}),
+mh_sig AS (  -- empty shingle set → all-max signature (hashing.py:minhash_signature)
+  SELECT d.doc_id, p.k,
+         COALESCE(min(({_sql_mulmod64('p.a', 'xs.x')} + p.b) % {_MOD64}),
+                  18446744073709551615::HUGEINT) AS h
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN mh_params p
+  LEFT JOIN mh_xs xs ON xs.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.k
+),
+mh_bands AS (
+  SELECT doc_id, k//{r} AS band_id,
+         CAST({_sql_md5_u64(f"CAST(k//{r} AS VARCHAR) || ':' || string_agg(CAST(CAST(h AS UBIGINT) AS VARCHAR), ':' ORDER BY k)")}
+              % 9223372036854775808 AS BIGINT) AS band_key
+  FROM mh_sig GROUP BY doc_id, k//{r}
+),
+mh_cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM mh_bands x JOIN mh_bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+mh_ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+  FROM mh_cand c
+  JOIN mh_sh sa ON sa.doc_id = c.doc_a
+  JOIN mh_sh sb ON sb.doc_id = c.doc_b
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(CASE WHEN uni = 0 THEN 1000000 ELSE {jac} END AS BIGINT) AS jaccard_ppm
+  FROM mh_ver
+  WHERE CASE WHEN uni = 0 THEN 1000000 ELSE {jac} END >= {threshold_ppm}
+)"""
+
+
+def _simhash_ctes(shingle_n: int = 3) -> str:
+    """CTE chain ending in sh_sig(doc_id, s_u, simhash, block0..3) — an
+    exact mirror of pipelines/dedup.py::simhash_signatures (md5 shingle
+    hashes, ±1 bit votes over the shingle MULTISET, little-endian bit
+    packing, int64 bit-pattern output, 4×16-bit block keys)."""
+    pows = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
+    return f"""
+sh_tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+sh_shl AS (  -- shingle MULTISET (duplicates vote, as in simhash64)
+  SELECT doc_id, {_sql_shingles(shingle_n)} AS sh FROM sh_tk
+),
+sh_xs AS (
+  SELECT doc_id, CAST({_sql_md5_u64("u.s")} AS HUGEINT) AS x
+  FROM sh_shl, unnest(sh_shl.sh) AS u(s)
+),
+sh_pows(j, p) AS (VALUES {pows}),
+sh_votes AS (
+  SELECT xs.doc_id, pw.j,
+         sum(CASE WHEN (xs.x // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM sh_xs xs CROSS JOIN sh_pows pw
+  GROUP BY xs.doc_id, pw.j
+),
+sh_raw AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END) AS s
+  FROM sh_votes v JOIN sh_pows pw ON pw.j = v.j
+  GROUP BY doc_id
+),
+sh_s AS (  -- docs with no shingles → signature 0 (simhash64 empty case)
+  SELECT d.doc_id, COALESCE(u.s, 0::HUGEINT) AS s
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sh_raw u USING (doc_id)
+),
+sh_sig AS (
+  SELECT doc_id, s AS s_u,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - {_MOD64} ELSE s END AS BIGINT) AS simhash,
+         CAST(s % 65536 AS BIGINT) AS block0,
+         CAST((s // 65536) % 65536 AS BIGINT) AS block1,
+         CAST((s // 4294967296) % 65536 AS BIGINT) AS block2,
+         CAST((s // 281474976710656) % 65536 AS BIGINT) AS block3
+  FROM sh_s
+)"""
+
+
+def _embed_cosine_sql(
+    dim: int = 64, n_bits: int = 64, seed: int = 42, threshold_ppm: int = 0
+) -> str:
+    """Mirror of pipelines/dedup.py::embedding_near_dup: the seeded
+    hyperplane matrix is regenerated HERE with the same RandomState call
+    the engine's HyperplaneBander uses and inlined as float literals, so
+    blocking and the dot/(|a|·|b|) + round-half-up ppm arithmetic are
+    bit-identical."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
+    n_blocks = n_bits // 16
+    block_exprs = []
+    for b in range(n_blocks):
+        terms = []
+        for j in range(16):
+            lit = "[" + ",".join(repr(float(v)) for v in planes[:, 16 * b + j]) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        block_exprs.append("(" + " + ".join(terms) + f") AS key{b}")
+    keys_cols = ",\n         ".join(block_exprs)
+    key_case = " ".join(f"WHEN {b} THEN key{b}" for b in range(n_blocks))
+    return f"""
+WITH ec_e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ec_keys AS (
+  SELECT vec_id, e,
+         {keys_cols}
+  FROM ec_e
+),
+ec_blocks AS (
+  SELECT vec_id, b.block_id,
+         CASE b.block_id {key_case} END AS key
+  FROM ec_keys CROSS JOIN (SELECT unnest(range(0,{n_blocks})) AS block_id) b
+),
+ec_cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM ec_blocks x JOIN ec_blocks y
+    ON x.block_id = y.block_id AND x.key = y.key AND x.vec_id < y.vec_id
+),
+ec_ver AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(floor(list_dot_product(ea.e, eb.e)
+              / (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e)))
+              * 1000000 + 0.5) AS BIGINT) AS cosine_ppm
+  FROM ec_cand c
+  JOIN ec_e ea ON ea.vec_id = c.vec_a
+  JOIN ec_e eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine_ppm FROM ec_ver WHERE cosine_ppm >= {threshold_ppm}"""
+
+
+def _hll_sql(p: int = 12) -> str:
+    """Mirror of pipelines/sketches.py::distinct_users_hll: splitmix64 of
+    user_id (the engine's exact avalanche constants, wrap-around multiply
+    done with the 32-bit-split trick), register/rank split, register max,
+    standard estimator with the linear-counting small-range switch."""
+    m = 1 << p
+    width = 64 - p
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    pows = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(width))
+    return f"""
+WITH hll_ids AS (SELECT DISTINCT user_id FROM events),
+hll_z0 AS (
+  SELECT (CAST(user_id AS HUGEINT) + {golden}) % {_MOD64} AS z FROM hll_ids
+),
+hll_z1 AS (SELECT xor(z, z // 1073741824) AS z FROM hll_z0),   -- z ^= z>>30
+hll_z2 AS (SELECT {_sql_mulmod64(str(c1), 'z')} AS z FROM hll_z1),
+hll_z3 AS (SELECT xor(z, z // 134217728) AS z FROM hll_z2),    -- z ^= z>>27
+hll_z4 AS (SELECT {_sql_mulmod64(str(c2), 'z')} AS z FROM hll_z3),
+hll_h AS (SELECT xor(z, z // 2147483648) AS h FROM hll_z4),    -- z ^= z>>31
+hll_parts AS (
+  SELECT h % {m} AS register, h // {m} AS rest FROM hll_h
+),
+hll_pows(j, pw) AS (VALUES {pows}),
+hll_rank AS (
+  SELECT register,
+         CASE WHEN rest = 0 THEN {width + 1}
+              ELSE {width} - (SELECT max(j) FROM hll_pows WHERE pw <= rest) END AS rank
+  FROM hll_parts
+),
+hll_regs AS (SELECT register, max(rank) AS rank FROM hll_rank GROUP BY register),
+hll_stats AS (
+  SELECT sum(pow(2.0, -CAST(rank AS DOUBLE))) AS sum_present,
+         count(*) AS n_present
+  FROM hll_regs
+),
+hll_est AS (
+  SELECT ({m} - n_present) AS zeros,
+         (0.7213/(1 + 1.079/{m})) * {m} * {m} / (sum_present + ({m} - n_present) * 1.0) AS raw
+  FROM hll_stats
+)
+SELECT CAST(round(CASE WHEN raw <= 2.5*{m} AND zeros > 0
+                       THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                       ELSE raw END) AS BIGINT) AS n_users_estimate
+FROM hll_est"""
+
+
+_NGRAM_JACCARD_SQL = """
+WITH nj_tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+nj_sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM nj_tk
+),
+nj_blk AS (  -- mirror of dedup._block_key_batch: md5_64(min shingle) & 0x7FFFFFFF
+  SELECT doc_id, sh,
+         CAST(('0x'||substring(md5(CASE WHEN len(sh)=0 THEN ''
+                ELSE list_aggregate(sh, 'min') END),1,16))::UBIGINT
+              % 2147483648 AS BIGINT) AS block
+  FROM nj_sh
+),
+nj_ver AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM nj_blk a JOIN nj_blk b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(CASE WHEN uni = 0 THEN 1000000
+            ELSE floor((CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE))*1000000) END AS BIGINT) AS jaccard_ppm
+FROM nj_ver
+WHERE CASE WHEN uni = 0 THEN 1000000
+      ELSE floor((CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE))*1000000) END >= 800000
+"""
 
 # The pages-plan CTEs — MUST mirror zerox_ray/testgen.py::plan_doc exactly.
 _PAGES_CTE = """
@@ -581,4 +869,49 @@ SELECT doc_id,
                  ELSE fp END AS BIGINT) AS fingerprint
 FROM f
 """,
+        "dedup_minhash_lsh": "WITH "
+        + _minhash_pairs_ctes()
+        + "\nSELECT doc_a, doc_b, jaccard_ppm FROM mh_pairs",
+        # connected components over the verified pairs via recursive
+        # min-label closure; survivors = docs that are not a non-min
+        # member of any component (dedup.minhash_dedup_docs semantics:
+        # cluster_id == doc_id for every surviving row)
+        "dedup_minhash_keepers": "WITH RECURSIVE "
+        + _minhash_pairs_ctes()
+        + """,
+mh_edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+mh_comp(node, label) AS (
+  SELECT s, s FROM mh_edges
+  UNION
+  SELECT e.d, c.label FROM mh_comp c JOIN mh_edges e ON e.s = c.node
+),
+mh_lab AS (SELECT node, min(label) AS label FROM mh_comp GROUP BY node)
+SELECT doc_id, doc_id AS cluster_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM mh_lab WHERE label < node)""",
+        "dedup_simhash_signatures": "WITH "
+        + _simhash_ctes()
+        + "\nSELECT doc_id, simhash, block0, block1, block2, block3 FROM sh_sig",
+        "dedup_simhash": "WITH "
+        + _simhash_ctes()
+        + """,
+sh_blocks AS (
+  SELECT doc_id, s_u, b.block_id,
+         CASE b.block_id WHEN 0 THEN block0 WHEN 1 THEN block1
+              WHEN 2 THEN block2 ELSE block3 END AS key
+  FROM sh_sig CROSS JOIN (SELECT unnest(range(0,4)) AS block_id) b
+),
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(bit_count(xor(x.s_u, y.s_u)) AS BIGINT) AS hamming
+  FROM sh_blocks x JOIN sh_blocks y
+    ON x.block_id = y.block_id AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM sh_pairs WHERE hamming <= 3""",
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_embedding_cosine": _embed_cosine_sql(),
+        "distinct_users_hll": _hll_sql(),
     }

@@ -39,6 +39,23 @@ def crc64_array(items: list[bytes]) -> np.ndarray:
     return np.fromiter((crc64(x) for x in items), dtype=np.uint64, count=len(items))
 
 
+def md5_64_array(items: list[bytes]) -> np.ndarray:
+    """64-bit md5-derived hashes (uint64). The dedup family (minhash /
+    simhash / jaccard blocking) hashes shingles with THIS instead of
+    crc64 because it is reproducible in ANSI SQL — DuckDB
+    ``('0x'||substring(md5(s),1,16))::UBIGINT`` — which lets the
+    driver's oracle recompute every signature exactly (the correctness
+    gate is a value-hash compare, so "close" is not enough). Speed is
+    within ~2x of the crc64 path and both are Python-loop-bound."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(x).hexdigest()[:16], 16) for x in items),
+        dtype=np.uint64,
+        count=len(items),
+    )
+
+
 def minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """K seeded odd multipliers + offsets for the wrap-around family."""
     rng = np.random.RandomState(seed)
@@ -57,12 +74,21 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 
 
 def band_keys(signature: np.ndarray, n_bands: int) -> list[int]:
-    """Split a signature into bands; one deterministic 32-bit key per band
-    (LSH bucket keys)."""
+    """Split a signature into bands; one deterministic 63-bit key per band
+    (LSH bucket keys). Key = md5_64 of ``"band:v0:v1:..."`` (decimal
+    signature values), masked to 63 bits — SQL mirror:
+    ``md5(band::VARCHAR || ':' || string_agg(h::VARCHAR,':' ORDER BY k))``
+    then the same substring/UBIGINT cast and ``% 2^63``."""
+    import hashlib
+
     r = signature.shape[0] // n_bands
-    return [
-        zlib.crc32(signature[i * r : (i + 1) * r].tobytes()) for i in range(n_bands)
-    ]
+    out = []
+    for i in range(n_bands):
+        s = f"{i}:" + ":".join(str(int(v)) for v in signature[i * r : (i + 1) * r])
+        out.append(
+            int(hashlib.md5(s.encode()).hexdigest()[:16], 16) & 0x7FFFFFFFFFFFFFFF
+        )
+    return out
 
 
 def token_shingles(tokens: list[str], n: int = 3) -> list[bytes]:
@@ -76,7 +102,7 @@ def simhash64(features: list[str] | list[bytes]) -> int:
     tokens = features
     if not tokens:
         return 0
-    hashes = crc64_array([t.encode() if isinstance(t, str) else t for t in tokens])
+    hashes = md5_64_array([t.encode() if isinstance(t, str) else t for t in tokens])
     bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     # int64, NOT the default unsigned promotion: negative vote totals must
     # stay negative (uint wrap-around turns them into huge positives and

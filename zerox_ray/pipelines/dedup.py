@@ -4,7 +4,8 @@ needs (none exist in the reference; SURVEY §2.8).
 
 Scale design (the part that matters at 10^12 docs):
 - signatures are computed per batch, vectorized (numpy minhash over
-  crc64 shingle hashes);
+  md5-derived 64-bit shingle hashes — md5 so the driver's DuckDB oracle
+  can recompute every signature exactly, see functions/hashing.py);
 - LSH banding explodes each doc into (band_id, band_key) rows, and the
   ONLY shuffle is the groupby on those keys — candidate generation never
   compares all pairs;
@@ -30,8 +31,9 @@ from zerox_ray.pipelines.agg import bucketed_group_agg
 
 from zerox_ray.functions.hashing import (
     band_keys,
-    crc64_array,
     jaccard,
+    md5_64,
+    md5_64_array,
     minhash_params,
     minhash_signature,
     rolling_fingerprint,
@@ -91,7 +93,7 @@ class MinHashBander:
         for doc_id, text in zip(df["doc_id"], df["text"]):
             toks = TOKEN_RE.findall(text)
             sig = minhash_signature(
-                crc64_array(token_shingles(toks, self.shingle_n)), self.a, self.b
+                md5_64_array(token_shingles(toks, self.shingle_n)), self.a, self.b
             )
             for band_id, key in enumerate(band_keys(sig, self.n_bands)):
                 doc_ids.append(doc_id)
@@ -428,13 +430,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
 
 def _block_key_batch(df: pd.DataFrame, shingle_n: int) -> pd.DataFrame:
-    """Blocking key = crc of the doc's lexicographically-smallest shingle
+    """Blocking key = md5_64 of the doc's lexicographically-smallest shingle
     (identical for any two docs sharing their rarest... smallest shingle);
     a cheap deterministic blocker that guarantees exact-dup capture."""
     keys = []
     for t in df["text"]:
         sh = token_shingles(TOKEN_RE.findall(t), shingle_n)
-        keys.append(int(crc64_array([min(sh)] if sh else [b""])[0]) & 0x7FFFFFFF)
+        keys.append(md5_64(min(sh) if sh else b"") & 0x7FFFFFFF)
     out = pd.DataFrame(
         {
             "doc_id": df["doc_id"].astype("int64"),
@@ -532,8 +534,8 @@ class CosineVerifier:
         table = ray.get(emb_ref)
         ids = np.asarray(table["vec_id"].to_pylist())
         mat = np.array(table["embedding"].to_pylist(), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         self.row = {int(i): mat[j] for j, i in enumerate(ids)}
+        self.norm = {int(i): float(np.sqrt(mat[j] @ mat[j])) for j, i in enumerate(ids)}
         self.threshold_ppm = threshold_ppm
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -541,7 +543,12 @@ class CosineVerifier:
         for a, b in zip(df["vec_a"], df["vec_b"]):
             if a < 0:  # degenerate-bucket sentinel
                 continue
-            c = int(float(self.row[int(a)] @ self.row[int(b)]) * PPM)
+            a, b = int(a), int(b)
+            # dot/(|a|·|b|) order + round-half-up, exactly as the DuckDB
+            # oracle computes it (pre-normalizing rows changes the float
+            # op sequence and can flip the ppm truncation at the ulp)
+            c = float(self.row[a] @ self.row[b]) / (self.norm[a] * self.norm[b])
+            c = int(np.floor(c * PPM + 0.5))
             if c >= self.threshold_ppm:
                 rows["vec_a"].append(int(a))
                 rows["vec_b"].append(int(b))
@@ -614,11 +621,12 @@ def _verify_vec_pairs_by_join(
             )
         a = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_a"]])
         b = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["emb_b"]])
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        b /= np.linalg.norm(b, axis=1, keepdims=True)
-        # row-wise dot, then the same float→ppm truncation as the
-        # broadcast CosineVerifier (int() truncates toward zero)
-        cos = ((a * b).sum(axis=1) * PPM).astype(np.int64)
+        # per-pair dot/(|a|·|b|) + round-half-up, the same float op order
+        # as the broadcast CosineVerifier and the DuckDB oracle
+        dots = np.array([float(ra @ rb) for ra, rb in zip(a, b)])
+        na = np.array([float(np.sqrt(ra @ ra)) for ra in a])
+        nb = np.array([float(np.sqrt(rb @ rb)) for rb in b])
+        cos = np.floor(dots / (na * nb) * PPM + 0.5).astype(np.int64)
         keep = cos >= threshold_ppm
         return pd.DataFrame(
             {
