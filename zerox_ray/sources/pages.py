@@ -81,11 +81,12 @@ def read_pages(
     read_cols = cols if not latest_snapshot_only else list(
         dict.fromkeys(["warc_ts", *cols])
     )
-    from zerox_ray.sources.tables import strip_schema_metadata
+    from zerox_ray.sources.tables import clean_read_schema
 
+    paths = list(path) if isinstance(path, (list, tuple)) else path
     ds = ray.data.read_parquet(
-        list(path) if isinstance(path, (list, tuple)) else path, columns=read_cols
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
+        paths, columns=read_cols, schema=clean_read_schema(paths, read_cols)
+    )
     if latest_snapshot_only:
         ds = latest_snapshots(ds, keep_columns=cols)
     return ds

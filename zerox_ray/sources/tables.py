@@ -48,20 +48,43 @@ def strip_schema_metadata(t):
     """Drop per-file schema metadata (e.g. the b'pandas' blob pandas
     writers embed): a pyarrow Schema carrying a metadata dict is
     UNHASHABLE, which defeats Ray's shuffle-side schema deduplication and
-    logs a 'Failed to hash the schemas' warning per reduce task. Fused
-    into the read as a zero-copy map."""
+    logs a 'Failed to hash the schemas' warning per reduce task. Reads
+    strip at the source via ``clean_read_schema``; this map remains for
+    stages whose pandas→Arrow conversion re-attaches the blob."""
     return t.replace_schema_metadata(None)
+
+
+def clean_read_schema(path: str | list, columns: list[str] | None):
+    """Metadata-free (and column-pruned) schema for ``read_parquet``'s
+    ``schema=`` argument, from one footer. Passing it makes the READ
+    OPERATOR itself emit hashable schemas — stripping in a downstream map
+    still leaves the read's own blocks warning per task. Returns None
+    (let Ray infer) when no footer is readable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(p):
+        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        if not files:
+            return None
+        p = files[0]
+    try:
+        full = pq.read_schema(p).remove_metadata()
+    except OSError:
+        return None
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
 
 
 def read_table(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned parquet read; bounded block count for small inputs
     (see module docstring), Ray-default splitting for large ones."""
-    kwargs: dict = {"columns": columns}
+    kwargs: dict = {"columns": columns, "schema": clean_read_schema(path, columns)}
     try:
         if _input_bytes(path) <= SMALL_TABLE_MAX_BYTES:
             kwargs["override_num_blocks"] = small_read_blocks()
     except OSError:
         pass  # unreadable size → let Ray decide
-    return ray.data.read_parquet(path, **kwargs).map_batches(
-        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return ray.data.read_parquet(path, **kwargs)
