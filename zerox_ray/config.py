@@ -41,8 +41,9 @@ class ZeroxConfig:
     # page_count-aware skew handling: docs estimated above this many
     # pages are pre-chunked into page-range work items so split/score
     # cost per row is bounded (stages/split.py:chunk_giant_docs).
-    # None disables chunking.
-    giant_page_threshold: int | None = 8
+    # None disables chunking. Default 64 = pathological-PDF guard that
+    # never fires on typical web documents (see GIANT_PAGE_THRESHOLD).
+    giant_page_threshold: int | None = 64
     actor_concurrency: tuple[int, int] | int | None = None  # None → (1, CPUs)
     # None → auto: actor pools iff the model provider holds real state
     # (network clients, warm parsers); the deterministic model is a pure

@@ -27,8 +27,12 @@ import pyarrow as pa
 from zerox_ray.functions import htmlx, pdfx, sheetx
 
 #: docs with more estimated pages than this are pre-chunked (ZeroxConfig
-#: default; None disables)
-GIANT_PAGE_THRESHOLD = 8
+#: default; None disables). 64 bounds a pathological PDF's per-row cost
+#: at ~25× the web-corpus average while never triggering on typical
+#: documents — a threshold near the corpus MEAN makes chunk_giant_docs
+#: copy nearly every batch for no balance gain (measured ~10% of chain
+#: remote wall at threshold 8 on the 2.5-page-mean bench corpus).
+GIANT_PAGE_THRESHOLD = 64
 
 
 def heic_to_jpeg(payload: bytes) -> bytes:
@@ -70,6 +74,14 @@ def chunk_giant_docs(batch: pa.Table, chunk_pages: int) -> pa.Table:
     the url-contiguity invariant the reassembly combiners rely on."""
     counts = np.maximum(batch["page_count"].to_numpy(), 1)
     n_chunks = np.maximum(1, -(-counts // chunk_pages))
+    if not (n_chunks > 1).any():
+        # fast path (the overwhelmingly common batch): nothing to chunk →
+        # append two constant columns zero-copy instead of paying
+        # batch.take()'s full payload copy
+        n = batch.num_rows
+        return batch.append_column(
+            "first_page", pa.array(np.ones(n, dtype=np.int64))
+        ).append_column("last_page", pa.array(np.full(n, -1, dtype=np.int64)))
     idx = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
     starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
     ordinal = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, n_chunks)
