@@ -259,8 +259,17 @@ def revenue_by_priority(sf_dir: str) -> ray.data.Dataset:
 # --- as-of join --------------------------------------------------------------
 
 
-def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One user's events → purchases joined to latest prior view."""
+#: coarse user-hash buckets: map_groups is invoked once per GROUP, so
+#: grouping directly on user_id costs one Python call per user (~ms
+#: each); grouping on a coarse hash gives ~N_USER_BUCKETS calls, each
+#: sessionizing/joining thousands of users with vectorized kernels
+N_USER_BUCKETS = 256
+
+
+def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse bucket of users → purchases joined to each user's
+    latest view at-or-before (merge_asof by=user_id: one C-level pass
+    over all users in the bucket)."""
     g = g.sort_values(["ts", "event_id"], kind="mergesort")
     views = g[g["event_type"] == "view"]
     buys = g[g["event_type"] == "purchase"]
@@ -270,18 +279,31 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
              "user_id": pd.Series([], dtype="int64"),
              "view_ts_us": pd.Series([], dtype="int64")}
         )
-    vts = views["ts"].astype("int64").to_numpy()  # us since epoch
-    bts = buys["ts"].astype("int64").to_numpy()
-    if len(vts) == 0:  # purchases but no views → all unmatched
-        out_ts = np.full(len(bts), -1, dtype=np.int64)
-    else:
-        idx = np.searchsorted(vts, bts, side="right") - 1
-        out_ts = np.where(idx >= 0, vts[np.clip(idx, 0, None)], -1)
+    m = pd.merge_asof(
+        pd.DataFrame(
+            {
+                "ts": buys["ts"].astype("int64").to_numpy(),
+                "event_id": buys["event_id"].astype("int64").to_numpy(),
+                "user_id": buys["user_id"].astype("int64").to_numpy(),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "ts": views["ts"].astype("int64").to_numpy(),
+                "user_id": views["user_id"].astype("int64").to_numpy(),
+                "view_ts_us": views["ts"].astype("int64").to_numpy(),
+            }
+        ),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
     return pd.DataFrame(
         {
-            "event_id": buys["event_id"].astype("int64").to_numpy(),
-            "user_id": buys["user_id"].astype("int64").to_numpy(),
-            "view_ts_us": out_ts.astype("int64"),
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "view_ts_us": m["view_ts_us"].fillna(-1).astype("int64"),
         }
     )
 
@@ -293,11 +315,13 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
-    ).map_batches(  # vectorized predicate, not a per-row filter UDF
-        lambda df: df[df["event_type"].isin(["purchase", "view"])],
+    ).map_batches(  # vectorized predicate + coarse bucket key in one pass
+        lambda df: df[df["event_type"].isin(["purchase", "view"])].assign(
+            bucket=lambda d: (d["user_id"] % N_USER_BUCKETS).astype("int64")
+        ),
         batch_format="pandas",
     )
-    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(_asof_bucket, batch_format="pandas")
 
 
 # --- session windows ---------------------------------------------------------
@@ -305,23 +329,39 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
 _US = 1_000_000
 
 
-def _sessionize_group(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+def _sessionize_bucket(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """One coarse bucket of users → session rows, fully vectorized across
+    ALL users at once: session boundaries are run starts in the
+    (user_id, ts, event_id)-sorted stream (user change OR gap), and each
+    session's (n_events, start, end) falls out of run-length indexing —
+    no per-user Python call, no pandas groupby."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     ts = g["ts"].astype("int64").to_numpy()
-    new_session = np.ones(len(ts), dtype=np.int64)
-    if len(ts) > 1:
-        new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-    sid = np.cumsum(new_session)
-    df = pd.DataFrame({"session_id": sid, "ts": ts})
-    out = (
-        df.groupby("session_id", sort=True)
-        .agg(n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max"))
-        .reset_index()
-    )
-    out.insert(0, "user_id", np.int64(g["user_id"].iloc[0]))
-    return out.astype(
-        {"user_id": "int64", "session_id": "int64", "n_events": "int64",
-         "start_us": "int64", "end_us": "int64"}
+    uid = g["user_id"].astype("int64").to_numpy()
+    n = len(ts)
+    if n == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("user_id", "session_id", "n_events", "start_us", "end_us")}
+        )
+    new = np.ones(n, dtype=bool)
+    new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+    gsid = np.cumsum(new)  # global session ordinal over the bucket
+    # per-user session_id restarting at 1: subtract the user's first ordinal
+    ustart = np.ones(n, dtype=bool)
+    ustart[1:] = uid[1:] != uid[:-1]
+    first_gsid = gsid[ustart]  # one per user, in stream order
+    sid = gsid - first_gsid[np.cumsum(ustart) - 1] + 1
+    s0 = np.flatnonzero(new)               # first row of each session
+    s1 = np.r_[s0[1:], n] - 1              # last row of each session
+    return pd.DataFrame(
+        {
+            "user_id": uid[s0],
+            "session_id": sid[s0],
+            "n_events": (s1 - s0 + 1).astype(np.int64),
+            "start_us": ts[s0],
+            "end_us": ts[s1],
+        }
     )
 
 
@@ -333,9 +373,14 @@ def events_sessions(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
 
     ds = read_table(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"] % N_USER_BUCKETS).astype("int64")
+        ),
+        batch_format="pandas",
     )
-    return ds.groupby("user_id").map_groups(
-        lambda g: _sessionize_group(g, gap_us), batch_format="pandas"
+    return ds.groupby("bucket").map_groups(
+        lambda g: _sessionize_bucket(g, gap_us), batch_format="pandas"
     ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
 
 
