@@ -211,8 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_embedding_cosine": _q_embedding_cosine,
-        # interpolation-based sketch (rows-only: the merged-histogram
-        # interpolation is deterministic but pytest-checked, not SQL)
         "price_quantiles_sketch": price_quantiles,
         # approximate ANN (rows-only: recall-tested vs brute force in pytest)
         "ann_ivf_topk": ann_ivf_topk,
@@ -914,4 +912,37 @@ SELECT doc_a, doc_b, hamming FROM sh_pairs WHERE hamming <= 3""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
+        # mirrors sketches.histogram_quantiles: full 0..255 bin axis,
+        # cumulative counts, first bin with cum ≥ q·total, linear
+        # interpolation inside it — the same float op order throughout
+        "price_quantiles_sketch": """
+WITH pq_h AS (
+  SELECT CAST(least(floor(l_extendedprice / (200000.0 / 256)), 255) AS BIGINT) AS bin_id,
+         count(*) AS n_items FROM lineitem GROUP BY bin_id
+),
+pq_bins AS (
+  SELECT b.bin_id, COALESCE(h.n_items, 0) AS n_items,
+         sum(COALESCE(h.n_items, 0)) OVER (ORDER BY b.bin_id) AS cum
+  FROM (SELECT unnest(range(0,256)) AS bin_id) b LEFT JOIN pq_h h USING (bin_id)
+),
+pq_total AS (SELECT max(cum) AS total FROM pq_bins),
+pq_qs(q_ppm, q) AS (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)),
+pq_pick AS (
+  SELECT q_ppm, q, min(bin_id) AS b
+  FROM pq_qs, pq_bins, pq_total
+  WHERE CAST(cum AS DOUBLE) >= q * total
+  GROUP BY q_ppm, q
+),
+pq_val AS (
+  SELECT p.q_ppm,
+         (p.b + CASE WHEN bb.n_items = 0 THEN 0.0
+                ELSE (p.q * t.total - CAST(COALESCE(prev.cum, 0) AS DOUBLE)) / bb.n_items END)
+         * (200000.0 / 256) AS value
+  FROM pq_pick p
+  JOIN pq_bins bb ON bb.bin_id = p.b
+  LEFT JOIN pq_bins prev ON prev.bin_id = p.b - 1
+  CROSS JOIN pq_total t
+)
+SELECT q_ppm, value FROM pq_val
+""",
     }
