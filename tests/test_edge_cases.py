@@ -7,11 +7,11 @@ import pytest
 from zerox_ray.functions.schema import validate_llm_params
 from zerox_ray.models.mock import DeterministicExtractorModel
 from zerox_ray.pipelines.dataops import _quality_batch
-from zerox_ray.pipelines.relational import _asof_group
+from zerox_ray.pipelines.relational import _asof_bucket
 from zerox_ray.stages.reassemble import _cached_model
 
 
-def test_asof_group_purchases_without_views():
+def test_asof_bucket_purchases_without_views():
     g = pd.DataFrame(
         {
             "event_id": [1, 2],
@@ -20,7 +20,7 @@ def test_asof_group_purchases_without_views():
             "event_type": ["purchase", "purchase"],
         }
     )
-    out = _asof_group(g)
+    out = _asof_bucket(g)
     assert list(out.view_ts_us) == [-1, -1]
 
 

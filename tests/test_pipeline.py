@@ -416,3 +416,28 @@ def test_extracted_pages_maintain_format_combiner(pages_dir):
     assert expect_marker.sum() > 500  # substantial coverage
     first = got[(got.page_index == 1) & (got.status == "SUCCESS")]
     assert not first.content.str.startswith("<!-- cont:").any()
+
+
+class TestLogprobs:
+    """logprobs opt-in (reference types.ts:234-242): the column exists iff
+    the model was asked for logprobs, stable across success AND error rows."""
+
+    def test_logprobs_column_present_and_deterministic(self):
+        ds = _pages_table(
+            [("u1", build_html(0, ["alpha beta gamma"], False)), ("u2", b"\x00garbage")]
+        )
+        cfg = ZeroxConfig(model_kwargs={"logprobs": True})
+        pages = _sorted(extracted_pages(ds, cfg).to_pandas(), "url")
+        assert "logprobs" in pages.columns
+        ok = pages[pages.url == "u1"].iloc[0]
+        assert len(ok.logprobs) > 0
+        # deterministic scoring: -len(token)/10 per content token
+        first = ok.logprobs[0]
+        assert first["logprob"] == -len(first["token"]) / 10.0
+        err = pages[pages.url == "u2"].iloc[0]
+        assert err.status == "ERROR" and len(err.logprobs) == 0
+
+    def test_logprobs_absent_by_default(self):
+        ds = _pages_table([("u1", build_html(0, ["alpha"], False))])
+        pages = extracted_pages(ds).to_pandas()
+        assert "logprobs" not in pages.columns

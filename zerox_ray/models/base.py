@@ -32,6 +32,9 @@ class Completion:
     output_tokens: int
     error: str | None = None
     tail: str = ""
+    #: optional per-token logprobs (reference types.ts:234-242: emitted
+    #: only when llmParams request them); None = not requested
+    logprobs: list[dict] | None = None
 
 
 @dataclass

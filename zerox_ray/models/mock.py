@@ -49,8 +49,13 @@ class DeterministicExtractorModel(ScorerModel):
         self,
         prior_tail_chars: int = PRIOR_TAIL_CHARS,
         prompt: str | None = None,
+        logprobs: bool = False,
     ):
         self.prior_tail_chars = prior_tail_chars
+        # logprobs opt-in (reference types.ts:234-242 via llmParams): the
+        # deterministic stand-in scores each content token by length —
+        # stable across runs, so the column is testable end-to-end
+        self.logprobs = logprobs
         # custom system prompt (ZeroxConfig.prompt → createModel,
         # reference index.ts:76). The real models send it to the LLM; the
         # deterministic model makes the conditioning byte-observable with
@@ -84,7 +89,13 @@ class DeterministicExtractorModel(ScorerModel):
         tail = text[-self.prior_tail_chars :] if self.prior_tail_chars > 0 else ""
         if maintain_format and prior_tail:
             text = f"<!-- cont:{prior_tail} -->\n{text}"
-        return Completion(text, in_tok, _tokens(len(text)), tail=tail)
+        lp = None
+        if self.logprobs:
+            lp = [
+                {"token": t, "logprob": -len(t) / 10.0}
+                for t in TOKEN_RE.findall(text)
+            ]
+        return Completion(text, in_tok, _tokens(len(text)), tail=tail, logprobs=lp)
 
     def extract(self, content: str, schema: dict) -> Extraction:
         """Rule-based structured extraction: each schema property is computed

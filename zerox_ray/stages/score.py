@@ -34,6 +34,16 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
+#: logprobs column type (reference types.ts:234-242: LogprobsToken[]);
+#: present only when the model was asked for logprobs — the reference
+#: likewise omits the field unless llmParams request it
+LOGPROBS_TYPE = pa.list_(
+    pa.struct([("token", pa.string()), ("logprob", pa.float64())])
+)
+EXTRACTED_SCHEMA_LOGPROBS = EXTRACTED_SCHEMA.append(
+    pa.field("logprobs", LOGPROBS_TYPE)
+)
+
 STATUS_SUCCESS = "SUCCESS"
 STATUS_ERROR = "ERROR"
 
@@ -52,13 +62,15 @@ def completion_to_row(url, pid, page_index, completion) -> dict:
         "error": completion.error or "",
         "input_tokens": completion.input_tokens,
         "output_tokens": completion.output_tokens,
+        "logprobs": completion.logprobs or [],
     }
 
 
-def rows_to_table(rows: list[dict]) -> pa.Table:
-    cols = {name: [r[name] for r in rows] for name in EXTRACTED_SCHEMA.names}
+def rows_to_table(rows: list[dict], with_logprobs: bool = False) -> pa.Table:
+    schema = EXTRACTED_SCHEMA_LOGPROBS if with_logprobs else EXTRACTED_SCHEMA
+    cols = {name: [r[name] for r in rows] for name in schema.names}
     return pa.table(
-        {n: pa.array(cols[n], EXTRACTED_SCHEMA.field(n).type) for n in EXTRACTED_SCHEMA.names}
+        {n: pa.array(cols[n], schema.field(n).type) for n in schema.names}
     )
 
 
@@ -76,6 +88,10 @@ class Scorer:
         self.model = create_model(model_provider, **(model_kwargs or {}))
         self.error_mode = error_mode
         self.max_retries = max_retries
+        # schema is config-stable: the logprobs column exists iff the
+        # model was asked for logprobs, for EVERY batch (error rows emit
+        # an empty list) — per-batch schema drift would break the union
+        self.with_logprobs = bool((model_kwargs or {}).get("logprobs"))
 
     def _complete_with_retries(self, fragment: bytes, kind: str):
         attempt = 0
@@ -110,4 +126,4 @@ class Scorer:
             else:
                 comp = self._complete_with_retries(frag, kind)
             rows.append(completion_to_row(url, pid, idx, comp))
-        return rows_to_table(rows)
+        return rows_to_table(rows, with_logprobs=self.with_logprobs)
