@@ -160,6 +160,15 @@ def _q_structured_pages(sf_dir: str):
     )
 
 
+def _q_ann_ivf_full_probe(sf_dir: str):
+    """IVF search probing ALL clusters: algebraically identical to the
+    brute-force top-k, which makes the whole IVF path (k-means centroid
+    assignment, probe masking, per-batch partial top-k, grouped merge)
+    checkable against the exact SQL oracle; the probe-limited variant
+    stays a recall-tested rows-only query."""
+    return ann_ivf_topk(sf_dir, n_probe=16)
+
+
 def _q_embedding_cosine(sf_dir: str):
     """Sign-LSH + exact-cosine near-dup over embeddings. Registered with
     threshold_ppm=0: the synthetic corpus has no true near-dups (max
@@ -214,6 +223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_sketch": price_quantiles,
         # approximate ANN (rows-only: recall-tested vs brute force in pytest)
         "ann_ivf_topk": ann_ivf_topk,
+        # IVF with every centroid probed is EXACT — same answer as brute
+        # force — so the full IVF machinery (centroid assignment, probe
+        # masking, partial top-k, merge) gets a value-hash oracle too
+        "ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "media_features": media_features,
         "media_thumbnails": media_thumbnails,
         "media_cleanup": media_cleanup,
@@ -675,6 +688,20 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copi
 FROM documents GROUP BY text
 """,
         "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+        # full-probe IVF is exact: same oracle as the brute-force query
+        "ann_ivf_full_probe": """
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
 ), s AS (
