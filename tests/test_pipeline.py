@@ -441,3 +441,23 @@ class TestLogprobs:
         ds = _pages_table([("u1", build_html(0, ["alpha"], False))])
         pages = extracted_pages(ds).to_pandas()
         assert "logprobs" not in pages.columns
+
+
+class TestCfbRouting:
+    """M2→M3: CFB payloads route through the office→pdf convert seam; in
+    this runtime (no libreoffice) they become ERROR rows carrying the
+    seam's reason, not a generic unsupported-kind message."""
+
+    def test_cfb_error_row_names_the_convert_seam(self):
+        cfb = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"fakedoc" * 10
+        ds = _pages_table([("u1", cfb)])
+        pages = extracted_pages(ds).to_pandas()
+        row = pages.iloc[0]
+        assert row.status == "ERROR"
+        assert "libreoffice" in row.error
+
+    def test_cfb_throw_mode_raises(self):
+        cfb = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"fakedoc" * 10
+        ds = _pages_table([("u1", cfb)])
+        with pytest.raises(Exception):
+            extracted_pages(ds, ZeroxConfig(error_mode="THROW")).to_pandas()

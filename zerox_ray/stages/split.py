@@ -130,6 +130,12 @@ class PageSplitter:
             # a vision-capable provider scores it, the deterministic
             # model reports the kind as unsupported (honest error row)
             return "image", [heic_to_jpeg(payload)]
+        if kind == "cfb":
+            # M2→M3 routing (checkIsCFBFile → convertFileToPdf → the pdf
+            # branch, reference index.ts:214-231): convert, then split
+            # like any PDF; without libreoffice the convert seam raises
+            # and this doc becomes an ERROR row, never a poisoned block
+            return "pdf", pdfx.split_pdf_pages(convert_office_payload(payload))
         raise ValueError(f"unsupported or corrupt payload (kind={kind})")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -187,32 +193,51 @@ class PageSplitter:
         )
 
 
+def convert_office_payload(payload: bytes) -> bytes:
+    """M3 (convertFileToPdf, node-zerox/src/utils/file.ts:129-150):
+    legacy-Office (CFB) / docx payload → PDF bytes via headless
+    libreoffice when the cluster ships it (the same import-try seam shape
+    as openpyxl/pypdf/pillow-heif); else a clearly-marked
+    NotImplementedError, which the splitter turns into an ERROR row under
+    errorMode IGNORE."""
+    import shutil
+
+    soffice = shutil.which("soffice")
+    if soffice is None:  # pragma: no cover - runtime has no libreoffice
+        raise NotImplementedError(
+            "office→pdf conversion requires libreoffice (soffice), which is "
+            "not available in this runtime"
+        )
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="zx-office-") as td:
+        src = os.path.join(td, "doc.doc")
+        with open(src, "wb") as fh:
+            fh.write(payload)
+        subprocess.run(
+            [soffice, "--headless", "--convert-to", "pdf", "--outdir", td, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        with open(os.path.join(td, "doc.pdf"), "rb") as fh:
+            return fh.read()
+
+
 class OfficeToPdf:
-    """M3 parity stub (convertFileToPdf, node-zerox/src/utils/file.ts:129-150):
-    legacy-Office (CFB) / docx payloads → PDF via a warm libreoffice
-    subprocess pool. No office runtime exists in this container, so the
-    stage raises clearly; on a cluster with soffice installed, implement
-    ``_convert`` and route kind='cfb' through this actor pool BEFORE the
-    PageSplitter — no other stage changes."""
+    """Actor-pool wrapper over ``convert_office_payload`` for bulk
+    conversion ahead of the splitter (warm soffice per actor). The
+    in-splitter kind='cfb' route calls the function directly."""
 
     def __init__(self):
         import shutil
 
         self.soffice = shutil.which("soffice")
 
-    def _convert(self, payload: bytes) -> bytes:
-        raise NotImplementedError(
-            "office→pdf conversion requires libreoffice (soffice), which is "
-            "not available in this runtime"
-        )
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.soffice is None:
-            raise NotImplementedError(
-                "office→pdf conversion requires libreoffice (soffice), which "
-                "is not available in this runtime"
-            )
-        payloads = [self._convert(bytes(p)) for p in batch["html"].to_pylist()]
+        payloads = [convert_office_payload(bytes(p)) for p in batch["html"].to_pylist()]
         return batch.set_column(
             batch.schema.get_field_index("html"), "html", pa.array(payloads, pa.binary())
         )
