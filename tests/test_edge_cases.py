@@ -67,7 +67,11 @@ def test_sliding_nondivisible_counts_every_window(sf_dir):
 
 
 def test_quality_zero_token_doc():
-    out = _quality_batch(pd.DataFrame({"doc_id": [0], "text": ["12345 !!"]}))
+    import pyarrow as pa
+
+    out = _quality_batch(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["12345 !!"], pa.string())})
+    ).to_pandas()
     assert out.stop_ratio_ppm.dtype == "int64"
     assert out.stop_ratio_ppm.iloc[0] == 0 and out.avg_token_len_ppm.iloc[0] == 0
 

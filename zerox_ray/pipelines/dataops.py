@@ -34,20 +34,32 @@ PPM = 1_000_000
 # --- token / quality analysis ------------------------------------------------
 
 
-def _token_partials(df: pd.DataFrame) -> pd.DataFrame:
-    toks = df["text"].str.count(TOKEN_RE)
-    part = pd.DataFrame(
-        {"lang": df["lang"], "n_docs": 1, "total_tokens": toks, "total_chars": df["text"].str.len()}
+def _token_partials(t: pa.Table) -> pa.Table:
+    """Arrow-native partial: pc.count_substring_regex (RE2) matches
+    Python re semantics for these class-only patterns; no Arrow→pandas
+    string materialization on the hot read path."""
+    part = pa.table(
+        {
+            "lang": t["lang"],
+            "n_docs": pa.array([1] * t.num_rows, pa.int64()),
+            "total_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], TOKEN_RE.pattern), pa.int64()
+            ),
+            "total_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }
     )
-    out = part.groupby("lang", as_index=False).sum()
-    return out.astype({"n_docs": "int64", "total_tokens": "int64", "total_chars": "int64"})
+    return part.group_by("lang").aggregate(
+        [("n_docs", "sum"), ("total_tokens", "sum"), ("total_chars", "sum")]
+    ).rename_columns(["lang", "n_docs", "total_tokens", "total_chars"])
 
 
 def token_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-language token/char counts with per-batch partial aggregation.
     Output: (lang, n_docs, total_tokens, total_chars)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
-    partials = ds.map_batches(_token_partials, batch_format="pandas")
+    partials = ds.map_batches(
+        _token_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
     return bucketed_group_agg(
         partials,
         ["lang"],
@@ -59,25 +71,30 @@ def token_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _quality_batch(df: pd.DataFrame) -> pd.DataFrame:
-    n_tokens = df["text"].str.count(TOKEN_RE).astype("int64")
-    n_stop = df["text"].str.count(STOPWORD_RE).astype("int64")
-    letters = df["text"].str.count(r"[a-z]").astype("int64")
-    return pd.DataFrame(
+def _quality_batch(t: pa.Table) -> pa.Table:
+    """Arrow-native per-doc features: RE2 count kernels over the string
+    column (zero-copy from the object store), integer ppm arithmetic.
+    Zero-token docs get ratio 0 (divide-by-clipped + if_else keeps the
+    columns int64 — no NaN-driven float upcast)."""
+    n_tokens = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE.pattern), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(t["text"], STOPWORD_RE.pattern), pa.int64())
+    letters = pc.cast(pc.count_substring_regex(t["text"], "[a-z]"), pa.int64())
+    has_tokens = pc.greater(n_tokens, 0)
+    clipped = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+    zero = pa.scalar(0, pa.int64())
+    ppm = pa.scalar(PPM, pa.int64())
+    return pa.table(
         {
-            "doc_id": df["doc_id"].astype("int64"),
-            "n_chars": df["text"].str.len().astype("int64"),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             "n_tokens": n_tokens,
             "n_stopwords": n_stop,
-            # integer ppm (floor) — exactly reproducible in SQL with //;
-            # zero-token docs get ratio 0 (pandas int64 // 0 would yield
-            # NaN and silently flip the columns to float64)
-            "stop_ratio_ppm": ((PPM * n_stop) // n_tokens.clip(lower=1)).where(
-                n_tokens > 0, 0
-            ).astype("int64"),
-            "avg_token_len_ppm": ((PPM * letters) // n_tokens.clip(lower=1)).where(
-                n_tokens > 0, 0
-            ).astype("int64"),
+            "stop_ratio_ppm": pc.if_else(
+                has_tokens, pc.divide(pc.multiply(ppm, n_stop), clipped), zero
+            ),
+            "avg_token_len_ppm": pc.if_else(
+                has_tokens, pc.divide(pc.multiply(ppm, letters), clipped), zero
+            ),
         }
     )
 
@@ -88,7 +105,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     vectorized. Output: (doc_id, n_chars, n_tokens, n_stopwords,
     stop_ratio_ppm, avg_token_len_ppm)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(_quality_batch, batch_format="pandas")
+    return ds.map_batches(_quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -137,19 +154,32 @@ import re as _re
 _LANG_RES = {lang: _re.compile(p) for lang, p in _LANG_PROFILES.items()}
 
 
-def _lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized: one str.count pass per language profile, argmax with a
-    deterministic tie-break (alphabetical), 'und' when nothing matches."""
-    counts = {lang: df["text"].str.count(rx) for lang, rx in sorted(_LANG_RES.items())}
-    mat = pd.DataFrame(counts)
-    best = mat.idxmax(axis=1)
-    best_n = mat.max(axis=1)
-    pred = best.where(best_n > 0, "und")
-    return pd.DataFrame(
+def _lang_id_batch(t: pa.Table) -> pa.Table:
+    """Arrow-native: one RE2 count pass per language profile, numpy
+    argmax with a deterministic tie-break (alphabetical — argmax picks
+    the first maximum of the sorted-lang stack), 'und' when nothing
+    matches."""
+    import numpy as np
+
+    langs = sorted(_LANG_RES)
+    mat = np.stack(
+        [
+            pc.cast(
+                pc.count_substring_regex(t["text"], _LANG_RES[lang].pattern),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            for lang in langs
+        ]
+    )
+    best = mat.argmax(axis=0)
+    best_n = mat.max(axis=0)
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_n <= 0] = "und"
+    return pa.table(
         {
-            "doc_id": df["doc_id"].astype("int64"),
-            "pred_lang": pred.astype(str),
-            "n_matches": best_n.astype("int64"),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "pred_lang": pa.array(pred, pa.string()),
+            "n_matches": pa.array(best_n, pa.int64()),
         }
     )
 
@@ -158,7 +188,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID over documents.
     Output: (doc_id, pred_lang, n_matches)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(_lang_id_batch, batch_format="pandas")
+    return ds.map_batches(_lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- windowed aggregate over the events stream table -------------------------
@@ -279,14 +309,15 @@ def quality_filter(
     web-corpus pruning step built on quality_scores.
     Output: (doc_id, n_tokens, stop_ratio_ppm) for SURVIVING docs."""
     scored = quality_scores(sf_dir)
-    return scored.map_batches(
-        lambda df: df.loc[
-            (df["n_tokens"] >= min_tokens)
-            & (df["stop_ratio_ppm"] <= max_stop_ratio_ppm),
-            ["doc_id", "n_tokens", "stop_ratio_ppm"],
-        ],
-        batch_format="pandas",
-    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["n_tokens"], min_tokens),
+            pc.less_equal(t["stop_ratio_ppm"], max_stop_ratio_ppm),
+        )
+        return t.filter(mask).select(["doc_id", "n_tokens", "stop_ratio_ppm"])
+
+    return scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def top_orders_per_priority(sf_dir: str, k: int = 3) -> ray.data.Dataset:
