@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Sum
 
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
+    decontaminate,
     dedup_exact,
     events_hourly,
     lang_id,
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
+        "decontaminate": decontaminate,
         "events_hourly": events_hourly,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
@@ -937,6 +939,33 @@ sh_pairs AS (
 )
 SELECT doc_a, doc_b, hamming FROM sh_pairs WHERE hamming <= 3""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # mirrors dataops.decontaminate: held-out slice doc_id%97==3 is
+        # the benchmark; overlap = |sh ∩ bench| / |sh| (ppm floor, same
+        # divide-then-multiply float order); survivors ≤ 800000 ppm
+        "decontaminate": """
+WITH dc_tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+dc_sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM dc_tk
+),
+dc_bench AS (
+  SELECT list(DISTINCT u.s) AS bs
+  FROM dc_sh, unnest(dc_sh.sh) AS u(s)
+  WHERE doc_id % 97 = 3
+),
+dc_ov AS (
+  SELECT d.doc_id,
+         CASE WHEN len(d.sh) = 0 THEN 0
+              ELSE CAST(floor(CAST(len(list_intersect(d.sh, COALESCE(b.bs, []))) AS DOUBLE)
+                        / len(d.sh) * 1000000) AS BIGINT)
+         END AS overlap_ppm
+  FROM dc_sh d CROSS JOIN dc_bench b
+)
+SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
+""",
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
         # mirrors sketches.histogram_quantiles: full 0..255 bin axis,

@@ -124,3 +124,15 @@ def test_sample_documents_deterministic(sf_dir):
     b = set(sample_documents(sf_dir, 200_000).to_pandas().doc_id)
     assert a == b
     assert 0.1 < len(a) / 500 < 0.35  # ~20% nominal rate
+
+
+def test_decontaminate_drops_benchmark_members(sf_dir):
+    from zerox_ray.pipelines.dataops import decontaminate
+
+    out = decontaminate(sf_dir).to_pandas()
+    # every held-out benchmark doc overlaps itself 100% → dropped
+    assert not any(out.doc_id % 97 == 3)
+    # overlap values are ppm-bounded and survivors respect the ceiling
+    assert out.overlap_ppm.between(0, 800_000).all()
+    # non-benchmark docs survive (the filter is targeted, not a purge)
+    assert len(out) > 0

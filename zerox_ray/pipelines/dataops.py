@@ -385,3 +385,68 @@ def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": ids[h < rate_ppm]})
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def decontaminate(
+    sf_dir: str,
+    benchmark_mod: int = 97,
+    benchmark_rem: int = 3,
+    shingle_n: int = 3,
+    max_overlap_ppm: int = 800_000,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile dedup
+    step): drop training documents whose token-shingle overlap with a
+    held-out benchmark set exceeds ``max_overlap_ppm``.
+
+    The benchmark here is the deterministic held-out slice
+    ``doc_id % benchmark_mod == benchmark_rem`` — self-contained and
+    SQL-mirrorable, standing in for an external eval set.
+
+    Scale shape: the benchmark is the SMALL side by definition (eval
+    sets are fixed-size while the corpus grows), so its shingle set is
+    collected once on the driver and broadcast via one ``ray.put``;
+    each worker reads it zero-copy and scores batches vectorized-ish
+    (set intersection per doc). The corpus side streams — no shuffle
+    at all. Output: (doc_id, overlap_ppm) for SURVIVING documents
+    (benchmark members overlap 100% and are dropped by construction).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from zerox_ray.functions.text import TOKEN_RE
+    from zerox_ray.functions.hashing import token_shingles
+
+    # small side: benchmark rows only (pushed-down filter at the read)
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = bench_tbl["doc_id"].to_numpy()
+    bench_texts = bench_tbl.filter(
+        pa.array(ids % benchmark_mod == benchmark_rem)
+    )["text"].to_pylist()
+    bench_shingles = set()
+    for t in bench_texts:
+        bench_shingles.update(token_shingles(TOKEN_RE.findall(t), shingle_n))
+    bench_ref = ray.put(frozenset(bench_shingles))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        ids, ppms = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh = set(token_shingles(TOKEN_RE.findall(text), shingle_n))
+            ppm = int(len(sh & bench) / len(sh) * PPM) if sh else 0
+            if ppm <= max_overlap_ppm:
+                ids.append(int(doc_id))
+                ppms.append(ppm)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "overlap_ppm": pd.Series(ppms, dtype="int64"),
+            }
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pandas")
