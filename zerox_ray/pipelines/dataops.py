@@ -450,3 +450,96 @@ def decontaminate(
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(score, batch_format="pandas")
+
+
+# --- token-budget shard packing -----------------------------------------------
+
+#: coarse doc_id ranges for the distributed prefix sum (token_shards)
+_SHARD_RANGE = 4096
+
+
+def token_shards(sf_dir: str, tokens_per_shard: int = 50_000) -> ray.data.Dataset:
+    """Pack documents into ~equal-token training shards (the LLM
+    pretraining data-prep step): shard_id = exclusive-prefix token count
+    in doc_id order // tokens_per_shard, so every shard except the last
+    holds ≥ tokens_per_shard tokens and doc order is preserved.
+
+    Scale shape — distributed prefix sum, the textbook two-pass:
+    1. per-batch partial token sums per coarse doc_id RANGE
+       (doc_id // _SHARD_RANGE) → tiny grouped sum (~n_docs/4096 rows);
+    2. the range-sum table alone is prefix-scanned ON THE DRIVER
+       (bounded: 10^12 docs → 244M ranges… at that scale raise
+       _SHARD_RANGE; the table shrinks linearly) and broadcast;
+    3. a second streaming pass computes each doc's within-range
+       exclusive cumsum and adds its range's offset — no all-to-all at
+       any point.
+
+    Output: (doc_id, n_tokens, shard_id).
+    """
+    import numpy as np
+    import ray
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens_batch(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], TOKEN_RE.pattern), pa.int64()
+                ),
+            }
+        )
+
+    counted = ds.map_batches(
+        tokens_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused by both passes; 2 int64 columns only
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["doc_id"], _SHARD_RANGE)
+        part = pa.table({"rng": rng, "tok": t["n_tokens"]})
+        return part.group_by("rng").aggregate([("tok", "sum")]).rename_columns(
+            ["rng", "tok"]
+        )
+
+    range_sums = (
+        counted.map_batches(range_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("rng", as_index=False)["tok"]
+        .sum()
+        .sort_values("rng")
+    )
+    # exclusive prefix offset per range
+    offsets = dict(
+        zip(
+            range_sums["rng"].to_numpy(),
+            np.concatenate([[0], np.cumsum(range_sums["tok"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        tok = g["n_tokens"].to_numpy(dtype=np.int64)
+        excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        rng = int(g["doc_id"].iloc[0]) // _SHARD_RANGE
+        excl += int(off[rng])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": tok,
+                "shard_id": (excl // tokens_per_shard).astype(np.int64),
+            }
+        )
+
+    # one group per coarse range: within-range docs must be contiguous
+    # for the exclusive cumsum, and ranges are few (tiny shuffle)
+    return (
+        counted.map_batches(
+            lambda df: df.assign(rng=(df["doc_id"] // _SHARD_RANGE).astype("int64")),
+            batch_format="pandas",
+        )
+        .groupby("rng")
+        .map_groups(assign, batch_format="pandas")
+    )
