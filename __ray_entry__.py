@@ -580,12 +580,19 @@ FROM pages
         "ocr_maintain_format": _PAGES_CTE
         + """
 , mf AS (
+  -- the continuity marker is skipped when the prior page's BASE content
+  -- tail is EMPTY, mirroring the reference's falsy prior-page check
+  -- (node index.ts maintainFormat && priorPage) and the engine's
+  -- `if maintain_format and prior_tail:` (models/mock.py) — exercised
+  -- by short docs whose trailing pages are empty (sf0.001)
   SELECT url, is_err, page_index,
-         CASE WHEN page_index = 1 THEN content
-              ELSE '<!-- cont:' ||
-                   right(lag(content) OVER (PARTITION BY url ORDER BY page_index), 16)
+         CASE WHEN page_index = 1
+                OR COALESCE(right(lag(content) OVER w, 16), '') = ''
+              THEN content
+              ELSE '<!-- cont:' || right(lag(content) OVER w, 16)
                    || ' -->' || e'\n' || content END AS content
   FROM pages
+  WINDOW w AS (PARTITION BY url ORDER BY page_index)
 )
 SELECT url,
        COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,

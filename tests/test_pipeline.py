@@ -461,3 +461,16 @@ class TestCfbRouting:
         ds = _pages_table([("u1", cfb)])
         with pytest.raises(Exception):
             extracted_pages(ds, ZeroxConfig(error_mode="THROW")).to_pandas()
+
+
+def test_maintain_format_skips_marker_on_empty_prior_tail():
+    """Reference parity (index.ts falsy priorPage check): a page whose
+    BASE content is empty contributes NO continuity marker to the next
+    page — short docs with empty trailing pages must not grow phantom
+    '<!-- cont: -->' decorations."""
+    payload = build_html(0, ["tiny", "", ""], False)
+    ds = _pages_table([("u1", payload)])
+    docs = run_ocr(ds, ZeroxConfig(maintain_format=True)).to_pandas()
+    md = docs.iloc[0].markdown
+    assert "<!-- cont:tiny -->" in md  # page 2 conditioned on page 1
+    assert "<!-- cont: -->" not in md  # page 3 gets nothing from empty page 2
