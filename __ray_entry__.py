@@ -993,6 +993,77 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
 """,
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
+        # mirrors testgen.generate_media_table branch-by-branch (the
+        # media table is a pure function of media_id and the documents
+        # row count) + media.MediaFeatureExtractor's feature math; the
+        # rotation branch uses mean-invariance under rot90
+        "media_features": r"""
+WITH md_n AS (SELECT greatest(64, count(*) // 2) AS n FROM documents),
+md_ids AS (SELECT unnest(range((SELECT n FROM md_n))) AS i),
+md_f AS (
+  SELECT i,
+    CASE
+      WHEN i % 3 = 2 THEN 'audio'
+      ELSE 'image'
+    END AS kind,
+    CASE
+      WHEN i % 3 = 2 THEN 0
+      WHEN i % 29 = 6  THEN 16
+      WHEN i % 29 = 12 THEN 16
+      WHEN i % 29 = 20 THEN 18
+      ELSE 8 + i % 24
+    END AS width,
+    CASE
+      WHEN i % 3 = 2 THEN 0
+      WHEN i % 29 = 6  THEN 120
+      WHEN i % 29 = 12 THEN 24
+      WHEN i % 29 = 20 THEN 16
+      ELSE 8 + (i * 7) % 24
+    END AS height,
+    CASE WHEN i % 3 = 2 THEN 8000 ELSE 0 END AS sample_rate,
+    CASE
+      WHEN i % 3 = 2 THEN 64 + (i % 17) * 8
+      WHEN i % 29 = 6  THEN 1920
+      WHEN i % 29 = 12 THEN 384
+      WHEN i % 29 = 20 THEN 288
+      ELSE (8 + i % 24) * (8 + (i * 7) % 24)
+    END AS n_units,
+    CASE
+      -- audio: body[j] = (j*31+i) % 256
+      WHEN i % 3 = 2 THEN list_aggregate(
+        list_transform(range(64 + (i % 17) * 8), j -> (j * 31 + i) % 256), 'sum')
+      -- tall 16x120: 4 bands of striped(16,22,seed=i+band); rows y in
+      -- 0,4,...,20 have dw = max(1, 15-(seed+y)%3) px of 40+(seed+y)%30
+      WHEN i % 29 = 6 THEN 1920 * 255 - list_aggregate(
+        list_transform(range(24), t ->
+          greatest(1, 15 - ((i + t // 6 + (t % 6) * 4) % 3))
+          * (255 - (40 + ((i + t // 6 + (t % 6) * 4) % 30)))), 'sum')
+      -- rotated striped(24,16,i): rows y in 0,4,8,12; mean invariant
+      -- under rotation, so sum over the pre-rotation layout
+      WHEN i % 29 = 12 THEN 384 * 255 - list_aggregate(
+        list_transform(range(4), t ->
+          greatest(1, 23 - ((i + 4 * t) % 3))
+          * (255 - (40 + ((i + 4 * t) % 30)))), 'sum')
+      -- padded striped(12,10,i) in a 16x18 white frame: rows y in 0,4,8
+      WHEN i % 29 = 20 THEN 288 * 255 - list_aggregate(
+        list_transform(range(3), t ->
+          greatest(1, 11 - ((i + 4 * t) % 3))
+          * (255 - (40 + ((i + 4 * t) % 30)))), 'sum')
+      -- plain gradient: body[x] = (x*13+i) % 256
+      ELSE list_aggregate(
+        list_transform(range((8 + i % 24) * (8 + (i * 7) % 24)),
+                       x -> (x * 13 + i) % 256), 'sum')
+    END AS pix_sum
+  FROM md_ids
+)
+SELECT CAST(i AS BIGINT) AS media_id, kind,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(floor(CAST(pix_sum AS DOUBLE) / n_units * 1000000) AS BIGINT) AS mean_value_ppm,
+       'SUCCESS' AS status
+FROM md_f
+""",
         # mirrors sketches.histogram_quantiles: full 0..255 bin axis,
         # cumulative counts, first bin with cum ≥ q·total, linear
         # interpolation inside it — the same float op order throughout
