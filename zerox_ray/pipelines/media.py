@@ -192,6 +192,10 @@ def media_cleanup(sf_dir: str, max_bytes: int = 15 * 1024 * 1024) -> ray.data.Da
     """Image cleanup pipeline over the media table.
     Output: (media_id, fragment_index, payload, width, height)."""
     ds = read_table(media_path_for(sf_dir))
+    # NOTE: Ray logs a per-pool actor-restart caveat (core_worker.cc,
+    # ray#53727) for every Ray Data actor pool in local mode — it comes
+    # from the MapWorker's own stored ctor spec, is benign, and is not
+    # silenceable from user code
     return ds.map_batches(
         MediaCleanup,
         fn_constructor_kwargs={"max_bytes": max_bytes},
