@@ -26,7 +26,9 @@ from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
     decontaminate,
     dedup_exact,
+    repetition_scores,
     token_shards,
+    top_ngrams,
     events_hourly,
     lang_id,
     quality_filter,
@@ -203,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
         "token_shards": token_shards,
+        "repetition_scores": repetition_scores,
+        "top_ngrams": top_ngrams,
         "events_hourly": events_hourly,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
@@ -948,6 +952,43 @@ sh_pairs AS (
 )
 SELECT doc_a, doc_b, hamming FROM sh_pairs WHERE hamming <= 3""",
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # mirrors dataops.repetition_scores: per-doc max bigram count,
+        # integer ppm fraction (2*top*1e6 // n_tokens)
+        "repetition_scores": """
+WITH rs_tk AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+rs_bg AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(range(1, greatest(len(t)-1,0)+1), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM rs_tk
+),
+rs_cnt AS (
+  SELECT doc_id, u.s AS bigram, count(*) AS c
+  FROM rs_bg, unnest(rs_bg.bg) AS u(s)
+  GROUP BY doc_id, u.s
+),
+rs_max AS (SELECT doc_id, max(c) AS top FROM rs_cnt GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN m.top IS NULL THEN 0
+            ELSE (2 * m.top * 1000000) // b.n END AS BIGINT) AS top_bigram_ppm
+FROM rs_bg b LEFT JOIN rs_max m USING (doc_id)
+""",
+        # mirrors dataops.top_ngrams: global bigram counts, top-20 with
+        # the same deterministic tie-break (count DESC, ngram ASC)
+        "top_ngrams": """
+WITH tn_tk AS (
+  SELECT regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+tn_bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+                i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM tn_tk
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tn_bg GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
+""",
         # mirrors dataops.token_shards: exclusive prefix token count in
         # doc_id order, integer-divided by the shard budget
         "token_shards": """

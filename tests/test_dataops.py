@@ -150,3 +150,24 @@ def test_token_shards_pack_in_order(sf_dir):
     assert (totals.iloc[:-1] >= 5_000 - out.n_tokens.max()).all()
     # exclusive-prefix definition: first doc of shard k starts below k*budget + its own tokens
     assert len(totals) > 1
+
+
+def test_repetition_scores_flags_repeats(sf_dir):
+    from zerox_ray.pipelines.dataops import repetition_scores
+
+    out = repetition_scores(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert out.top_bigram_ppm.between(0, 1_000_000).all()
+    # docs with <2 tokens score 0
+    assert (out.loc[out.n_tokens < 2, "top_bigram_ppm"] == 0).all()
+
+
+def test_top_ngrams_deterministic_order(sf_dir):
+    from zerox_ray.pipelines.dataops import top_ngrams
+
+    a = top_ngrams(sf_dir).to_pandas()
+    b = top_ngrams(sf_dir).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 20
+    # counts are non-increasing; ties broken by ngram ascending
+    assert (a.n_occurrences.diff().dropna() <= 0).all()

@@ -543,3 +543,81 @@ def token_shards(sf_dir: str, tokens_per_shard: int = 50_000) -> ray.data.Datase
         .groupby("rng")
         .map_groups(assign, batch_format="pandas")
     )
+
+
+# --- repetition / n-gram statistics -------------------------------------------
+
+
+def repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition signal per document: the fraction of token
+    instances covered by the single most frequent bigram
+    (2 × max bigram count / n_tokens, ppm floor; 0 when fewer than 2
+    tokens). High values flag boilerplate/spam for corpus filtering.
+    Pure map — no shuffle. Output: (doc_id, n_tokens, top_bigram_ppm)."""
+    from collections import Counter
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ntoks, ppms = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = TOKEN_RE.findall(text)
+            n = len(toks)
+            if n < 2:
+                top = 0
+            else:
+                counts = Counter(zip(toks, toks[1:]))
+                top = max(counts.values())
+            ids.append(int(doc_id))
+            ntoks.append(n)
+            # integer floor division — exact, SQL-mirrorable with //
+            ppms.append((2 * top * PPM) // n if n >= 2 else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+                "top_bigram_ppm": pd.Series(ppms, dtype="int64"),
+            }
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
+    """Corpus-level most frequent n-grams — the canonical wordcount
+    shape: per-batch partial Counter (one row per distinct n-gram per
+    batch), bucketed grouped sum (shuffle moves O(distinct n-grams)),
+    driver-free global top-k with a deterministic tie-break
+    (count DESC, ngram ASC). Output: (ngram, n_occurrences), k rows."""
+    from collections import Counter
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            toks = TOKEN_RE.findall(text)
+            c.update(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        return pd.DataFrame(
+            {
+                "ngram": pd.Series(list(c.keys()), dtype="string"),
+                "n_occurrences": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = bucketed_group_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["ngram"],
+        {"n_occurrences": ("n_occurrences", "sum")},
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_occurrences", "ngram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # per-block top-k partials, then one tiny final take: the full count
+    # table never leaves the cluster
+    part = counts.map_batches(local_topk, batch_format="pandas")
+    final = part.to_pandas().sort_values(
+        ["n_occurrences", "ngram"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    return ray.data.from_pandas(final)
