@@ -413,20 +413,31 @@ def decontaminate(
     at all. Output: (doc_id, overlap_ppm) for SURVIVING documents
     (benchmark members overlap 100% and are dropped by construction).
     """
-    import pyarrow.parquet as pq
     import ray
 
     from zerox_ray.functions.text import TOKEN_RE
     from zerox_ray.functions.hashing import token_shingles
 
-    # small side: benchmark rows only (pushed-down filter at the read)
-    bench_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # small side: the benchmark slice is filtered ON THE CLUSTER and only
+    # its rows are collected — the driver never sees the corpus text
+    # (eval sets are fixed-size while the corpus grows; take_all here is
+    # bounded by the benchmark, not the input)
+    def bench_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], benchmark_mod), benchmark_mod),
+            ),
+            benchmark_rem,
+        )
+        return t.filter(keep).select(["text"])
+
+    bench_rows = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
     )
-    ids = bench_tbl["doc_id"].to_numpy()
-    bench_texts = bench_tbl.filter(
-        pa.array(ids % benchmark_mod == benchmark_rem)
-    )["text"].to_pylist()
+    bench_texts = [r["text"] for r in bench_rows]
     bench_shingles = set()
     for t in bench_texts:
         bench_shingles.update(token_shingles(TOKEN_RE.findall(t), shingle_n))
