@@ -49,7 +49,12 @@ from zerox_ray.pipelines.dedup import (
     simhash_signatures,
 )
 from zerox_ray.pipelines.extraction import extract_documents, extract_pages
-from zerox_ray.pipelines.media import media_cleanup, media_features, media_thumbnails
+from zerox_ray.pipelines.media import (
+    media_cleanup,
+    media_features,
+    media_thumbnail_features,
+    media_thumbnails,
+)
 from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.relational import (
     asof_purchase_view,
@@ -236,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # masking, partial top-k, merge) gets a value-hash oracle too
         "ann_ivf_full_probe": _q_ann_ivf_full_probe,
         "media_features": media_features,
+        "media_thumbnail_features": media_thumbnail_features,
         "media_thumbnails": media_thumbnails,
         "media_cleanup": media_cleanup,
     }
@@ -1108,6 +1114,62 @@ FROM md_f
         # mirrors sketches.histogram_quantiles: full 0..255 bin axis,
         # cumulative counts, first bin with cum ≥ q·total, linear
         # interpolation inside it — the same float op order throughout
+        # mirrors media.media_thumbnail_features: stride-2 dims are
+        # ceil-halves, and the rotated/padded striped branches collapse
+        # to all-white thumbs (dark rows sit at odd offsets only)
+        "media_thumbnail_features": r"""
+WITH mt_n AS (SELECT greatest(64, count(*) // 2) AS n FROM documents),
+mt_ids AS (SELECT unnest(range((SELECT n FROM mt_n))) AS i),
+mt_f AS (
+  SELECT i,
+    CASE WHEN i % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+    CASE WHEN i % 3 = 2 THEN 0
+         WHEN i % 29 = 6  THEN 8
+         WHEN i % 29 = 12 THEN 8
+         WHEN i % 29 = 20 THEN 9
+         ELSE (8 + i % 24 + 1) // 2 END AS width,
+    CASE WHEN i % 3 = 2 THEN 0
+         WHEN i % 29 = 6  THEN 60
+         WHEN i % 29 = 12 THEN 12
+         WHEN i % 29 = 20 THEN 8
+         ELSE (8 + (i * 7) % 24 + 1) // 2 END AS height,
+    CASE WHEN i % 3 = 2 THEN 8000 ELSE 0 END AS sample_rate,
+    CASE WHEN i % 3 = 2 THEN 64 + (i % 17) * 8
+         WHEN i % 29 = 6  THEN 480
+         WHEN i % 29 = 12 THEN 96
+         WHEN i % 29 = 20 THEN 72
+         ELSE ((8 + i % 24 + 1) // 2) * ((8 + (i * 7) % 24 + 1) // 2) END AS n_units,
+    CASE
+      WHEN i % 3 = 2 THEN list_aggregate(
+        list_transform(range(64 + (i % 17) * 8), j -> (j * 31 + i) % 256), 'sum')
+      -- tall 16x120 -> 8x60 thumb: orig row r=2y dark iff r%30 < 22 and
+      -- (r%30)%4 = 0; ceil(dw/2) of the 8 sampled cols are dark
+      WHEN i % 29 = 6 THEN list_aggregate(
+        list_transform(range(60), y -> CASE
+          WHEN (2*y) % 30 < 22 AND ((2*y) % 30) % 4 = 0 THEN
+            ((greatest(1, 15 - ((i + (2*y)//30 + (2*y)%30) % 3)) + 1) // 2)
+              * (40 + ((i + (2*y)//30 + (2*y)%30) % 30))
+            + (8 - (greatest(1, 15 - ((i + (2*y)//30 + (2*y)%30) % 3)) + 1) // 2) * 255
+          ELSE 8 * 255 END), 'sum')
+      -- rotated/padded striped pages have dark rows only at ODD offsets,
+      -- which stride-2 never samples -> all-white thumbs
+      WHEN i % 29 = 12 THEN 96 * 255
+      WHEN i % 29 = 20 THEN 72 * 255
+      ELSE list_aggregate(
+        list_transform(range(((8 + i % 24 + 1) // 2) * ((8 + (i * 7) % 24 + 1) // 2)),
+          t -> ((2 * (t // ((8 + i % 24 + 1) // 2)) * (8 + i % 24)
+                 + 2 * (t % ((8 + i % 24 + 1) // 2))) * 13 + i) % 256), 'sum')
+    END AS pix_sum
+  FROM mt_ids
+)
+SELECT CAST(i AS BIGINT) AS media_id, kind,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(floor(CAST(pix_sum AS DOUBLE) / n_units * 1000000) AS BIGINT) AS mean_value_ppm,
+       'SUCCESS' AS status
+FROM mt_f
+""",
         "price_quantiles_sketch": """
 WITH pq_h AS (
   SELECT CAST(least(floor(l_extendedprice / (200000.0 / 256)), 255) AS BIGINT) AS bin_id,

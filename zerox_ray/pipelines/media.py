@@ -224,3 +224,17 @@ def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         ImageResizer, batch_format="pandas", batch_size=64, concurrency=(1, 4)
     )
+
+
+def media_thumbnail_features(sf_dir: str) -> ray.data.Dataset:
+    """Feature extraction over the RESIZED media table — composes the
+    thumbnailing actor pool with the feature extractor, so the stride-2
+    downsample itself is value-checkable (its dims, sizes and pixel means
+    have closed forms per generator branch). Output: same schema as
+    media_features."""
+    return media_thumbnails(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
