@@ -29,7 +29,13 @@ _RESTORE_RE = re.compile(r"§§§(\w+)([\s\S]*?)§§§")
 
 def format_markdown(text: str) -> str:
     """Strip ```html / ```markdown fences while preserving other fenced code
-    blocks. Byte-exact parity with the TS reference (utils/common.ts:50-60)."""
+    blocks. Byte-exact parity with the TS reference (utils/common.ts:50-60).
+
+    Fast path: all three passes are provably no-ops without a fence or a
+    placeholder marker in the input (the restore pass DOES rewrite
+    pre-existing §§§…§§§ spans, so both markers must be absent)."""
+    if "```" not in text and "§§§" not in text:
+        return text
     out = _PRESERVE_RE.sub("§§§\\1\\2§§§", text)
     out = _STRIP_RE.sub("", out)
     out = _RESTORE_RE.sub("```\\1\\2```", out)
