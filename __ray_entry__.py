@@ -51,6 +51,7 @@ from zerox_ray.pipelines.dedup import (
 from zerox_ray.pipelines.extraction import extract_documents, extract_pages
 from zerox_ray.pipelines.media import (
     media_cleanup,
+    media_cleanup_features,
     media_features,
     media_thumbnail_features,
     media_thumbnails,
@@ -244,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnail_features": media_thumbnail_features,
         "media_thumbnails": media_thumbnails,
         "media_cleanup": media_cleanup,
+        "media_cleanup_features": media_cleanup_features,
     }
 
 
@@ -1110,6 +1112,55 @@ SELECT CAST(i AS BIGINT) AS media_id, kind,
        CAST(floor(CAST(pix_sum AS DOUBLE) / n_units * 1000000) AS BIGINT) AS mean_value_ppm,
        'SUCCESS' AS status
 FROM md_f
+""",
+        # mirrors media.media_cleanup_features over the closed-form
+        # branches: tall 16x120 (trim/orient no-op, split at empty-run
+        # midpoints 25/55/85/115 -> 5 fragments, band b's 6 stripe rows
+        # land in fragment b), rotated 24x16 (trim to 23x13 + 90deg
+        # correction; pixel sum invariant under rotation), padded 16x18
+        # (trim to 11x9 around the striped core). deficit per stripe row
+        # = dark_width * (255 - dark_value); compress is a no-op (all
+        # payloads far under the 15 MB cap)
+        "media_cleanup_features": r"""
+WITH mc_n AS (SELECT greatest(64, count(*) // 2) AS n FROM documents),
+mc_ids AS (SELECT unnest(range((SELECT n FROM mc_n))) AS i),
+mc_sel AS (SELECT i FROM mc_ids WHERE i % 3 != 2 AND i % 29 IN (6, 12, 20)),
+mc_tall AS (
+  SELECT i, f.fi AS fragment_index, 16 AS width, f.h AS height,
+         16 * f.h AS n_units,
+         255 * 16 * f.h - CASE WHEN f.fi < 4 THEN list_aggregate(
+           list_transform(range(6), t ->
+             greatest(1, 15 - ((i + f.fi + 4 * t) % 3))
+             * (255 - (40 + ((i + f.fi + 4 * t) % 30)))), 'sum')
+         ELSE 0 END AS pix_sum
+  FROM mc_sel, (VALUES (0, 25), (1, 30), (2, 30), (3, 30), (4, 5)) AS f(fi, h)
+  WHERE i % 29 = 6
+),
+mc_rot AS (
+  SELECT i, 0 AS fragment_index, 23 AS width, 13 AS height, 299 AS n_units,
+         255 * 299 - list_aggregate(
+           list_transform(range(4), t ->
+             (23 - ((i + 4 * t) % 3)) * (255 - (40 + ((i + 4 * t) % 30)))),
+           'sum') AS pix_sum
+  FROM mc_sel WHERE i % 29 = 12
+),
+mc_pad AS (
+  SELECT i, 0 AS fragment_index, 11 AS width, 9 AS height, 99 AS n_units,
+         255 * 99 - list_aggregate(
+           list_transform(range(3), t ->
+             greatest(1, 11 - ((i + 4 * t) % 3)) * (255 - (40 + ((i + 4 * t) % 30)))),
+           'sum') AS pix_sum
+  FROM mc_sel WHERE i % 29 = 20
+),
+mc_all AS (
+  SELECT * FROM mc_tall UNION ALL SELECT * FROM mc_rot UNION ALL SELECT * FROM mc_pad
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(fragment_index AS BIGINT) AS fragment_index,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(floor(CAST(pix_sum AS DOUBLE) / n_units * 1000000) AS BIGINT) AS mean_value_ppm
+FROM mc_all
 """,
         # mirrors sketches.histogram_quantiles: full 0..255 bin axis,
         # cumulative counts, first bin with cum ≥ q·total, linear

@@ -13,7 +13,11 @@ from zerox_ray.functions.sheetx import (
     split_sheet_pages,
     split_xlsx_pages,
 )
-from zerox_ray.pipelines.media import decode_payload, media_cleanup
+from zerox_ray.pipelines.media import (
+    decode_payload,
+    media_cleanup,
+    media_cleanup_features,
+)
 from zerox_ray.stages.image_ops import (
     cleanup_image,
     compress_image,
@@ -141,6 +145,25 @@ class TestImageOps:
         frag = out[(out.media_id == tall_ids[0])].iloc[0]
         d = decode_payload(bytes(frag.payload))
         assert (d["width"], d["height"]) == (frag.width, frag.height)
+
+    def test_media_cleanup_features(self, sf_dir):
+        out = media_cleanup_features(sf_dir).to_pandas()
+        # only the three closed-form branches survive the filter
+        assert set(out.media_id % 29) <= {6, 12, 20}
+        # tall receipts split into exactly 5 fragments (empty runs at
+        # 25/55/85/115 over a 120-row raster)
+        tall = out[out.media_id % 29 == 6]
+        assert (tall.groupby("media_id").fragment_index.count() == 5).all()
+        assert (tall.width == 16).all()
+        # rotated pages trim to 23x13 after the 90-degree correction
+        rot = out[out.media_id % 29 == 12]
+        assert ((rot.width == 23) & (rot.height == 13)).all()
+        # padded pages trim the uniform border down to the 11x9 core
+        padded = out[out.media_id % 29 == 20]
+        assert ((padded.width == 11) & (padded.height == 9)).all()
+        # features are self-consistent
+        assert (out.n_units == out.width * out.height).all()
+        assert out.mean_value_ppm.between(0, 255_000_000).all()
 
     def test_media_cleanup_size_cap(self, sf_dir):
         out = media_cleanup(sf_dir, max_bytes=80).to_pandas()

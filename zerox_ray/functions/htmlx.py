@@ -47,7 +47,7 @@ _FOOTER_RE = re.compile(r"<(footer|aside)\b[\s\S]*?</\1>", re.I)
 MAX_LINK_RATIO = 1.0 / 3.0
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate text block with its boilerplate-scoring features."""
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from zerox_ray.sources.tables import read_table
@@ -238,3 +239,50 @@ def media_thumbnail_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=64,
         concurrency=(1, 4),
     )
+
+
+def _fragment_features(df: pd.DataFrame) -> pd.DataFrame:
+    """Cleanup fragments → per-fragment feature rows (keeps fragment_index,
+    unlike MediaFeatureExtractor which is per-media)."""
+    n_units, ppm = [], []
+    for payload in df["payload"]:
+        d = decode_payload(bytes(payload))
+        n = int(d["data"].size)
+        n_units.append(n)
+        ppm.append(int(d["data"].mean() * 1_000_000) if n else 0)
+    return pd.DataFrame(
+        {
+            "media_id": df["media_id"].astype("int64").to_numpy(),
+            "fragment_index": df["fragment_index"].astype("int64").to_numpy(),
+            "width": df["width"].astype("int64").to_numpy(),
+            "height": df["height"].astype("int64").to_numpy(),
+            "n_units": pd.Series(n_units, dtype="int64"),
+            "mean_value_ppm": pd.Series(ppm, dtype="int64"),
+        }
+    )
+
+
+def media_cleanup_features(sf_dir: str) -> ray.data.Dataset:
+    """Value-check surface for the CLEANUP stage (trim → orient →
+    tall-split → compress): runs the real pipeline over the generator
+    branches whose cleanup outcome has a closed form — tall receipts
+    (media_id%29==6: 5 split fragments), rotated pages (%29==12: trim +
+    90° correction), padded pages (%29==20: border trim) — and emits
+    per-fragment dims + pixel means, both mirrored exactly by the
+    DuckDB oracle. The gradient branch is excluded on purpose: its
+    rotation outcome is variance-threshold-dependent on an unstructured
+    raster (no closed form); it stays covered by media_features and the
+    pytest value checks. Output: (media_id, fragment_index, width,
+    height, n_units, mean_value_ppm)."""
+    def keep(t: pa.Table) -> pa.Table:
+        mid = t["media_id"].to_numpy()  # no modulo kernel in this pyarrow
+        m29 = mid % 29
+        mask = (mid % 3 != 2) & ((m29 == 6) | (m29 == 12) | (m29 == 20))
+        return t.filter(pa.array(mask))
+
+    ds = read_table(media_path_for(sf_dir))
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        MediaCleanup, batch_format="pandas", batch_size=64, concurrency=(1, 4)
+    )
+    return ds.map_batches(_fragment_features, batch_format="pandas")
