@@ -40,6 +40,7 @@ from zerox_ray.pipelines.dataops import (
     top_spenders,
 )
 from zerox_ray.pipelines.dedup import (
+    dedup_spans,
     doc_fingerprints,
     embedding_near_dup,
     minhash_dedup_docs,
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": simhash_pairs,
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
+        "dedup_spans": dedup_spans,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
         # approximate ANN (rows-only: recall-tested vs brute force in pytest)
@@ -709,6 +711,31 @@ WHERE n_tokens >= 20 AND stop_ratio_ppm <= 500000
         "dedup_exact": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY text
+""",
+        # mirrors dedup.dedup_spans (window=4): single-space tokenize,
+        # non-overlapping 4-token windows (tail may be short), md5-64
+        # span hash, first occurrence by (doc_id, span_index) wins
+        "dedup_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+mx AS (SELECT max(len(t)) AS m FROM toks),
+spans AS (
+  SELECT doc_id, i // 4 AS span_index,
+         ('0x'||substring(md5(array_to_string(t[i+1:i+4], ' ')),1,16))::UBIGINT AS h,
+         least(4, len(t) - i) AS n_toks
+  FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx), 4)) AS i)
+  WHERE i < len(t)
+),
+marked AS (
+  SELECT doc_id, n_toks,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, span_index) = 1 AS keep
+  FROM spans
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans,
+       CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM marked GROUP BY doc_id
 """,
         "ann_cosine_topk": """
 WITH q AS (

@@ -20,6 +20,7 @@ from zerox_ray.functions.hashing import (
 from zerox_ray.functions.text import TOKEN_RE
 from zerox_ray.pipelines.dataops import lang_id
 from zerox_ray.pipelines.dedup import (
+    dedup_spans,
     doc_fingerprints,
     embedding_near_dup,
     minhash_lsh_pairs,
@@ -253,3 +254,46 @@ def test_minhash_join_verify_equals_broadcast(sf_dir):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(jn[bc.columns.tolist()], bc)
+
+
+class TestSpanDedup:
+    def _truth(self, sf_dir, window):
+        """Independent pure-python replay of first-occurrence span keeping."""
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        seen: set[str] = set()
+        rows = {}
+        for did, text in sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())):
+            toks = text.split(" ")
+            n = kept = ktoks = 0
+            for i in range(0, len(toks), window):
+                span = " ".join(toks[i : i + window])
+                n += 1
+                if span not in seen:
+                    seen.add(span)
+                    kept += 1
+                    ktoks += len(toks[i : i + window])
+            rows[did] = (n, kept, n - kept, ktoks)
+        return rows
+
+    def test_matches_sequential_truth(self, sf_dir):
+        got = dedup_spans(sf_dir).to_pandas().set_index("doc_id").sort_index()
+        truth = self._truth(sf_dir, 4)
+        assert set(got.index) == set(truth)
+        for did, (n, kept, dup, ktoks) in truth.items():
+            r = got.loc[did]
+            assert (r.n_spans, r.kept_spans, r.dup_spans, r.kept_tokens) == (
+                n,
+                kept,
+                dup,
+                ktoks,
+            ), did
+
+    def test_window_1_is_token_level(self, sf_dir):
+        got = dedup_spans(sf_dir, window=1).to_pandas()
+        # corpus-wide each distinct token is kept exactly once
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        vocab = set()
+        for text in t["text"].to_pylist():
+            vocab.update(text.split(" "))
+        assert got.kept_spans.sum() == len(vocab)
+        assert (got.n_spans == got.kept_spans + got.dup_spans).all()

@@ -79,3 +79,40 @@ def bucketed_group_agg(
 
     tagged = ds.map_batches(tag, batch_format="pandas")
     return tagged.groupby("__b").map_groups(final, batch_format="pandas")
+
+
+def bucketed_group_map(
+    ds: ray.data.Dataset,
+    key: str,
+    fn,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """groupby(key).map_groups(fn) via the same ONE coarse-bucket
+    exchange as ``bucketed_group_agg``, for group functions that are not
+    expressible as mergeable named aggs (winner marking, ranking, ...).
+
+    ``fn`` receives a pandas DataFrame holding EVERY row of each key in
+    the bucket — but many keys per call (|keys|/W), so per-group Python
+    cost is amortized; ``fn`` must do its own per-key grouping/sorting
+    and must NOT depend on bucket composition. The ``__b`` tag column is
+    dropped before ``fn`` sees the rows."""
+    if num_buckets is None:
+        from zerox_ray.stages.classify import default_num_partitions
+
+        num_buckets = default_num_partitions()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket_of(df[key], num_buckets)
+        return df
+
+    def run(g: pd.DataFrame):
+        import pyarrow as pa
+
+        out = fn(g.drop(columns="__b"))
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(run, batch_format="pandas")

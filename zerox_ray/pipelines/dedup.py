@@ -871,3 +871,101 @@ def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
         ).astype({"doc_id": "int64", "cluster_id": "int64"})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# --- span-level exact dedup (repeated k-token windows) -----------------------
+
+
+def _span_explode(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    """Docs → non-overlapping ``window``-token span rows. Tokenization is
+    a plain single-space split (mirrors DuckDB ``string_split(text,' ')``
+    so the oracle can replay it); the final span of a doc may be shorter
+    than ``window``. Only narrow columns leave this stage — the span TEXT
+    never ships, just its md5-derived 64-bit hash."""
+    doc_ids: list[int] = []
+    span_idx: list[int] = []
+    n_toks: list[int] = []
+    spans: list[bytes] = []
+    for did, text in zip(df["doc_id"].astype("int64"), df["text"]):
+        toks = text.split(" ")
+        for si, i in enumerate(range(0, len(toks), window)):
+            chunk = toks[i : i + window]
+            doc_ids.append(did)
+            span_idx.append(si)
+            n_toks.append(len(chunk))
+            spans.append(" ".join(chunk).encode())
+    return pd.DataFrame(
+        {
+            "h": md5_64_array(spans),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "span_index": pd.Series(span_idx, dtype="int64"),
+            "n_toks": pd.Series(n_toks, dtype="int64"),
+        }
+    )
+
+
+def _span_winner_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket: pick each span-hash's winner (lexicographic min
+    (doc_id, span_index) — first occurrence in corpus order) and emit
+    per-doc PARTIAL sums so the second exchange moves one narrow row per
+    (bucket, doc) instead of one per span."""
+    g = g.sort_values(["h", "doc_id", "span_index"], kind="mergesort")
+    keep = ~g["h"].duplicated().to_numpy()
+    part = pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_spans": 1,
+            "kept_spans": keep.astype("int64"),
+            "kept_tokens": g["n_toks"].to_numpy() * keep,
+        }
+    )
+    return (
+        part.groupby("doc_id", as_index=False)
+        .agg(
+            n_spans=("n_spans", "sum"),
+            kept_spans=("kept_spans", "sum"),
+            kept_tokens=("kept_tokens", "sum"),
+        )
+        .astype("int64")
+    )
+
+
+def dedup_spans(sf_dir: str, window: int = 4) -> ray.data.Dataset:
+    """Exact SPAN dedup à la "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022): every non-overlapping ``window``-token
+    span is hashed corpus-wide and only its first occurrence (min
+    (doc_id, span_index)) is kept; repeated spans elsewhere are dropped.
+    The reference has no dedup at all (SURVEY §2.8) — this is an
+    engine-added training-data operator.
+
+    Scale shape: explode ships (hash, doc_id, span_index, n_toks) only
+    (~32 B/span); ONE groupby on the span hash marks winners and
+    pre-aggregates per doc inside the bucket; ONE tiny groupby on doc_id
+    merges bucket partials. No driver materialization, no text through
+    either shuffle. Output: (doc_id, n_spans, kept_spans, dup_spans,
+    kept_tokens), one row per document."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exploded = ds.map_batches(
+        lambda df: _span_explode(df, window), batch_format="pandas"
+    )
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    partials = bucketed_group_map(exploded, "h", _span_winner_partials)
+    agg = bucketed_group_agg(
+        partials,
+        ["doc_id"],
+        {
+            "n_spans": ("n_spans", "sum"),
+            "kept_spans": ("kept_spans", "sum"),
+            "kept_tokens": ("kept_tokens", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "n_spans", "kept_spans", "kept_tokens"]].copy()
+        df["dup_spans"] = df["n_spans"] - df["kept_spans"]
+        return df[["doc_id", "n_spans", "kept_spans", "dup_spans", "kept_tokens"]].astype(
+            "int64"
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
