@@ -32,6 +32,7 @@ from zerox_ray.pipelines.dataops import (
     events_hourly,
     lang_id,
     quality_filter,
+    pii_scrub,
     quality_scores,
     sample_documents,
     token_counts_bpe,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spenders": top_spenders,
         "top_orders_per_priority": top_orders_per_priority,
         "quality_scores": quality_scores,
+        "pii_scrub": pii_scrub,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -679,6 +681,39 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
              AS rank
   FROM orders
 ) WHERE rank <= 3
+""",
+        # mirrors dataops.pii_scrub: identical deterministic planting from
+        # doc_id, then the identical RE2-safe patterns applied in the same
+        # sequential order (emails → ips → phones)
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250 + 1) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' tel +1-555-' || (1000 + doc_id % 9000) ELSE '' END AS s
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+  FROM aug
+),
+i AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+         regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+  FROM e
+),
+p AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(s, '\+\d[\d-]{6,13}\d')) AS BIGINT) AS n_phones,
+         regexp_replace(s, '\+\d[\d-]{6,13}\d', '<PHONE>', 'g') AS s
+  FROM i
+)
+SELECT doc_id, s AS clean_text, n_emails, n_ips, n_phones,
+       CAST(length(s) AS BIGINT) AS clean_len
+FROM p
 """,
         "quality_scores": r"""
 WITH q AS (

@@ -171,3 +171,51 @@ def test_top_ngrams_deterministic_order(sf_dir):
     assert len(a) == 20
     # counts are non-increasing; ties broken by ngram ascending
     assert (a.n_occurrences.diff().dropna() <= 0).all()
+
+
+class TestPiiScrub:
+    def test_scrub_batch_cases(self):
+        from zerox_ray.pipelines.dataops import scrub_pii_batch
+
+        out = scrub_pii_batch(
+            pd.Series(
+                [
+                    "write to a.b+tag@mail-host.co.uk today",
+                    "server at 192.168.0.1 and 10.0.0.255",
+                    "call +1-555-0147 or +44-20-7946-0958",
+                    "no pii here",
+                    "mixed x@y.io 1.2.3.4 +9-111-2222",
+                ]
+            )
+        )
+        assert list(out.n_emails) == [1, 0, 0, 0, 1]
+        assert list(out.n_ips) == [0, 2, 0, 0, 1]
+        assert list(out.n_phones) == [0, 0, 2, 0, 1]
+        assert out.clean_text[0] == "write to <EMAIL> today"
+        assert out.clean_text[1] == "server at <IP> and <IP>"
+        assert out.clean_text[2] == "call <PHONE> or <PHONE>"
+        assert out.clean_text[4] == "mixed <EMAIL> <IP> <PHONE>"
+
+    def test_sequential_no_rescan(self):
+        # a redaction token must never be re-matched by a later pattern
+        from zerox_ray.pipelines.dataops import scrub_pii_batch
+
+        out = scrub_pii_batch(pd.Series(["ip-ish mail 1.2.3.4@host.com end"]))
+        # the email pattern eats the whole thing (local part allows dots)
+        assert out.clean_text[0] == "ip-ish mail <EMAIL> end"
+        assert list(out.n_ips) == [0]
+
+    def test_pipeline_matches_duckdb_counts(self, sf_dir):
+        from zerox_ray.pipelines.dataops import pii_scrub
+
+        got = pii_scrub(sf_dir).to_pandas()
+        exp = _duck(
+            sf_dir,
+            """SELECT count(*) FILTER (doc_id % 3 = 0) e,
+                      count(*) FILTER (doc_id % 4 = 0) i,
+                      count(*) FILTER (doc_id % 5 = 0) p FROM documents""",
+        )
+        assert got.n_emails.sum() == exp.iloc[0, 0]
+        assert got.n_ips.sum() == exp.iloc[0, 1]
+        assert got.n_phones.sum() == exp.iloc[0, 2]
+        assert (got.clean_len == got.clean_text.str.len()).all()

@@ -632,3 +632,61 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
         ["n_occurrences", "ngram"], ascending=[False, True], kind="mergesort"
     ).head(k).reset_index(drop=True)
     return ray.data.from_pandas(final)
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# RE2-compatible (no backrefs/lookaround) so the DuckDB oracle applies the
+# IDENTICAL patterns with regexp_replace(..., 'g') / regexp_extract_all;
+# greedy char-class quantifiers behave the same under Python re and RE2.
+PII_EMAIL_RE = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PII_IP_RE = _re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+PII_PHONE_RE = _re.compile(r"\+\d[\d-]{6,13}\d")
+
+
+def scrub_pii_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized sequential scrub: count+redact emails, then IPv4s on
+    the email-redacted text, then phones — sequential so a pattern never
+    matches inside an earlier replacement. Returns (clean_text,
+    n_emails, n_ips, n_phones)."""
+    n_emails = texts.str.count(PII_EMAIL_RE).astype("int64")
+    s = texts.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ips = s.str.count(PII_IP_RE).astype("int64")
+    s = s.str.replace(PII_IP_RE, "<IP>", regex=True)
+    n_phones = s.str.count(PII_PHONE_RE).astype("int64")
+    s = s.str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+    return pd.DataFrame(
+        {"clean_text": s, "n_emails": n_emails, "n_ips": n_ips, "n_phones": n_phones}
+    )
+
+
+def _pii_plant(df: pd.DataFrame) -> pd.Series:
+    """Deterministic PII augmentation for the demo query: the synthetic
+    corpus contains no PII, so plant some as a pure function of doc_id
+    (doc_id%3==0 → email, %4==0 → ip, %5==0 → phone) — replayed verbatim
+    by the oracle SQL."""
+    did = df["doc_id"].astype("int64")
+    s = df["text"].astype("string")
+    email = (" mail user" + did.astype(str) + "@example.com").where(did % 3 == 0, "")
+    ip = (
+        " from 10." + (did % 200).astype(str) + ".0." + (did % 250 + 1).astype(str)
+    ).where(did % 4 == 0, "")
+    phone = (" tel +1-555-" + (1000 + did % 9000).astype(str)).where(did % 5 == 0, "")
+    return (s + email.astype("string") + ip.astype("string") + phone.astype("string"))
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over the documents corpus — map-only (no shuffle),
+    compiled-regex vectorized, emitting the full redacted text so the
+    value-hash gate checks every byte. Output: (doc_id, clean_text,
+    n_emails, n_ips, n_phones, clean_len)."""
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = scrub_pii_batch(_pii_plant(df))
+        out.insert(0, "doc_id", df["doc_id"].astype("int64").to_numpy())
+        out["clean_len"] = out["clean_text"].str.len().astype("int64")
+        out["clean_text"] = out["clean_text"].astype(str)
+        return out
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(batch, batch_format="pandas")
