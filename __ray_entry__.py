@@ -34,6 +34,7 @@ from zerox_ray.pipelines.dataops import (
     quality_filter,
     pii_scrub,
     quality_scores,
+    stratified_sample,
     sample_documents,
     token_counts_bpe,
     token_stats,
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": top_orders_per_priority,
         "quality_scores": quality_scores,
         "pii_scrub": pii_scrub,
+        "stratified_sample": stratified_sample,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -681,6 +683,20 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
              AS rank
   FROM orders
 ) WHERE rank <= 3
+""",
+        # mirrors dataops.stratified_sample: md5-derived rank hash of the
+        # decimal doc_id, k smallest per language
+        "stratified_sample": """
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS hh
+  FROM documents
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rank
+  FROM h
+) WHERE rank <= 25
 """,
         # mirrors dataops.pii_scrub: identical deterministic planting from
         # doc_id, then the identical RE2-safe patterns applied in the same

@@ -219,3 +219,33 @@ class TestPiiScrub:
         assert got.n_ips.sum() == exp.iloc[0, 1]
         assert got.n_phones.sum() == exp.iloc[0, 2]
         assert (got.clean_len == got.clean_text.str.len()).all()
+
+
+class TestStratifiedSample:
+    def test_quota_and_determinism(self, sf_dir):
+        from zerox_ray.pipelines.dataops import stratified_sample
+
+        a = stratified_sample(sf_dir, k=7).to_pandas()
+        # every language hits its quota (each stratum has >= 7 docs here)
+        assert (a.groupby("lang")["rank"].count() == 7).all()
+        assert (a.groupby("lang")["rank"].max() == 7).all()
+        assert a.doc_id.is_unique
+        b = stratified_sample(sf_dir, k=7).to_pandas()
+        keys = ["lang", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(keys).reset_index(drop=True),
+            b.sort_values(keys).reset_index(drop=True),
+        )
+
+    def test_selection_is_hash_ranked(self, sf_dir):
+        from zerox_ray.functions.hashing import md5_64_array
+        from zerox_ray.pipelines.dataops import stratified_sample
+        import pyarrow.parquet as pq
+
+        got = stratified_sample(sf_dir, k=3).to_pandas()
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+        t["h"] = md5_64_array([str(int(d)).encode() for d in t.doc_id])
+        for lang, g in t.groupby("lang"):
+            exp = list(g.sort_values(["h", "doc_id"]).doc_id.head(3))
+            sel = got[got.lang == lang].sort_values("rank")
+            assert list(sel.doc_id) == exp

@@ -690,3 +690,49 @@ def pii_scrub(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(batch, batch_format="pandas")
+
+
+# --- stratified (per-language) quota sampling --------------------------------
+
+
+def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
+    """Deterministic quota sampling: the k documents with the smallest
+    md5-derived rank hash WITHIN EACH language — the balanced-corpus
+    selection step (cap every stratum at a quota regardless of its raw
+    share). Hash-ranked selection is resume-stable and oracle-replayable
+    (md5 of the decimal doc_id), unlike any RNG-based sampler.
+
+    Scale shape: per-batch partial top-k bounds the shuffle to k rows
+    per (lang, batch); the final per-lang selection groups only
+    |langs| * k rows. Output: (lang, doc_id, rank), rank 1..k by
+    (hash, doc_id)."""
+    from zerox_ray.functions.hashing import md5_64_array
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].astype("string"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": md5_64_array(
+                    [str(int(d)).encode() for d in df["doc_id"]]
+                ),
+            }
+        )
+        return (
+            out.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].astype(str),
+                "doc_id": g["doc_id"].astype("int64"),
+                "rank": pd.Series(range(1, len(g) + 1), dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
