@@ -62,6 +62,7 @@ from zerox_ray.pipelines.media import (
 from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.relational import (
     asof_purchase_view,
+    events_funnel,
     events_sessions,
     events_sliding,
     orders_by_nation,
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": revenue_by_priority,
         "asof_purchase_view": asof_purchase_view,
         "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
         "events_sliding": events_sliding,
         "price_histogram": price_histogram,
         "distinct_users_exact": distinct_users_exact,
@@ -842,6 +844,36 @@ SELECT p.event_id, p.user_id,
        CAST(COALESCE(epoch_us(max(v.ts)), -1) AS BIGINT) AS view_ts_us
 FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
 GROUP BY p.event_id, p.user_id
+""",
+        # mirrors relational.events_funnel: greedy earliest-completion
+        # view→click→purchase chain, each step strictly later than and
+        # within 24h of the prior step's reach time
+        "events_funnel": """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS ts1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1
+    AND epoch_us(e.ts) <= t1.ts1 + 86400000000
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2
+    AND epoch_us(e.ts) <= t2.ts2 + 86400000000
+  GROUP BY e.user_id
+)
+SELECT CAST(t1.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+                 WHEN ts2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth,
+       CAST(ts1 AS BIGINT) AS start_us,
+       CAST(coalesce(ts3, ts2, ts1) AS BIGINT) AS end_us
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
 """,
         "events_sessions": """
 WITH e AS (

@@ -231,3 +231,62 @@ def test_hash_join_salted_equals_unsalted(sf_dir):
         .to_pandas().sort_values(["k", "l_linenumber"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
+
+
+class TestEventsFunnel:
+    def test_matches_sequential_scan(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.relational import events_funnel
+
+        got = (
+            events_funnel(sf_dir, within_hours=24)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        ev = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ).to_pandas()
+        ev["us"] = ev.ts.astype("int64")
+        w = 24 * 3600 * 1_000_000
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values("us")
+            cur, reach = None, []
+            for step in ("view", "click", "purchase"):
+                if cur is None:
+                    c = g[g.event_type == step]
+                else:
+                    c = g[(g.event_type == step) & (g.us > cur) & (g.us <= cur + w)]
+                if c.empty:
+                    break
+                cur = int(c.us.min())
+                reach.append(cur)
+            if not reach:
+                assert uid not in got.index
+                continue
+            r = got.loc[uid]
+            assert (r.depth, r.start_us, r.end_us) == (len(reach), reach[0], reach[-1])
+
+    def test_strictness_and_window(self):
+        import pandas as pd
+
+        from zerox_ray.pipelines.relational import _funnel_bucket
+
+        h = 3600 * 1_000_000
+        g = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2, 3, 3],
+                "ts": [0, 0, h, 0, 25 * h, 0, h],
+                "event_type": [
+                    "view", "click", "purchase",   # click ties view → no advance
+                    "view", "click",               # click outside 24h window
+                    "view", "click",               # clean 2-step
+                ],
+            }
+        )
+        out = _funnel_bucket(g, ("view", "click", "purchase"), 24 * h)
+        out = out.set_index("user_id")
+        assert out.loc[1].depth == 1  # tie does not advance
+        assert out.loc[2].depth == 1  # window excludes late click
+        assert out.loc[3].depth == 2

@@ -438,3 +438,80 @@ def events_sliding(
         ["user_id", "window_start_us"],
         {"n_events": ("n_events", "sum"), "sum_value_cents": ("sum_value_cents", "sum")},
     )
+
+
+# --- funnel analysis (ordered sequence matching) -----------------------------
+
+
+def _funnel_bucket(
+    g: pd.DataFrame, steps: tuple[str, ...], within_us: int
+) -> pd.DataFrame:
+    """One user bucket → greedy earliest-completion funnel per user:
+    step i+1 must occur STRICTLY after the time step i was reached and
+    within ``within_us`` of it (ties at the same microsecond do not
+    advance the funnel — mirrored by the oracle's ``ts >`` joins).
+    Vectorized stepwise: one groupby-min per step over the bucket, never
+    a per-user Python loop."""
+    ts = g["ts"].astype("int64")
+    uid = g["user_id"].astype("int64")
+    et = g["event_type"]
+    reached: list[pd.Series] = []  # user_id → ts of reaching step i
+    cur: pd.Series | None = None
+    for i, step in enumerate(steps):
+        mask = (et == step).to_numpy()
+        sub = pd.DataFrame({"user_id": uid[mask], "ts": ts[mask]})
+        if cur is not None:
+            prev = sub["user_id"].map(cur)
+            sub = sub[prev.notna() & (sub["ts"] > prev) & (sub["ts"] <= prev + within_us)]
+        cur = sub.groupby("user_id")["ts"].min()
+        if cur.empty:
+            break
+        reached.append(cur)
+    if not reached:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("user_id", "depth", "start_us", "end_us")}
+        )
+    users = reached[0].index
+    depth = pd.Series(1, index=users, dtype="int64")
+    end = reached[0].copy()
+    for i, r in enumerate(reached[1:], start=2):
+        depth.loc[r.index] = i
+        end.loc[r.index] = r
+    return pd.DataFrame(
+        {
+            "user_id": users.astype("int64"),
+            "depth": depth.to_numpy(),
+            "start_us": reached[0].to_numpy(),
+            "end_us": end.to_numpy(),
+        }
+    )
+
+
+def events_funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_hours: int = 24,
+) -> ray.data.Dataset:
+    """Funnel over the events stream: how far each user progressed
+    through an ordered step sequence, earliest-completion semantics
+    (reference has nothing like it — engine-added streaming-analytics
+    operator, same ordered-scan family as sessionization).
+
+    Scale shape: ONE exchange on the coarse user bucket (reuses the
+    sessionize bucketing), then all steps resolve inside the bucket with
+    per-step vectorized groupby-mins. Users with no step-1 event emit no
+    row; each later step must land within ``within_hours`` of the prior
+    step. Output: (user_id, depth, start_us, end_us)."""
+    within_us = within_hours * 3600 * _US
+    from zerox_ray.sources.tables import strip_schema_metadata
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda df: df.assign(bucket=(df["user_id"] % N_USER_BUCKETS).astype("int64")),
+        batch_format="pandas",
+    )
+    return ds.groupby("bucket").map_groups(
+        lambda g: _funnel_bucket(g, steps, within_us), batch_format="pandas"
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
