@@ -35,6 +35,7 @@ from zerox_ray.pipelines.dataops import (
     pii_scrub,
     quality_scores,
     stratified_sample,
+    tfidf_top_terms,
     sample_documents,
     token_counts_bpe,
     token_stats,
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "pii_scrub": pii_scrub,
         "stratified_sample": stratified_sample,
+        "tfidf_top_terms": tfidf_top_terms,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -685,6 +687,30 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
              AS rank
   FROM orders
 ) WHERE rank <= 3
+""",
+        # mirrors dataops.tfidf_top_terms: single-space tokenize, linear
+        # idf (N/df), score = floor(((1e6*tf)*N)/df) in IEEE doubles —
+        # identical association on both sides, so bit-exact
+        "tfidf_top_terms": """
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(floor(1000000.0 * tf.tf * (SELECT count(*) FROM documents) / df.df)
+              AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING (term)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score_ppm, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+  FROM s
+) WHERE rank <= 5
 """,
         # mirrors dataops.stratified_sample: md5-derived rank hash of the
         # decimal doc_id, k smallest per language

@@ -249,3 +249,40 @@ class TestStratifiedSample:
             exp = list(g.sort_values(["h", "doc_id"]).doc_id.head(3))
             sel = got[got.lang == lang].sort_values("rank")
             assert list(sel.doc_id) == exp
+
+
+class TestTfidfTopTerms:
+    def test_matches_local_computation(self, sf_dir):
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import tfidf_top_terms
+
+        got = tfidf_top_terms(sf_dir, k=3).to_pandas()
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        n = len(t)
+        tf = {int(r.doc_id): Counter(r.text.split(" ")) for r in t.itertuples()}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        for did in list(tf)[:25]:
+            scored = sorted(
+                (
+                    (-int(np.floor(1_000_000.0 * c * n / df[w])), w)
+                    for w, c in tf[did].items()
+                ),
+            )[:3]
+            g = got[got.doc_id == did].sort_values("rank")
+            assert list(g.term) == [w for _, w in scored], did
+            assert list(g.score_ppm) == [-s for s, _ in scored], did
+
+    def test_rank_is_dense_per_doc(self, sf_dir):
+        from zerox_ray.pipelines.dataops import tfidf_top_terms
+
+        got = tfidf_top_terms(sf_dir, k=4).to_pandas()
+        per = got.groupby("doc_id")["rank"].agg(["min", "max", "count"])
+        assert (per["min"] == 1).all()
+        assert (per["max"] == per["count"]).all()
+        assert (per["count"] <= 4).all()

@@ -736,3 +736,84 @@ def stratified_sample(sf_dir: str, k: int = 25) -> ray.data.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+# --- TF-IDF top terms per document ------------------------------------------
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-document most DISTINCTIVE terms: tf weighted by linear inverse
+    document frequency (N/df). Linear idf instead of log-idf on purpose:
+    the score stays a pure-integer-ratio double (IEEE-exact, identical
+    bits in numpy and DuckDB), so the value-hash oracle can check every
+    score — log-idf would hang correctness on libm rounding.
+
+    Scale shape: explode to distinct (term, doc_id, tf) rows per batch;
+    exchange 1 groups by TERM to count df and attach it in place;
+    exchange 2 groups by DOC to rank and keep the top k. Both exchanges
+    move only (term, doc_id, tf[, df]) — never text. N comes from
+    parquet metadata (no data read). Output: (doc_id, term, tf, df,
+    score_ppm, rank), k rows per doc."""
+    import pyarrow.parquet as _pq
+    from collections import Counter
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.sources.tables import table_num_rows
+
+    n_docs = table_num_rows(f"{sf_dir}/documents.parquet")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for did, text in zip(df["doc_id"].astype("int64"), df["text"]):
+            c = Counter(text.split(" "))
+            doc_ids.extend([did] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype="string"),
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int64"),
+            }
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("term")["term"].transform("size").astype("int64")
+        return g
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.copy()
+        # association mirrors the oracle: ((1e6 * tf) * N) / df
+        g["score_ppm"] = np.floor(
+            1_000_000.0
+            * g["tf"].to_numpy(dtype="float64")
+            * float(n_docs)
+            / g["df"].to_numpy(dtype="float64")
+        ).astype("int64")
+        g = g.sort_values(
+            ["doc_id", "score_ppm", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("doc_id").cumcount().astype("int64") + 1
+        g = g[g["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "term": g["term"].astype(str),
+                "tf": g["tf"].astype("int64"),
+                "df": g["df"].astype("int64"),
+                "score_ppm": g["score_ppm"],
+                "rank": g["rank"],
+            }
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf_rows = ds.map_batches(explode, batch_format="pandas")
+    with_df = bucketed_group_map(tf_rows, "term", attach_df)
+    return bucketed_group_map(with_df, "doc_id", topk)

@@ -88,3 +88,15 @@ def read_table(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     except OSError:
         pass  # unreadable size → let Ray decide
     return ray.data.read_parquet(path, **kwargs)
+
+
+def table_num_rows(path: str) -> int:
+    """Row count straight from parquet footer metadata — a broadcastable
+    scalar (e.g. the N in idf weights) obtained without reading data."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    return sum(pq.read_metadata(f).num_rows for f in files)
