@@ -71,6 +71,7 @@ from zerox_ray.pipelines.relational import (
 )
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.pipelines.sketches import (
+    bloom_probe,
     distinct_users_exact,
     distinct_users_hll,
     price_histogram,
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches + dedup family (SQL-oracled: md5-derived hashing and
         # seeded params are reproduced literally in the oracle SQL)
         "distinct_users_hll": distinct_users_hll,
+        "bloom_probe": bloom_probe,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -461,6 +463,44 @@ ec_ver AS (
   JOIN ec_e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine_ppm FROM ec_ver WHERE cosine_ppm >= {threshold_ppm}"""
+
+
+def _bloom_sql(m: int = 1 << 16) -> str:
+    """Mirror of pipelines/sketches.py::bloom_probe: md5-64 of the
+    decimal id → splitmix64 avalanche (engine constants) → odd stride
+    h2 → Kirsch–Mitzenmacher positions (h1 + i*h2) mod 2^64 mod m over
+    the corpus (distinct = set bits) and the probe ids."""
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+WITH bl_keys AS (
+  SELECT CAST(NULL AS BIGINT) AS probe_id,
+         CAST({_sql_md5_u64("CAST(doc_id AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM documents
+  UNION ALL
+  SELECT p.probe_id,
+         CAST({_sql_md5_u64("CAST(p.probe_id AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM (SELECT CAST(unnest(range(0, 100)) AS BIGINT) AS probe_id
+        UNION ALL
+        SELECT CAST(unnest(range(1000000000, 1000000100)) AS BIGINT)) p
+),
+bl_z0 AS (SELECT probe_id, h1, (h1 + {golden}) % {_MOD64} AS z FROM bl_keys),
+bl_z1 AS (SELECT probe_id, h1, xor(z, z // 1073741824) AS z FROM bl_z0),
+bl_z2 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c1), 'z')} AS z FROM bl_z1),
+bl_z3 AS (SELECT probe_id, h1, xor(z, z // 134217728) AS z FROM bl_z2),
+bl_z4 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c2), 'z')} AS z FROM bl_z3),
+bl_h2 AS (
+  SELECT probe_id, h1, (xor(z, z // 2147483648) // 2) * 2 + 1 AS h2 FROM bl_z4
+),
+bl_pos AS (
+  SELECT probe_id, ((h1 + i.i * h2) % {_MOD64}) % {m} AS pos
+  FROM bl_h2, (VALUES (0::HUGEINT),(1::HUGEINT),(2::HUGEINT),(3::HUGEINT)) i(i)
+),
+bl_set AS (SELECT DISTINCT pos FROM bl_pos WHERE probe_id IS NULL)
+SELECT probe_id,
+       CAST(CASE WHEN bool_and(pos IN (SELECT pos FROM bl_set))
+                 THEN 1 ELSE 0 END AS BIGINT) AS present,
+       CAST((SELECT count(*) FROM bl_set) AS BIGINT) AS n_set_bits
+FROM bl_pos WHERE probe_id IS NOT NULL GROUP BY probe_id"""
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -1178,6 +1218,7 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
 """,
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
+        "bloom_probe": _bloom_sql(),
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents
         # row count) + media.MediaFeatureExtractor's feature math; the

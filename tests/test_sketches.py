@@ -46,3 +46,33 @@ def test_hll_deterministic(sf_dir):
     a = distinct_users_hll(sf_dir).n_users_estimate[0]
     b = distinct_users_hll(sf_dir).n_users_estimate[0]
     assert a == b
+
+
+class TestBloomProbe:
+    def test_membership_and_fill(self, sf_dir):
+        from zerox_ray.pipelines.sketches import BLOOM_M, bloom_probe
+
+        got = bloom_probe(sf_dir).to_pandas()
+        assert len(got) == 200
+        present = got[got.probe_id < 100]
+        absent = got[got.probe_id >= 1_000_000_000]
+        # ids 0..99 exist at every sf → no false negatives, ever
+        assert (present.present == 1).all()
+        # expected FPs ≈ 100 * (fill)^4 ≪ 1 at these fills
+        fill = got.n_set_bits.iloc[0] / BLOOM_M
+        assert absent.present.sum() <= max(1, int(100 * fill**4 * 20))
+        assert got.n_set_bits.nunique() == 1
+
+    def test_partials_or_merge_is_order_free(self):
+        import numpy as np
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import _bloom_partial, _or_merge
+
+        a = _bloom_partial(pd.DataFrame({"doc_id": [1, 2, 3]}))
+        b = _bloom_partial(pd.DataFrame({"doc_id": [4, 5]}))
+        ab = _or_merge(pd.concat([a, b]))
+        ba = _or_merge(pd.concat([b, a]))
+        whole = _bloom_partial(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+        assert np.array_equal(ab, ba)
+        assert np.array_equal(ab, np.frombuffer(whole["bitmap"].iloc[0], dtype=np.uint8))

@@ -165,3 +165,90 @@ def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     n = len(ds.unique("user_id"))
     return pd.DataFrame({"n_users": [n]})
+
+
+# --- Bloom filter (mergeable membership sketch) ------------------------------
+
+BLOOM_M = 1 << 16  # bits (8 KiB bitmap per partial)
+BLOOM_J = 4  # hash functions
+_N_BLOOM_MERGE_BUCKETS = 32
+
+
+def _bloom_positions(h1: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_J) bit positions via Kirsch–Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with h2 = splitmix64(h1) | 1 (odd stride
+    → the i-sequence walks the whole ring). ONE extra avalanche per key
+    instead of j independent hashes — and only one hash chain for the
+    DuckDB oracle to mirror."""
+    h2 = _hll_hash(h1) | np.uint64(1)
+    i = np.arange(BLOOM_J, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_M)).astype(
+        np.int64
+    )
+
+
+def _bloom_key_hash(ids: np.ndarray) -> np.ndarray:
+    from zerox_ray.functions.hashing import md5_64_array
+
+    return md5_64_array([str(int(d)).encode() for d in ids])
+
+
+def _bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """One batch → ONE (bucket, bitmap) row: the batch's keys OR-ed into
+    a local 8 KiB bitmap. The sketch — not the keys — is what shuffles."""
+    pos = _bloom_positions(_bloom_key_hash(df["doc_id"].to_numpy()))
+    bitmap = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    np.bitwise_or.at(
+        bitmap, pos.ravel() // 8, np.uint8(1) << (pos.ravel() % 8).astype(np.uint8)
+    )
+    bucket = int(df["doc_id"].iloc[0]) % _N_BLOOM_MERGE_BUCKETS
+    return pd.DataFrame({"bucket": [bucket], "bitmap": [bitmap.tobytes()]})
+
+
+def _or_merge(g: pd.DataFrame) -> np.ndarray:
+    stack = np.stack([np.frombuffer(b, dtype=np.uint8) for b in g["bitmap"]])
+    return np.bitwise_or.reduce(stack, axis=0)
+
+
+def bloom_probe(sf_dir: str) -> ray.data.Dataset:
+    """Corpus membership Bloom filter, probed: build the filter over the
+    documents' doc_id keys (md5-64 of the decimal id), then answer
+    "is this id in the corpus?" for a fixed probe set — ids 0..99
+    (present at every sf) and 1e9..1e9+99 (absent; any hit is a
+    deterministic false positive of the 64 Ki-bit / 4-hash filter,
+    reproduced bit-exactly by the oracle).
+
+    Scale shape: per-batch 8 KiB bitmap partials → tree OR-merge over
+    32 buckets → one final task owns the merged bitmap, probes it, and
+    emits the probe rows. Keys never shuffle; the driver never holds the
+    corpus. Output: (probe_id, present, n_set_bits)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    partials = ds.map_batches(_bloom_partial, batch_format="pandas")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [0], "bitmap": [_or_merge(g).tobytes()]}
+        )
+
+    merged = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        bitmap = _or_merge(g)
+        n_set = int(np.unpackbits(bitmap).sum())
+        probe_ids = np.concatenate(
+            [np.arange(100, dtype=np.int64), np.arange(100, dtype=np.int64) + 1_000_000_000]
+        )
+        pos = _bloom_positions(_bloom_key_hash(probe_ids))
+        bits = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        present = bits.all(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "probe_id": probe_ids,
+                "present": present,
+                "n_set_bits": np.int64(n_set),
+            }
+        )
+
+    return merged.groupby("g").map_groups(finish, batch_format="pandas")
