@@ -62,12 +62,16 @@ from zerox_ray.pipelines.media import (
 )
 from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.relational import (
+    active_segments,
     asof_purchase_view,
+    dormant_customers,
     events_funnel,
     events_sessions,
     events_sliding,
     orders_by_nation,
+    pricing_summary,
     revenue_by_priority,
+    user_event_ledger,
 )
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.pipelines.sketches import (
@@ -226,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
+        "pricing_summary": pricing_summary,
+        "dormant_customers": dormant_customers,
+        "active_segments": active_segments,
+        "user_event_ledger": user_event_ledger,
         "asof_purchase_view": asof_purchase_view,
         "events_sessions": events_sessions,
         "events_funnel": events_funnel,
@@ -899,6 +907,51 @@ SELECT o_orderpriority,
            AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "dormant_customers": """
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-06-01'
+)
+""",
+        "active_segments": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-06-01'
+)
+GROUP BY c_mktsegment
+""",
+        "user_event_ledger": """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+            AS BIGINT) AS gap_us
+FROM events
 """,
         "asof_purchase_view": """
 WITH p AS (

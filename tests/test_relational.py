@@ -290,3 +290,132 @@ class TestEventsFunnel:
         assert out.loc[1].depth == 1  # tie does not advance
         assert out.loc[2].depth == 1  # window excludes late click
         assert out.loc[3].depth == 2
+
+
+class TestSemiAntiJoins:
+    """hash_join(how='semi'/'anti') + the customer-activity queries."""
+
+    def _sides(self, sf_dir):
+        c = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+        o = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+        recent = o.loc[o.o_orderdate >= pd.Timestamp("2001-06-01"), "o_custkey"]
+        return c, set(recent)
+
+    @pytest.mark.parametrize("salt", [1, 4])
+    def test_semi_anti_match_isin(self, sf_dir, salt):
+        import ray.data
+
+        c, recent = self._sides(sf_dir)
+        left = ray.data.from_pandas(c[["c_custkey", "c_name"]])
+        right = ray.data.from_pandas(
+            pd.DataFrame({"c_custkey": sorted(recent)})
+        )
+        for how in ("semi", "anti"):
+            got = (
+                hash_join(left, right, on="c_custkey", how=how,
+                          num_buckets=8, salt=salt)
+                .to_pandas()
+                .sort_values("c_custkey")
+                .reset_index(drop=True)
+            )
+            mask = c.c_custkey.isin(recent)
+            exp = (
+                c.loc[mask if how == "semi" else ~mask, ["c_custkey", "c_name"]]
+                .sort_values("c_custkey")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, exp)
+            assert str(got.c_custkey.dtype) == "int64"  # no NaN upcast
+
+    def test_dormant_and_active_partition_customers(self, sf_dir):
+        from zerox_ray.pipelines.relational import (
+            active_segments,
+            dormant_customers,
+        )
+
+        c, recent = self._sides(sf_dir)
+        dormant = dormant_customers(sf_dir).to_pandas()
+        segs = active_segments(sf_dir).to_pandas()
+        assert len(dormant) == len(c) - len(recent)
+        assert segs.n_customers.sum() == len(recent)
+        assert not set(dormant.c_custkey) & recent
+        # cents are floor(acctbal*100) — spot-check against pandas
+        exp = c.set_index("c_custkey").c_acctbal
+        got = dormant.set_index("c_custkey").acctbal_cents
+        assert (got == np.floor(exp.loc[got.index] * 100).astype("int64")).all()
+
+
+class TestUserEventLedger:
+    def test_matches_pandas_window(self, sf_dir):
+        from zerox_ray.pipelines.relational import user_event_ledger
+
+        got = (
+            user_event_ledger(sf_dir)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        e = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+        e = e.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        e["cents"] = np.floor(e.value * 100).astype("int64")
+        e["running_cents"] = e.groupby("user_id").cents.cumsum()
+        ts_us = e.ts.astype("int64")
+        e["gap_us"] = (
+            ts_us.groupby(e.user_id).diff().fillna(-1).astype("int64")
+        )
+        exp = (
+            pd.DataFrame(
+                {
+                    "event_id": e.event_id,
+                    "user_id": e.user_id,
+                    "ts_us": ts_us,
+                    "running_cents": e.running_cents,
+                    "gap_us": e.gap_us,
+                }
+            )
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+        # every row of the input is present exactly once
+        assert len(got) == len(e)
+
+
+class TestPricingSummary:
+    def test_matches_pandas_rollup(self, sf_dir):
+        from zerox_ray.pipelines.relational import pricing_summary
+
+        got = (
+            pricing_summary(sf_dir)
+            .to_pandas()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+        li = li[li.l_shipdate <= pd.Timestamp("1999-01-01")]
+        price, disc, tax = (
+            li.l_extendedprice.to_numpy(),
+            li.l_discount.to_numpy(),
+            li.l_tax.to_numpy(),
+        )
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": li.l_returnflag,
+                "l_linestatus": li.l_linestatus,
+                "sum_qty": np.floor(li.l_quantity.to_numpy()).astype("int64"),
+                "sum_base_cents": np.floor(price * 100.0).astype("int64"),
+                "sum_disc_cents": np.floor(price * (1.0 - disc) * 100.0).astype("int64"),
+                "sum_charge_cents": np.floor(
+                    price * (1.0 - disc) * (1.0 + tax) * 100.0
+                ).astype("int64"),
+                "n_rows": 1,
+            }
+        )
+        exp = (
+            tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+            .astype({"n_rows": "int64"})
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)

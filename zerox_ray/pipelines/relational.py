@@ -132,10 +132,10 @@ def hash_join(
     sub-bucket. A key carrying 10% of the left side then costs ~10%/salt
     per task instead of one straggler task. Use when the left side is
     the big, skewed one (fact table) and right is moderate."""
-    if salt > 1 and how != "inner":
+    if salt > 1 and how not in ("inner", "semi", "anti"):
         raise ValueError(
-            "salt > 1 requires how='inner': replicated right rows would "
-            "emit phantom unmatched rows under outer/right joins"
+            "salt > 1 requires how='inner'/'semi'/'anti': replicated right "
+            "rows would emit phantom unmatched rows under outer/right joins"
         )
 
     # capture per-side schemas up front: union() aligns schemas by
@@ -213,6 +213,15 @@ def hash_join(
         g = g.reindex(columns=want)
         l = g.loc[g["__side"] == "L", lcols]
         r = g.loc[g["__side"] == "R", rcols]
+        if how in ("semi", "anti"):
+            # existence filter, not a merge: only left columns survive.
+            # Correct under salt>1 because right rows replicate into
+            # every sub-bucket, so per-sub-bucket membership is exact.
+            present = l[on].isin(pd.unique(r[on])) if len(r) else pd.Series(
+                False, index=l.index
+            )
+            out = l.loc[present if how == "semi" else ~present]
+            return _restore_int_dtypes(out.reset_index(drop=True))
         out = l.merge(r, on=on, how=how)
         return _restore_int_dtypes(out)
 
@@ -515,3 +524,202 @@ def events_funnel(
     return ds.groupby("bucket").map_groups(
         lambda g: _funnel_bucket(g, steps, within_us), batch_format="pandas"
     ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- semi / anti joins --------------------------------------------------------
+
+
+def _recent_order_customers(sf_dir: str, since_us: int) -> ray.data.Dataset:
+    """Distinct c_custkey of customers with an order at/after ``since_us``
+    — the small side of the semi/anti joins below. Per-batch filter +
+    dedup is the combiner: the join then shuffles O(distinct keys), not
+    O(orders)."""
+
+    def distinct_keys(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].astype("int64")
+        keys = df.loc[ts >= since_us, "o_custkey"].drop_duplicates()
+        return pd.DataFrame({"c_custkey": keys.astype("int64")})
+
+    return read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(distinct_keys, batch_format="pandas")
+
+
+def dormant_customers(
+    sf_dir: str, since: str = "2001-06-01"
+) -> ray.data.Dataset:
+    """Customers with NO order at/after ``since`` — a partitioned ANTI
+    join (engine-added; the reference has no joins, SURVEY §2.5). The
+    existence probe is `hash_join(how='anti')`: both sides bucket by
+    key hash, right side is pre-deduped per batch, and each bucket task
+    does one vectorized isin — no driver materialization, O(keys)
+    shuffle on the probe side. Output: (c_custkey, c_name,
+    acctbal_cents)."""
+    since_us = int(pd.Timestamp(since).value // 1_000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "c_name": df["c_name"],
+                "acctbal_cents": np.floor(
+                    df["c_acctbal"].to_numpy() * CENTS
+                ).astype(np.int64),
+            }
+        )
+
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    ).map_batches(project, batch_format="pandas")
+    return hash_join(
+        cust, _recent_order_customers(sf_dir, since_us), on="c_custkey", how="anti"
+    )
+
+
+def active_segments(sf_dir: str, since: str = "2001-06-01") -> ray.data.Dataset:
+    """Market segments of customers WITH an order at/after ``since`` —
+    partitioned SEMI join feeding a bucketed rollup. Output:
+    (c_mktsegment, n_customers)."""
+    since_us = int(pd.Timestamp(since).value // 1_000)
+    cust = read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    active = hash_join(
+        cust, _recent_order_customers(sf_dir, since_us), on="c_custkey", how="semi"
+    )
+    counts = active.map_batches(
+        lambda df: df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_custkey", "size")
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_group_agg(
+        counts, ["c_mktsegment"], {"n_customers": ("n_customers", "sum")}
+    )
+
+
+# --- per-user ordered ledger (running totals + lag gaps) ----------------------
+
+
+def _ledger_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse user bucket → per-event running purchase-value totals
+    and inter-event gaps, vectorized across all users at once (same
+    run-length trick as ``_sessionize_bucket``): a per-user cumsum is
+    the global cumsum minus the value it had at the user's first row."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].astype("int64").to_numpy()
+    ts = g["ts"].astype("int64").to_numpy()
+    cents = g["cents"].to_numpy()
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("event_id", "user_id", "ts_us", "running_cents", "gap_us")}
+        )
+    ustart = np.ones(n, dtype=bool)
+    ustart[1:] = uid[1:] != uid[:-1]
+    cs = np.cumsum(cents)
+    base = cs - cents  # global cumsum just before each row
+    # per-row: the base of ITS user's first row
+    user_base = base[ustart][np.cumsum(ustart) - 1]
+    running = cs - user_base
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = -1
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[ustart] = -1
+    return pd.DataFrame(
+        {
+            "event_id": g["event_id"].astype("int64").to_numpy(),
+            "user_id": uid,
+            "ts_us": ts,
+            "running_cents": running.astype(np.int64),
+            "gap_us": gap,
+        }
+    )
+
+
+def user_event_ledger(sf_dir: str) -> ray.data.Dataset:
+    """Per-event running purchase-value total and inter-event gap per
+    user — the batch analogue of a keyed streaming scan with state
+    (cumulative aggregate + previous-element watermark), engine-added.
+    O(rows) output; ONE exchange on the coarse user bucket.
+    Output: (event_id, user_id, ts_us, running_cents, gap_us) where
+    gap_us = -1 for each user's first event."""
+    from zerox_ray.sources.tables import strip_schema_metadata
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "cents": np.floor(df["value"].to_numpy() * CENTS).astype(np.int64),
+                "bucket": (df["user_id"].astype("int64") % N_USER_BUCKETS),
+            }
+        )
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(prep, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(
+        _ledger_bucket, batch_format="pandas"
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- TPC-H-Q1-style pricing rollup --------------------------------------------
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1999-01-01") -> ray.data.Dataset:
+    """Multi-key pricing rollup over lineitem (TPC-H Q1 shape): filter on
+    ship date, then per-batch partial groupby on (l_returnflag,
+    l_linestatus) and one tiny bucketed exchange — the shuffle moves
+    O(flag×status × batches) rows. All money in integer cents
+    (floor(x*100), matching the oracle bit-for-bit; the float products
+    evaluate left-to-right in both numpy and DuckDB so the doubles agree
+    exactly). Output: (l_returnflag, l_linestatus, sum_qty,
+    sum_base_cents, sum_disc_cents, sum_charge_cents, n_rows)."""
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_shipdate"].astype("int64") <= cutoff_us
+        df = df.loc[keep]
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        part = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": np.floor(df["l_quantity"].to_numpy()).astype(np.int64),
+                "sum_base_cents": np.floor(price * 100.0).astype(np.int64),
+                "sum_disc_cents": np.floor(price * (1.0 - disc) * 100.0).astype(
+                    np.int64
+                ),
+                "sum_charge_cents": np.floor(
+                    price * (1.0 - disc) * (1.0 + tax) * 100.0
+                ).astype(np.int64),
+                "n_rows": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return part.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_base_cents": ("sum_base_cents", "sum"),
+            "sum_disc_cents": ("sum_disc_cents", "sum"),
+            "sum_charge_cents": ("sum_charge_cents", "sum"),
+            "n_rows": ("n_rows", "sum"),
+        },
+    )
