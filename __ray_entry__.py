@@ -24,8 +24,10 @@ from ray.data.aggregate import Count, Sum
 
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
+    corpus_mix,
     decontaminate,
     dedup_exact,
+    normalize_text,
     repetition_scores,
     token_shards,
     top_ngrams,
@@ -218,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": top_orders_per_priority,
         "quality_scores": quality_scores,
         "pii_scrub": pii_scrub,
+        "normalize_text": normalize_text,
+        "corpus_mix": corpus_mix,
         "stratified_sample": stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "quality_filter": quality_filter,
@@ -777,6 +781,33 @@ SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank FROM
         # mirrors dataops.pii_scrub: identical deterministic planting from
         # doc_id, then the identical RE2-safe patterns applied in the same
         # sequential order (emails → ips → phones)
+        "corpus_mix": """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 1000000
+      < ((CAST(substring(source, 4) AS BIGINT) * 37) % 10 + 1) * 100000
+""",
+        # mirrors _normalize_plant + normalize_text: chr(769)=U+0301
+        # combining acute (NFC-composes onto the 'e'), chr(7)=BEL control,
+        # chr(9)=TAB; identical RE2 classes both sides
+        "normalize_text": r"""
+WITH aug AS (
+  SELECT doc_id, text,
+         '  ' || text || ' ' || chr(9) || ' '
+         || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x' || chr(7) || 'y' ELSE '' END AS s
+  FROM documents
+), n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(nfc_normalize(s),
+              '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'), '[ \t]+', ' ', 'g'), ' ')
+             AS norm_text
+  FROM aug
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       CAST(CASE WHEN norm_text != text THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM n
+""",
         "pii_scrub": r"""
 WITH aug AS (
   SELECT doc_id, text

@@ -286,3 +286,72 @@ class TestTfidfTopTerms:
         assert (per["min"] == 1).all()
         assert (per["max"] == per["count"]).all()
         assert (per["count"] <= 4).all()
+
+
+class TestNormalizeText:
+    def test_output_is_clean_and_nfc(self, sf_dir):
+        import unicodedata
+
+        from zerox_ray.pipelines.dataops import normalize_text
+
+        got = normalize_text(sf_dir).to_pandas()
+        s = got.norm_text
+        assert not s.str.contains(r"[\x00-\x08\x0b-\x1f\x7f]", regex=True).any()
+        assert not s.str.contains(r"[ \t]{2,}", regex=True).any()
+        assert not s.str.contains(r"\t", regex=True).any()
+        assert not (s.str.startswith(" ") | s.str.endswith(" ")).any()
+        # planted combining acute must arrive NFC-composed on even ids
+        even = got[got.doc_id % 2 == 0].norm_text
+        assert even.str.contains("café", regex=False).all()
+        assert (s == s.map(lambda t: unicodedata.normalize("NFC", t))).all()
+        assert (got.norm_len == s.str.len()).all()
+
+    def test_changed_flags_plant_effect(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import normalize_text
+
+        got = normalize_text(sf_dir).to_pandas().set_index("doc_id")
+        docs = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # ids untouched by content plants (odd, non-multiple-of-3) whose
+        # text is already clean must round-trip unchanged
+        quiet = [i for i in docs.index if i % 2 and i % 3]
+        clean = [
+            i for i in quiet
+            if docs.text[i] == docs.text[i].strip(" ")
+            and "  " not in docs.text[i] and "\t" not in docs.text[i]
+        ]
+        assert clean, "corpus unexpectedly has no clean quiet docs"
+        assert (got.loc[clean, "changed"] == 0).all()
+        assert (got.loc[clean, "norm_text"] == docs.text[clean]).all()
+
+
+class TestCorpusMix:
+    def test_rates_and_determinism(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.functions.hashing import md5_64
+        from zerox_ray.pipelines.dataops import corpus_mix
+
+        got = corpus_mix(sf_dir).to_pandas()
+        again = corpus_mix(sf_dir).to_pandas()
+        assert sorted(got.doc_id) == sorted(again.doc_id)
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ).to_pandas()
+        exp_ids = [
+            int(r.doc_id)
+            for r in docs.itertuples()
+            if md5_64(str(r.doc_id).encode()) % 1_000_000
+            < ((int(r.source[3:]) * 37) % 10 + 1) * 100_000
+        ]
+        assert sorted(got.doc_id) == sorted(exp_ids)
+        # mixture actually reweights: a 100k-ppm source keeps far fewer
+        # docs than a 1M-ppm source
+        rates = got.source.str.slice(3).astype(int).map(lambda i: (i * 37) % 10 + 1)
+        kept = got.groupby(rates).size()
+        assert kept.loc[10] > kept.loc[1]

@@ -817,3 +817,95 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     tf_rows = ds.map_batches(explode, batch_format="pandas")
     with_df = bucketed_group_map(tf_rows, "term", attach_df)
     return bucketed_group_map(with_df, "doc_id", topk)
+
+
+# --- weighted corpus mixing ----------------------------------------------------
+
+
+def corpus_mix(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted corpus mixing: each source keeps a
+    different target fraction of its documents (the LLM-data "mixture
+    weights" step — up-/down-sample sources to hit a recipe). The keep
+    decision is a pure function of (doc_id, source): md5_64(doc_id) %
+    1M under the source's rate, so the mix is identical across runs,
+    cluster shapes, and resumes, and shuffle-free (map-only). The demo
+    recipe derives each source's rate from its numeric suffix —
+    ((idx*37)%10+1)*100k ppm — replayed verbatim by the oracle SQL.
+    Output: (doc_id, source)."""
+    import numpy as np
+
+    from zerox_ray.functions.hashing import md5_64
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        idx = df["source"].str.slice(3).astype("int64")
+        rate = ((idx * 37) % 10 + 1) * 100_000
+        h = np.fromiter(
+            (md5_64(str(i).encode()) % PPM for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        m = h < rate.to_numpy()
+        return pd.DataFrame({"doc_id": ids[m], "source": df["source"][m]})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# --- text normalization ---------------------------------------------------------
+
+# RE2-compatible classes: the oracle applies the IDENTICAL patterns.
+_CTRL_RE = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+_WS_RE = _re.compile(r"[ \t]+")
+
+
+def _normalize_plant(df: pd.DataFrame) -> pd.Series:
+    """Deterministic mess for the demo query: the synthetic corpus is
+    clean ASCII, so plant denormalized unicode (combining acute),
+    control chars, and tab/space runs as a pure function of doc_id —
+    replayed verbatim by the oracle SQL (chr(769)=U+0301, chr(7)=BEL)."""
+    did = df["doc_id"].astype("int64")
+    s = "  " + df["text"].astype("string") + " \t "
+    acc = pd.Series(" cafe\u0301", index=s.index, dtype="string").where(
+        did % 2 == 0, ""
+    )
+    ctrl = pd.Series("\tx\x07y", index=s.index, dtype="string").where(
+        did % 3 == 0, ""
+    )
+    return s + acc + ctrl
+
+
+def normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Unicode + whitespace normalization over the corpus — the standard
+    pre-tokenization cleanup: NFC-normalize, strip control characters
+    (keeping \\n), collapse space/tab runs to one space, trim. Map-only,
+    vectorized, full normalized text value-checked by the oracle
+    (DuckDB nfc_normalize mirrors unicodedata NFC). Output: (doc_id,
+    norm_text, norm_len, changed)."""
+    import unicodedata
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        planted = _normalize_plant(df)
+        nfc = pd.Series(
+            [unicodedata.normalize("NFC", t) for t in planted],
+            index=planted.index,
+            dtype="string",
+        )
+        clean = (
+            nfc.str.replace(_CTRL_RE, "", regex=True)
+            .str.replace(_WS_RE, " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "norm_text": clean.astype(str),
+                "norm_len": clean.str.len().astype("int64"),
+                "changed": (clean != df["text"].astype("string")).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(batch, batch_format="pandas")
