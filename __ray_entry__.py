@@ -59,6 +59,8 @@ from zerox_ray.pipelines.media import (
     media_cleanup,
     media_cleanup_features,
     media_features,
+    media_frame_features,
+    media_frames,
     media_thumbnail_features,
     media_thumbnails,
 )
@@ -270,6 +272,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": media_thumbnails,
         "media_cleanup": media_cleanup,
         "media_cleanup_features": media_cleanup_features,
+        # video ingest: frame rows are payload-bearing (rows-only);
+        # the *_features twin value-checks the decode→sample→re-encode
+        # path against the ZXVID generator's closed forms
+        "media_frames": media_frames,
+        "media_frame_features": media_frame_features,
     }
 
 
@@ -1375,6 +1382,23 @@ SELECT CAST(i AS BIGINT) AS media_id, kind,
 FROM md_f
 """,
         # mirrors media.media_cleanup_features over the closed-form
+        # ZXVID generator closed forms (testgen.generate_video_table):
+        # video i has w=8+i%13, h=8+(i*5)%11, nf=4+i%9 frames, frame f a
+        # constant plane (i*31+f*7)%256; FrameSampler(k=4) picks
+        # frame_index=(j*nf)//4 for j in 0..3 (distinct since nf>=4)
+        "media_frame_features": """
+WITH vn AS (SELECT greatest(64, count(*) // 4) AS n FROM documents),
+v AS (SELECT unnest(range((SELECT n FROM vn))) AS i),
+p AS (SELECT i, 8 + i % 13 AS w, 8 + (i * 5) % 11 AS h, 4 + i % 9 AS nf FROM v),
+f AS (SELECT i, w, h, nf, unnest(range(4)) AS j FROM p)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST((j * nf) // 4 AS BIGINT) AS frame_index,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(((i * 31 + ((j * nf) // 4) * 7) % 256) * 1000000 AS BIGINT)
+           AS mean_value_ppm
+FROM f
+""",
         # branches: tall 16x120 (trim/orient no-op, split at empty-run
         # midpoints 25/55/85/115 -> 5 fragments, band b's 6 stripe rows
         # land in fragment b), rotated 24x16 (trim to 23x13 + 90deg

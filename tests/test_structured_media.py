@@ -169,3 +169,51 @@ class TestImageOps:
         out = media_cleanup(sf_dir, max_bytes=80).to_pandas()
         img = out[out.width > 0]
         assert (img.payload.map(lambda p: len(bytes(p))) <= 80).all()
+
+
+class TestFrameSampling:
+    def test_sampler_explodes_and_reencodes(self):
+        import numpy as np
+        import pandas as pd
+
+        from zerox_ray.pipelines.media import FrameSampler, decode_payload
+        from zerox_ray.testgen import generate_video_table
+
+        vids = generate_video_table(8).to_pandas()
+        out = FrameSampler(k=4)(vids)
+        # every video has nf >= 4 → exactly 4 frames each
+        assert len(out) == 32
+        assert (out.groupby("media_id").size() == 4).all()
+        for r in out.itertuples():
+            d = decode_payload(bytes(r.payload))
+            i, fi = int(r.media_id), int(r.frame_index)
+            assert d["width"] == 8 + i % 13
+            assert d["height"] == 8 + (i * 5) % 11
+            assert (d["data"] == (i * 31 + fi * 7) % 256).all()
+        # sampled indices strictly increase and stay in range
+        per = out.groupby("media_id").frame_index.apply(list)
+        for i, idxs in per.items():
+            nf = 4 + i % 9
+            assert idxs == sorted(set(idxs))
+            assert all(0 <= x < nf for x in idxs)
+
+    def test_real_codec_seam_and_error_modes(self):
+        import pandas as pd
+        import pytest as _pytest
+
+        from zerox_ray.pipelines.media import FrameSampler, decode_video
+
+        with _pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x01not-a-container")
+        bad = pd.DataFrame({"media_id": [1], "payload": [b"garbage"]})
+        assert len(FrameSampler(k=4)(bad)) == 0  # IGNORE drops it
+        with _pytest.raises(NotImplementedError):
+            FrameSampler(k=4, error_mode="THROW")(bad)
+
+    def test_pipeline_matches_oracle_counts(self, sf_dir):
+        from zerox_ray.pipelines.media import media_frames
+
+        got = media_frames(sf_dir).to_pandas()
+        assert got.media_id.nunique() >= 64
+        assert (got.groupby("media_id").size() == 4).all()
+        assert set(got.columns) == {"media_id", "frame_index", "n_frames", "payload"}

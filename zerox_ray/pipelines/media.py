@@ -286,3 +286,105 @@ def media_cleanup_features(sf_dir: str) -> ray.data.Dataset:
         MediaCleanup, batch_format="pandas", batch_size=64, concurrency=(1, 4)
     )
     return ds.map_batches(_fragment_features, batch_format="pandas")
+
+
+# --- video frame sampling ------------------------------------------------------
+
+VID_MAGIC = b"ZXVID"
+
+
+def decode_video(payload: bytes) -> dict:
+    """ZXVID container → {'width','height','n_frames','data': (nf,h,w)}.
+    Real video codecs route through the same NotImplementedError seam as
+    images/audio (_decode_real policy)."""
+    if payload[:5] != VID_MAGIC:
+        raise NotImplementedError(
+            "real video codecs (ffmpeg) are unavailable in this runtime; "
+            "ZXVID synthetic containers are fully supported"
+        )
+    w = int.from_bytes(payload[5:9], "big")
+    h = int.from_bytes(payload[9:13], "big")
+    nf = int.from_bytes(payload[13:17], "big")
+    data = np.frombuffer(payload[17 : 17 + nf * w * h], dtype=np.uint8).reshape(
+        nf, h, w
+    )
+    return {"width": w, "height": h, "n_frames": nf, "data": data}
+
+
+class FrameSampler:
+    """Actor-pool map_batches: video rows → k evenly-spaced frame rows,
+    each re-encoded as a standalone ZXIMG payload (1 row in → k rows out,
+    the video-ingest fan-out shape). Sampled indices are
+    floor(j*n_frames/k), strictly increasing for n_frames ≥ k. Small
+    batches on purpose — multi-frame payloads are the fattest rows in
+    the engine."""
+
+    def __init__(self, k: int = 4, error_mode: str = "IGNORE"):
+        self.k = k
+        self.error_mode = error_mode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, fidx, nfs, payloads = [], [], [], []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            try:
+                d = decode_video(bytes(payload))
+            except Exception:  # noqa: BLE001
+                if self.error_mode == "THROW":
+                    raise
+                continue  # IGNORE: undecodable video contributes no frames
+            nf = d["n_frames"]
+            for j in range(min(self.k, nf)):
+                fi = (j * nf) // self.k
+                ids.append(int(mid))
+                fidx.append(fi)
+                nfs.append(nf)
+                payloads.append(encode_image(np.ascontiguousarray(d["data"][fi])))
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(fidx, dtype="int64"),
+                "n_frames": pd.Series(nfs, dtype="int64"),
+                "payload": payloads,
+            }
+        )
+
+
+def media_frames(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """Frame sampling over the (generated, cached) video table.
+    Output: (media_id, frame_index, n_frames, payload)."""
+    from zerox_ray.testgen import video_path_for
+
+    ds = read_table(video_path_for(sf_dir))
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pandas",
+        batch_size=32,
+        concurrency=(1, 4),
+    )
+
+
+def media_frame_features(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """Value-check surface for frame sampling: per-sampled-frame dims +
+    pixel means (closed form per the ZXVID generator), so the whole
+    decode → sample → re-encode path is oracle-checked. Output:
+    (media_id, frame_index, width, height, mean_value_ppm)."""
+
+    def features(df: pd.DataFrame) -> pd.DataFrame:
+        widths, heights, ppm = [], [], []
+        for payload in df["payload"]:
+            d = decode_payload(bytes(payload))
+            widths.append(int(d["width"]))
+            heights.append(int(d["height"]))
+            ppm.append(int(d["data"].mean() * 1_000_000) if d["data"].size else 0)
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].astype("int64").to_numpy(),
+                "frame_index": df["frame_index"].astype("int64").to_numpy(),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+                "mean_value_ppm": pd.Series(ppm, dtype="int64"),
+            }
+        )
+
+    return media_frames(sf_dir, k).map_batches(features, batch_format="pandas")

@@ -363,3 +363,49 @@ def expected_documents_rows(documents_path: str) -> list[dict]:
                 }
             )
     return rows
+
+
+def generate_video_table(n_rows: int = 64) -> pa.Table:
+    """Deterministic fake video table (media_id, payload): ZXVID
+    containers — magic + width + height + n_frames (4-byte big-endian
+    each) + n_frames constant-value uint8 planes ((i*31 + f*7) % 256), so
+    every sampled frame's dims and pixel mean have closed forms the
+    frame-features oracle replays exactly. Real video codecs (ffmpeg)
+    stay stubbed, same policy as generate_media_table."""
+    ids, payloads = [], []
+    for i in range(n_rows):
+        w = 8 + i % 13
+        h = 8 + (i * 5) % 11
+        nf = 4 + i % 9
+        frames = b"".join(
+            bytes([(i * 31 + f * 7) % 256]) * (w * h) for f in range(nf)
+        )
+        payloads.append(
+            b"ZXVID"
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + nf.to_bytes(4, "big")
+            + frames
+        )
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def video_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+    """Cached fake video table for a sf dir (row count scales with sf)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "video")
+    if os.path.isdir(out):
+        return out
+    n = max(64, pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows // 4)
+
+    def write(tmp: str) -> None:
+        pq.write_table(generate_video_table(n), os.path.join(tmp, "video-00000.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
