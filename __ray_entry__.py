@@ -27,6 +27,7 @@ from zerox_ray.pipelines.dataops import (
     corpus_mix,
     decontaminate,
     dedup_exact,
+    event_type_reach,
     normalize_text,
     repetition_scores,
     token_shards,
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": repetition_scores,
         "top_ngrams": top_ngrams,
         "events_hourly": events_hourly,
+        "event_type_reach": event_type_reach,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
@@ -1074,6 +1076,10 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, hour_id
+""",
+        "event_type_reach": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
         # G5 merge mirror (reference index.ts:435-443, 539-552): per-page
         # first_token entries in page order + full-doc n_tokens over the

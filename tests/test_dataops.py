@@ -355,3 +355,28 @@ class TestCorpusMix:
         rates = got.source.str.slice(3).astype(int).map(lambda i: (i * 37) % 10 + 1)
         kept = got.groupby(rates).size()
         assert kept.loc[10] > kept.loc[1]
+
+
+def test_event_type_reach_matches_pandas(sf_dir):
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import event_type_reach
+
+    got = (
+        event_type_reach(sf_dir)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    e = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    exp = (
+        e.groupby("event_type")["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp.astype({"n_users": "int64"}))

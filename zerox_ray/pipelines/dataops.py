@@ -909,3 +909,41 @@ def normalize_text(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(batch, batch_format="pandas")
+
+
+# --- grouped exact distinct (two-level shuffle) ---------------------------------
+
+
+def event_type_reach(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct-user count PER event type — the two-level distinct
+    shape: per-batch (event_type, user_id) dedup is the combiner, one
+    bucketed exchange on user_id dedups globally WITHOUT materializing
+    the distinct set anywhere central, then a tiny second-level rollup
+    counts per type. At 10^12 rows the first exchange moves O(distinct
+    pairs), not O(events). Output: (event_type, n_users)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"])
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "user_id": out["user_id"].astype("int64"),
+                "n": pd.Series(1, index=out.index, dtype="int64"),
+            }
+        )
+
+    pairs = bucketed_group_agg(
+        ds.map_batches(pair_partials, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"n": ("n", "min")},  # any pair survives exactly once
+    )
+    counts = pairs.map_batches(
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            n_users=("n", "sum")
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_group_agg(
+        counts, ["event_type"], {"n_users": ("n_users", "sum")}
+    )
