@@ -81,6 +81,7 @@ from zerox_ray.pipelines.relational import (
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
+    cms_probe,
     distinct_users_exact,
     distinct_users_hll,
     price_histogram,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeded params are reproduced literally in the oracle SQL)
         "distinct_users_hll": distinct_users_hll,
         "bloom_probe": bloom_probe,
+        "cms_probe": cms_probe,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -522,6 +524,50 @@ SELECT probe_id,
                  THEN 1 ELSE 0 END AS BIGINT) AS present,
        CAST((SELECT count(*) FROM bl_set) AS BIGINT) AS n_set_bits
 FROM bl_pos WHERE probe_id IS NOT NULL GROUP BY probe_id"""
+
+
+def _cms_sql(d: int = 4, w: int = 1024) -> str:
+    """Mirror of pipelines/sketches.py::cms_probe: md5-64 of the decimal
+    user_id → splitmix64 → odd stride h2 → Kirsch–Mitzenmacher positions
+    mod w per depth row; per-(j,pos) counter sums over ALL events; probe
+    estimate = min over depth rows (0 for counters never touched)."""
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+WITH cm_keys AS (
+  SELECT CAST(NULL AS BIGINT) AS probe_id,
+         CAST({_sql_md5_u64("CAST(user_id AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM events
+  UNION ALL
+  SELECT p.probe_id,
+         CAST({_sql_md5_u64("CAST(p.probe_id AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS probe_id
+        UNION ALL
+        SELECT CAST(unnest(range(1000000000, 1000000010)) AS BIGINT)) p
+),
+cm_z0 AS (SELECT probe_id, h1, (h1 + {golden}) % {_MOD64} AS z FROM cm_keys),
+cm_z1 AS (SELECT probe_id, h1, xor(z, z // 1073741824) AS z FROM cm_z0),
+cm_z2 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c1), 'z')} AS z FROM cm_z1),
+cm_z3 AS (SELECT probe_id, h1, xor(z, z // 134217728) AS z FROM cm_z2),
+cm_z4 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c2), 'z')} AS z FROM cm_z3),
+cm_h2 AS (
+  SELECT probe_id, h1, (xor(z, z // 2147483648) // 2) * 2 + 1 AS h2 FROM cm_z4
+),
+cm_pos AS (
+  SELECT probe_id, i.i AS j, ((h1 + i.i * h2) % {_MOD64}) % {w} AS pos
+  FROM cm_h2, (VALUES (0::HUGEINT),(1::HUGEINT),(2::HUGEINT),(3::HUGEINT)) i(i)
+),
+cm_counts AS (
+  SELECT j, pos, count(*) AS n FROM cm_pos WHERE probe_id IS NULL GROUP BY j, pos
+),
+cm_est AS (
+  SELECT pp.probe_id, min(COALESCE(c.n, 0)) AS est
+  FROM (SELECT * FROM cm_pos WHERE probe_id IS NOT NULL) pp
+  LEFT JOIN cm_counts c ON c.j = pp.j AND c.pos = pp.pos
+  GROUP BY pp.probe_id
+)
+SELECT probe_id, CAST(est AS BIGINT) AS est_count,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS total_events
+FROM cm_est"""
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -1316,6 +1362,7 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
         "bloom_probe": _bloom_sql(),
+        "cms_probe": _cms_sql(),
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents
         # row count) + media.MediaFeatureExtractor's feature math; the

@@ -76,3 +76,41 @@ class TestBloomProbe:
         whole = _bloom_partial(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
         assert np.array_equal(ab, ba)
         assert np.array_equal(ab, np.frombuffer(whole["bitmap"].iloc[0], dtype=np.uint8))
+
+
+class TestCountMin:
+    def test_estimate_upper_bounds_truth(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.sketches import cms_probe
+
+        got = cms_probe(sf_dir).to_pandas().set_index("probe_id")
+        e = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"]).to_pandas()
+        truth = e.user_id.value_counts()
+        assert (got.total_events == len(e)).all()
+        for pid, row in got.iterrows():
+            t = int(truth.get(pid, 0))
+            assert row.est_count >= t, (pid, row.est_count, t)
+        # users that actually occur must estimate > 0; the sketch is
+        # tight at this load factor (≤150 keys in 1024 counters)
+        present = got.loc[[i for i in got.index if truth.get(i, 0) > 0]]
+        assert len(present) > 0
+        assert (present.est_count > 0).all()
+        truth_present = present.index.map(lambda i: int(truth.get(i, 0)))
+        assert (present.est_count <= 2 * truth_present + 200).all()
+
+    def test_partials_merge_invariant(self):
+        import numpy as np
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import _cms_merge, _cms_partial
+
+        ids = np.arange(1000, dtype=np.int64) % 37
+        whole = _cms_partial(pd.DataFrame({"user_id": ids}))
+        parts = pd.concat(
+            [
+                _cms_partial(pd.DataFrame({"user_id": ids[:300]})),
+                _cms_partial(pd.DataFrame({"user_id": ids[300:]})),
+            ]
+        )
+        assert (_cms_merge(whole) == _cms_merge(parts)).all()

@@ -252,3 +252,85 @@ def bloom_probe(sf_dir: str) -> ray.data.Dataset:
         )
 
     return merged.groupby("g").map_groups(finish, batch_format="pandas")
+
+
+# --- Count-Min sketch (heavy-hitter frequency estimates) ----------------------
+
+CMS_D = 4  # depth (independent rows)
+CMS_W = 1024  # width (counters per row)
+_N_CMS_MERGE_BUCKETS = 32
+
+
+def _cms_positions(h1: np.ndarray) -> np.ndarray:
+    """(n, CMS_D) counter positions — the same Kirsch–Mitzenmacher double
+    hashing as the Bloom filter (one avalanche, odd stride), so the
+    DuckDB oracle reuses one hash chain."""
+    h2 = _hll_hash(h1) | np.uint64(1)
+    i = np.arange(CMS_D, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(CMS_W)).astype(
+        np.int64
+    )
+
+
+def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """One batch → ONE (bucket, sketch) row: a local D×W counter plane.
+    32 KiB of int64 shuffles per batch — never the keys."""
+    ids = df["user_id"].to_numpy(dtype=np.int64)
+    pos = _cms_positions(_bloom_key_hash(ids))
+    sketch = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for j in range(CMS_D):
+        np.add.at(sketch[j], pos[:, j], 1)
+    bucket = int(ids[0]) % _N_CMS_MERGE_BUCKETS
+    return pd.DataFrame({"bucket": [bucket], "sketch": [sketch.tobytes()]})
+
+
+def _cms_merge(g: pd.DataFrame) -> np.ndarray:
+    stack = np.stack(
+        [np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W) for b in g["sketch"]]
+    )
+    return stack.sum(axis=0)
+
+
+def cms_probe(sf_dir: str) -> ray.data.Dataset:
+    """Count-Min sketch of per-user event frequencies, probed: build the
+    D×W counter plane over the events stream (md5-64 of the decimal
+    user_id), then estimate the event count of a fixed probe set —
+    user ids 0..49 (present at every sf) and 1e9..1e9+9 (absent; their
+    estimate is pure collision mass, reproduced exactly by the oracle).
+    estimate(x) = min_j sketch[j][pos_j(x)] ≥ true count, deterministic
+    given the data — so the oracle value-checks it bit-for-bit rather
+    than asserting a bound.
+
+    Scale shape mirrors bloom_probe: per-batch 32 KiB sketch partials →
+    tree sum-merge over 32 buckets → one final task probes the merged
+    plane. Keys never shuffle. Output: (probe_id, est_count,
+    total_events)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    partials = ds.map_batches(_cms_partial, batch_format="pandas")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [0], "sketch": [_cms_merge(g).tobytes()]})
+
+    merged = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        sketch = _cms_merge(g)
+        total = int(sketch[0].sum())  # every event increments each row once
+        probe_ids = np.concatenate(
+            [np.arange(50, dtype=np.int64), np.arange(10, dtype=np.int64) + 1_000_000_000]
+        )
+        pos = _cms_positions(_bloom_key_hash(probe_ids))
+        est = np.min(
+            sketch[np.arange(CMS_D)[None, :], pos], axis=1
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "probe_id": probe_ids,
+                "est_count": est,
+                "total_events": np.int64(total),
+            }
+        )
+
+    return merged.groupby("g").map_groups(finish, batch_format="pandas")
