@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Sum
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
     corpus_mix,
+    quality_percentiles,
     decontaminate,
     dedup_exact,
     event_type_reach,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spenders": top_spenders,
         "top_orders_per_priority": top_orders_per_priority,
         "quality_scores": quality_scores,
+        "quality_percentiles": quality_percentiles,
         "pii_scrub": pii_scrub,
         "normalize_text": normalize_text,
         "corpus_mix": corpus_mix,
@@ -862,6 +864,32 @@ SELECT doc_id, norm_text,
        CAST(length(norm_text) AS BIGINT) AS norm_len,
        CAST(CASE WHEN norm_text != text THEN 1 ELSE 0 END AS BIGINT) AS changed
 FROM n
+""",
+        "quality_percentiles": r"""
+WITH qp AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')) AS BIGINT) AS n_stop
+  FROM documents
+), qs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tokens = 0 THEN 0
+              ELSE (1000000 * n_stop) // n_tokens END AS BIGINT) AS score_ppm
+  FROM qp
+), qb AS (
+  SELECT doc_id, score_ppm, least(score_ppm // 976, 1023) AS bin_id FROM qs
+), qh AS (
+  SELECT bin_id, count(*) AS n FROM qb GROUP BY bin_id
+), qc AS (
+  SELECT bin_id,
+         COALESCE(sum(n) OVER (ORDER BY bin_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM qh
+)
+SELECT qb.doc_id, qb.score_ppm,
+       CAST(qc.below * 1000000 // (SELECT count(*) FROM documents) AS BIGINT)
+           AS percentile_ppm
+FROM qb JOIN qc ON qb.bin_id = qc.bin_id
 """,
         "pii_scrub": r"""
 WITH aug AS (

@@ -380,3 +380,20 @@ def test_event_type_reach_matches_pandas(sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp.astype({"n_users": "int64"}))
+
+
+def test_quality_percentiles_are_rank_consistent(sf_dir):
+    from zerox_ray.pipelines.dataops import quality_percentiles
+
+    got = quality_percentiles(sf_dir).to_pandas()
+    # monotone: a higher score never gets a lower percentile
+    s = got.sort_values("score_ppm").reset_index(drop=True)
+    assert s.percentile_ppm.is_monotonic_increasing
+    # bounded, and percentile ≈ exact strictly-below rank within one
+    # bin's mass (the histogram's resolution guarantee)
+    n = len(got)
+    assert got.percentile_ppm.between(0, 1_000_000).all()
+    exact_below = got.score_ppm.rank(method="min").astype(int) - 1
+    err = (got.percentile_ppm - exact_below * 1_000_000 // n).abs()
+    bin_mass = got.groupby(got.score_ppm // 976).size().max()
+    assert (err <= bin_mass * 1_000_000 // n).all()

@@ -947,3 +947,68 @@ def event_type_reach(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         counts, ["event_type"], {"n_users": ("n_users", "sum")}
     )
+
+
+# --- sketch-driven percentile normalization -------------------------------------
+
+_QP_BINS = 1024
+
+
+def quality_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality-score percentile via a BROADCAST histogram —
+    the sketch-driven normalization shape: pass 1 builds a 1024-bin
+    histogram of stop_ratio_ppm (per-batch bincount partials → one tiny
+    exchange → ≤1024 rows on the driver, legal at any corpus size);
+    pass 2 re-scores each doc and assigns
+    percentile_ppm = (docs in strictly lower bins) * 1M // total,
+    reading the cumulative table via ONE ray.put. Ties within a bin get
+    equal percentiles — deterministic, so the oracle mirrors it with a
+    window cumsum. Output: (doc_id, score_ppm, percentile_ppm)."""
+    import numpy as np
+
+    from zerox_ray.pipelines.dataops import _quality_batch
+
+    width = PPM // _QP_BINS
+    path = f"{sf_dir}/documents.parquet"
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        score = _quality_batch(t)["stop_ratio_ppm"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(score // width, _QP_BINS - 1)
+        counts = np.bincount(bins, minlength=_QP_BINS)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin_id": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    ds = read_table(path, columns=["doc_id", "text"])
+    hist = bucketed_group_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin_id"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # ≤1024 rows regardless of corpus size
+    counts = np.zeros(_QP_BINS, dtype=np.int64)
+    counts[hist["bin_id"].to_numpy()] = hist["n"].to_numpy()
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    below_ref = ray.put(below)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(below_ref)  # zero-copy per worker, shipped once
+        q = _quality_batch(t)
+        score = q["stop_ratio_ppm"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(score // width, _QP_BINS - 1)
+        pct = (b[bins] * PPM) // total
+        return pa.table(
+            {
+                "doc_id": q["doc_id"],
+                "score_ppm": pa.array(score, pa.int64()),
+                "percentile_ppm": pa.array(pct, pa.int64()),
+            }
+        )
+
+    return read_table(path, columns=["doc_id", "text"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
