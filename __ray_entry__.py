@@ -534,6 +534,7 @@ def _cms_sql(d: int = 4, w: int = 1024) -> str:
     mod w per depth row; per-(j,pos) counter sums over ALL events; probe
     estimate = min over depth rows (0 for counters never touched)."""
     golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    depth_rows = ",".join(f"({j}::HUGEINT)" for j in range(d))
     return f"""
 WITH cm_keys AS (
   SELECT CAST(NULL AS BIGINT) AS probe_id,
@@ -556,7 +557,7 @@ cm_h2 AS (
 ),
 cm_pos AS (
   SELECT probe_id, i.i AS j, ((h1 + i.i * h2) % {_MOD64}) % {w} AS pos
-  FROM cm_h2, (VALUES (0::HUGEINT),(1::HUGEINT),(2::HUGEINT),(3::HUGEINT)) i(i)
+  FROM cm_h2, (VALUES {depth_rows}) i(i)
 ),
 cm_counts AS (
   SELECT j, pos, count(*) AS n FROM cm_pos WHERE probe_id IS NULL GROUP BY j, pos

@@ -196,9 +196,16 @@ def _measure_scaling(lo: int = 8, hi: int = 32, max_rounds: int = 4) -> dict:
     under-reports efficiency by up to 2x (observed 0.64–1.25 for the
     IDENTICAL build across one hour). Sample both arms in interleaved
     rounds, keep each arm's best (the steady-state estimator the
-    headline timing already uses), and stop early once the ratio clears
-    0.85: a calm box pays one round, a loaded one up to ``max_rounds``.
-    Efficiency comes from matched same-round pairs (see below)."""
+    headline timing already uses), and stop early once a MATCHED
+    same-round pair clears 0.85 (a calm round found; a calm box pays one
+    round, a loaded one up to ``max_rounds``).
+
+    The REPORTED efficiency is best-of-arms across rounds — each arm's
+    max pages/sec is its steady-state estimate and load can only lower a
+    sample, never raise it, so this estimator cannot be inflated by a
+    slowed lo arm (a max over matched-pair ratios could: one round with
+    a loaded lo arm and a clean hi arm over-reports). Matched per-round
+    ratios are emitted alongside for transparency."""
     best: dict[int, dict] = {}
     samples: dict[int, list] = {lo: [], hi: []}
     round_effs: list[float] = []
@@ -210,14 +217,10 @@ def _measure_scaling(lo: int = 8, hi: int = 32, max_rounds: int = 4) -> dict:
             this_round[ncpu] = r["pages_per_sec"]
             if ncpu not in best or r["pages_per_sec"] > best[ncpu]["pages_per_sec"]:
                 best[ncpu] = r
-        # efficiency from the MATCHED pair of this round (both arms ran
-        # back-to-back under the same load window), not best-of-arms
-        # across rounds: cross-round pairing compares different load
-        # conditions and can swing the ratio either way
         round_effs.append((this_round[hi] / this_round[lo]) / (hi / lo))
-        if max(round_effs) >= 0.85:
+        if round_effs[-1] >= 0.85:
             break
-    eff = max(round_effs)
+    eff = (best[hi]["pages_per_sec"] / best[lo]["pages_per_sec"]) / (hi / lo)
     return {
         "cpus": [lo, hi],
         "pages_per_sec": [best[lo]["pages_per_sec"], best[hi]["pages_per_sec"]],

@@ -217,3 +217,18 @@ class TestFrameSampling:
         assert got.media_id.nunique() >= 64
         assert (got.groupby("media_id").size() == 4).all()
         assert set(got.columns) == {"media_id", "frame_index", "n_frames", "payload"}
+
+    def test_oversampling_k_covers_all_frames_once(self):
+        import pandas as pd
+
+        from zerox_ray.pipelines.media import FrameSampler
+        from zerox_ray.testgen import generate_video_table
+
+        vids = generate_video_table(12).to_pandas()
+        out = FrameSampler(k=100)(vids)  # k far above every n_frames
+        per = out.groupby("media_id")
+        for i, g in per:
+            nf = 4 + int(i) % 9
+            # all nf frames exactly once, in order — no duplicates
+            assert sorted(g.frame_index) == list(range(nf))
+            assert len(g) == nf

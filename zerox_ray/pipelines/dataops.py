@@ -369,19 +369,13 @@ def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
     and resumes (the property a reproducible training-data pipeline
     needs), and md5 is SQL-computable so the DuckDB oracle checks the
     exact kept set. Output: (doc_id,)."""
-    import numpy as np
-
-    from zerox_ray.functions.hashing import md5_64
+    from zerox_ray.functions.hashing import md5_64_array
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        h = np.fromiter(
-            (md5_64(str(i).encode()) % PPM for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        h = (md5_64_array([str(int(i)).encode() for i in ids]) % PPM).astype("int64")
         return pd.DataFrame({"doc_id": ids[h < rate_ppm]})
 
     return ds.map_batches(keep, batch_format="pandas")
@@ -832,9 +826,7 @@ def corpus_mix(sf_dir: str) -> ray.data.Dataset:
     recipe derives each source's rate from its numeric suffix —
     ((idx*37)%10+1)*100k ppm — replayed verbatim by the oracle SQL.
     Output: (doc_id, source)."""
-    import numpy as np
-
-    from zerox_ray.functions.hashing import md5_64
+    from zerox_ray.functions.hashing import md5_64_array
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
@@ -842,11 +834,9 @@ def corpus_mix(sf_dir: str) -> ray.data.Dataset:
         ids = df["doc_id"].astype("int64")
         idx = df["source"].str.slice(3).astype("int64")
         rate = ((idx * 37) % 10 + 1) * 100_000
-        h = np.fromiter(
-            (md5_64(str(i).encode()) % PPM for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        # one canonical decimal-id md5 recipe (functions/hashing.py) —
+        # the same expression the oracle mirrors
+        h = (md5_64_array([str(int(i)).encode() for i in ids]) % PPM).astype("int64")
         m = h < rate.to_numpy()
         return pd.DataFrame({"doc_id": ids[m], "source": df["source"][m]})
 

@@ -333,8 +333,10 @@ class FrameSampler:
                     raise
                 continue  # IGNORE: undecodable video contributes no frames
             nf = d["n_frames"]
-            for j in range(min(self.k, nf)):
-                fi = (j * nf) // self.k
+            kk = min(self.k, nf)  # clamp BEFORE spacing: k > nf must
+            # sample all nf frames once, not duplicate the early ones
+            for j in range(kk):
+                fi = (j * nf) // kk
                 ids.append(int(mid))
                 fidx.append(fi)
                 nfs.append(nf)

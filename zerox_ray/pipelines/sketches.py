@@ -196,6 +196,10 @@ def _bloom_key_hash(ids: np.ndarray) -> np.ndarray:
 def _bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
     """One batch → ONE (bucket, bitmap) row: the batch's keys OR-ed into
     a local 8 KiB bitmap. The sketch — not the keys — is what shuffles."""
+    if len(df) == 0:  # empty block → empty partial, not IndexError
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"), "bitmap": pd.Series([], dtype=object)}
+        )
     pos = _bloom_positions(_bloom_key_hash(df["doc_id"].to_numpy()))
     bitmap = np.zeros(BLOOM_M // 8, dtype=np.uint8)
     np.bitwise_or.at(
@@ -275,6 +279,10 @@ def _cms_positions(h1: np.ndarray) -> np.ndarray:
 def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
     """One batch → ONE (bucket, sketch) row: a local D×W counter plane.
     32 KiB of int64 shuffles per batch — never the keys."""
+    if len(df) == 0:  # empty block → empty partial, not IndexError
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"), "sketch": pd.Series([], dtype=object)}
+        )
     ids = df["user_id"].to_numpy(dtype=np.int64)
     pos = _cms_positions(_bloom_key_hash(ids))
     sketch = np.zeros((CMS_D, CMS_W), dtype=np.int64)
