@@ -85,6 +85,7 @@ from zerox_ray.pipelines.sketches import (
     cms_probe,
     distinct_users_exact,
     distinct_users_hll,
+    heavy_hitters,
     price_histogram,
     price_quantiles,
 )
@@ -259,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": distinct_users_hll,
         "bloom_probe": bloom_probe,
         "cms_probe": cms_probe,
+        # Misra-Gries: events carries ≤5 event types vs k=32, the exact
+        # regime, so the oracle value-checks the whole summary machinery
+        "mg_heavy_hitters": heavy_hitters,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -1392,6 +1396,14 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "bloom_probe": _bloom_sql(),
         "cms_probe": _cms_sql(),
+        # exact regime (distinct event types ≤ k=32): zero decrements, so
+        # the MG summary equals the grouped count with err_bound 0
+        "mg_heavy_hitters": """
+SELECT event_type AS key,
+       CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events GROUP BY 1
+""",
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents
         # row count) + media.MediaFeatureExtractor's feature math; the

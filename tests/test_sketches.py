@@ -78,6 +78,69 @@ class TestBloomProbe:
         assert np.array_equal(ab, np.frombuffer(whole["bitmap"].iloc[0], dtype=np.uint8))
 
 
+class TestMisraGries:
+    def test_exact_regime_matches_grouped_count(self, sf_dir):
+        """distinct event types ≪ k → zero decrements → the summary IS
+        the exact groupby count (what the driver oracle checks)."""
+        import duckdb
+
+        from zerox_ray.pipelines.sketches import heavy_hitters
+
+        got = heavy_hitters(sf_dir).to_pandas().reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""select event_type as key, cast(count(*) as bigint) est_count
+                from read_parquet('{sf_dir}/events.parquet') group by 1 order by 1"""
+        ).fetchdf()
+        assert (got.err_bound == 0).all()
+        assert got.key.tolist() == exp.key.tolist()
+        assert got.est_count.tolist() == exp.est_count.tolist()
+
+    def test_approximate_regime_bounds(self):
+        """distinct ≫ k: every counter is a lower bound within err_bound,
+        and true heavy hitters (count > N/(k+1)) always survive."""
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import _mg_merge_rows, _mg_partial
+
+        # zipf-ish synthetic stream: key i appears ~1000//(i+1) times
+        keys = [f"k{i:03d}" for i in range(200) for _ in range(1000 // (i + 1))]
+        df = pd.DataFrame({"event_type": pd.Series(keys, dtype="string")})
+        truth = df.event_type.value_counts()
+        n, k = len(df), 16
+        parts = pd.concat(
+            [
+                _mg_partial(df.iloc[:1500], "event_type", k),
+                _mg_partial(df.iloc[1500:3000], "event_type", k),
+                _mg_partial(df.iloc[3000:], "event_type", k),
+            ]
+        )
+        counts, err = _mg_merge_rows(parts, k)
+        assert 0 < err <= n // (k + 1) * 3 + 3  # merge-tree error stays bounded
+        for key, est in counts.items():
+            t = int(truth[key])
+            assert est <= t <= est + err, (key, est, t, err)
+        for key, t in truth.items():  # guarantee: heavy keys survive
+            if t > err:
+                assert key in counts, (key, t, err)
+
+    def test_merge_is_split_invariant_in_exact_regime(self):
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import _mg_merge_rows, _mg_partial
+
+        keys = pd.Series(["a"] * 5 + ["b"] * 3 + ["c"] * 2, dtype="string")
+        df = pd.DataFrame({"event_type": keys})
+        whole, e0 = _mg_merge_rows(_mg_partial(df, "event_type", 8), 8)
+        parts = pd.concat(
+            [
+                _mg_partial(df.iloc[:4], "event_type", 8),
+                _mg_partial(df.iloc[4:], "event_type", 8),
+            ]
+        )
+        split, e1 = _mg_merge_rows(parts, 8)
+        assert whole == split and e0 == 0 and e1 == 0
+
+
 class TestCountMin:
     def test_estimate_upper_bounds_truth(self, sf_dir):
         import pyarrow.parquet as pq

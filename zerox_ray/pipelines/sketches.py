@@ -20,6 +20,8 @@ merge — the all-to-all moves sketch rows, never data rows.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import ray.data
@@ -297,6 +299,114 @@ def _cms_merge(g: pd.DataFrame) -> np.ndarray:
         [np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W) for b in g["sketch"]]
     )
     return stack.sum(axis=0)
+
+
+def _mg_compress(counts: dict[str, int], k: int) -> tuple[dict[str, int], int]:
+    """Misra-Gries summary compression: if more than ``k`` keys are
+    tracked, subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones. Returns (compressed counters, deducted
+    amount) — ``deducted`` is the per-key undercount this step may have
+    introduced (0 when the summary was already within capacity, i.e. the
+    EXACT regime)."""
+    if len(counts) <= k:
+        return counts, 0
+    vals = sorted(counts.values(), reverse=True)
+    cut = vals[k]  # (k+1)-th largest
+    out = {key: c - cut for key, c in counts.items() if c > cut}
+    return out, cut
+
+
+#: meta-row key carrying a summary's accumulated decrement (its per-key
+#: undercount bound). NUL-prefixed so it cannot collide with a real key.
+_MG_DEFICIT_KEY = "\x00deficit"
+
+MG_K = 32  # summary capacity (exact whenever true distinct ≤ k)
+_N_MG_MERGE_BUCKETS = 32
+
+
+def _mg_rows(
+    counts: dict[str, int], deficit: int, bucket: int
+) -> pd.DataFrame:
+    keys = list(counts)
+    return pd.DataFrame(
+        {
+            "bucket": np.int64(bucket),
+            "key": pd.Series([*keys, _MG_DEFICIT_KEY], dtype="string"),
+            "est_count": pd.Series(
+                [*(counts[x] for x in keys), deficit], dtype="int64"
+            ),
+        }
+    )
+
+
+def _mg_partial(df: pd.DataFrame, column: str, k: int) -> pd.DataFrame:
+    """One batch → ≤k+1 rows: the (key, est_count) counters plus one
+    meta row holding the batch's decrement total. The summary — never the
+    raw keys — is what shuffles."""
+    if len(df) == 0:
+        # empty block → an empty (zero-deficit) summary in bucket 0, so
+        # every output block carries the same 3-column schema
+        return _mg_rows({}, 0, bucket=0)
+    vc = df[column].value_counts()
+    counts, ded = _mg_compress(dict(zip(vc.index.astype(str), vc.to_numpy())), k)
+    bucket = zlib.crc32(str(df[column].iloc[0]).encode()) % _N_MG_MERGE_BUCKETS
+    return _mg_rows(counts, ded, bucket)
+
+
+def _mg_merge_rows(g: pd.DataFrame, k: int) -> tuple[dict[str, int], int]:
+    """Merge MG summaries (Agarwal et al., *Mergeable Summaries*): sum
+    counters key-wise, then one compression step. Decrement totals ADD
+    across inputs and merge steps — the merged summary's per-key
+    undercount is ≤ that sum."""
+    meta = g["key"] == _MG_DEFICIT_KEY
+    ded_in = int(g.loc[meta, "est_count"].sum())
+    summed = g.loc[~meta].groupby("key", sort=False)["est_count"].sum()
+    counts, ded = _mg_compress(dict(zip(summed.index, summed.to_numpy())), k)
+    return counts, ded_in + ded
+
+
+def heavy_hitters(
+    sf_dir: str, column: str = "event_type", k: int = MG_K
+) -> ray.data.Dataset:
+    """Misra-Gries heavy-hitter summary over the events stream: a bounded
+    ≤k-counter synopsis with the guarantee true_count - err_bound ≤
+    est_count ≤ true_count. When the true distinct-key count is ≤ k (the
+    probe regime here: events carries a handful of event_type values vs
+    k=32) no decrement ever fires, err_bound = 0, and the summary IS the
+    exact grouped count — which is what lets the DuckDB oracle value-check
+    the entire partial→merge machinery bit-for-bit. The approximate
+    regime (distinct ≫ k) is exercised in pytest against the N/(k+1)
+    error bound.
+
+    Scale shape mirrors cms_probe: per-batch ≤k-row summaries (keys never
+    shuffle in bulk) → bucket-tree MG-merge → one final task emits the
+    surviving counters. Output: (key, est_count, err_bound)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=[column])
+    partials = ds.map_batches(
+        lambda df: _mg_partial(df, column, k), batch_format="pandas"
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts, ded = _mg_merge_rows(g, k)
+        out = _mg_rows(counts, ded, bucket=0)
+        return out.rename(columns={"bucket": "g"})
+
+    merged = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        counts, ded = _mg_merge_rows(g, k)
+        keys = sorted(counts)
+        return pd.DataFrame(
+            {
+                "key": pd.Series(keys, dtype="string"),
+                "est_count": pd.Series([counts[x] for x in keys], dtype="int64"),
+                "err_bound": np.int64(ded),
+            }
+        )
+
+    return merged.groupby("g").map_groups(finish, batch_format="pandas")
 
 
 def cms_probe(sf_dir: str) -> ray.data.Dataset:
