@@ -79,6 +79,7 @@ from zerox_ray.pipelines.relational import (
     revenue_by_priority,
     user_event_ledger,
 )
+from zerox_ray.pipelines.search import DEFAULT_K, DEFAULT_QUERY, search_bm25
 from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
@@ -263,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries: events carries ≤5 event types vs k=32, the exact
         # regime, so the oracle value-checks the whole summary machinery
         "mg_heavy_hitters": heavy_hitters,
+        # BM25 keyword search (integer-exact scoring, see pipelines/search.py)
+        "search_bm25": search_bm25,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -575,6 +578,44 @@ cm_est AS (
 SELECT probe_id, CAST(est AS BIGINT) AS est_count,
        CAST((SELECT count(*) FROM events) AS BIGINT) AS total_events
 FROM cm_est"""
+
+
+def _bm25_sql(terms: tuple[str, ...] = DEFAULT_QUERY, k: int = DEFAULT_K) -> str:
+    """Mirror of pipelines/search.py::search_bm25: the same exact-integer
+    BM25 (k1=1.2, b=0.75 as the 22/10·3/10·9/10 ratios over 10·A, linear
+    idf N/df, floored avgdl A = T // N), tokens = string_split(text, ' ')
+    — see the module docstring there for the derivation. HUGEINT keeps
+    the 1e6·22·A·tf·N numerator exact at any corpus size."""
+    idx = range(len(terms))
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS HUGEINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tf{i} > 0) AS HUGEINT) AS df{i}" for i in idx
+    )
+    score = "\n       + ".join(
+        f"(CASE WHEN tf{i} = 0 OR df{i} = 0 THEN 0::HUGEINT"
+        f" ELSE (1000000::HUGEINT * 22 * a * tf{i} * n)"
+        f" // (df{i} * (10*a*tf{i} + 3*a + 9*dl)) END)"
+        for i in idx
+    )
+    return f"""
+WITH bm_c AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS t
+              FROM documents),
+bm_p AS (SELECT n, greatest(1::HUGEINT, t // n) AS a FROM bm_c),
+bm_tf AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS HUGEINT) AS dl,
+         {tf_cols}
+  FROM documents),
+bm_df AS (SELECT {df_cols} FROM bm_tf),
+bm_s AS (
+  SELECT doc_id, {score} AS score
+  FROM bm_tf CROSS JOIN bm_df CROSS JOIN bm_p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score_ppm,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM bm_s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -1404,6 +1445,7 @@ SELECT event_type AS key,
        CAST(0 AS BIGINT) AS err_bound
 FROM events GROUP BY 1
 """,
+        "search_bm25": _bm25_sql(),
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents
         # row count) + media.MediaFeatureExtractor's feature math; the
