@@ -72,6 +72,7 @@ from zerox_ray.pipelines.relational import (
     asof_purchase_view,
     dormant_customers,
     events_funnel,
+    events_neighbors,
     events_sessions,
     events_sliding,
     orders_by_nation,
@@ -266,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_hitters": heavy_hitters,
         # BM25 keyword search (integer-exact scoring, see pipelines/search.py)
         "search_bm25": search_bm25,
+        # range self-join (interval join): per-event ±4 h same-user neighbors
+        "events_neighbors": events_neighbors,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -1446,6 +1449,21 @@ SELECT event_type AS key,
 FROM events GROUP BY 1
 """,
         "search_bm25": _bm25_sql(),
+        # inclusive ±window range self-join; per-event cents floored first
+        # so the neighbor sum is order-free (mirrors _neighbors_bucket)
+        "events_neighbors": """
+SELECT e1.event_id,
+       CAST(count(e2.event_id) AS BIGINT) AS n_neighbors,
+       CAST(COALESCE(sum(CAST(floor(e2.value * 100) AS BIGINT)), 0) AS BIGINT)
+         AS neighbor_cents
+FROM events e1
+LEFT JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.event_id <> e1.event_id
+ AND e2.ts >= e1.ts - INTERVAL 4 HOUR
+ AND e2.ts <= e1.ts + INTERVAL 4 HOUR
+GROUP BY e1.event_id
+""",
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents
         # row count) + media.MediaFeatureExtractor's feature math; the

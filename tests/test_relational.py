@@ -419,3 +419,74 @@ class TestPricingSummary:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+class TestEventsNeighbors:
+    def test_matches_duckdb_range_join(self, sf_dir):
+        import duckdb
+
+        from zerox_ray.pipelines.relational import events_neighbors
+
+        got = (
+            events_neighbors(sf_dir)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""SELECT e1.event_id,
+                       CAST(count(e2.event_id) AS BIGINT) n_neighbors,
+                       CAST(COALESCE(sum(CAST(floor(e2.value*100) AS BIGINT)), 0) AS BIGINT) neighbor_cents
+                FROM read_parquet('{sf_dir}/events.parquet') e1
+                LEFT JOIN read_parquet('{sf_dir}/events.parquet') e2
+                  ON e1.user_id = e2.user_id AND e2.event_id <> e1.event_id
+                 AND e2.ts >= e1.ts - INTERVAL 4 HOUR AND e2.ts <= e1.ts + INTERVAL 4 HOUR
+                GROUP BY e1.event_id ORDER BY e1.event_id"""
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_bucket_kernel_vs_bruteforce(self):
+        from zerox_ray.pipelines.relational import _neighbors_bucket
+
+        rng = np.random.RandomState(7)
+        n = 400
+        g = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "user_id": rng.randint(0, 5, n).astype("int64"),
+                "ts": rng.randint(0, 1000, n).astype("int64"),
+                "value": rng.rand(n) * 10,
+            }
+        )
+        w = 50
+        got = _neighbors_bucket(g, w).sort_values("event_id").reset_index(drop=True)
+        cents = np.floor(g.value.to_numpy() * 100).astype("int64")
+        exp_n, exp_c = [], []
+        for i in range(n):
+            m = (
+                (g.user_id == g.user_id[i])
+                & (g.ts >= g.ts[i] - w)
+                & (g.ts <= g.ts[i] + w)
+                & (g.event_id != g.event_id[i])
+            ).to_numpy()
+            exp_n.append(int(m.sum()))
+            exp_c.append(int(cents[m].sum()))
+        assert got.n_neighbors.tolist() == exp_n
+        assert got.neighbor_cents.tolist() == exp_c
+
+    def test_duplicate_timestamps_inclusive_bounds(self):
+        from zerox_ray.pipelines.relational import _neighbors_bucket
+
+        g = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 1, 2],
+                "ts": [100, 100, 150, 100],
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+        got = _neighbors_bucket(g, 50).set_index("event_id")
+        assert got.loc[1].n_neighbors == 2  # same-ts twin + boundary event
+        assert got.loc[3].n_neighbors == 2  # both ts=100 events at -50 bound
+        assert got.loc[4].n_neighbors == 0  # other user
+        assert got.loc[1].neighbor_cents == 200 + 300

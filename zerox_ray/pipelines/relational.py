@@ -333,6 +333,71 @@ def asof_purchase_view(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("bucket").map_groups(_asof_bucket, batch_format="pandas")
 
 
+# --- range self-join ----------------------------------------------------------
+
+#: ±4 h neighborhood (µs) — sized to the synthetic stream's per-user rate
+NEIGHBOR_WINDOW_US = 4 * 3600 * 1_000_000
+
+
+def _neighbors_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """One coarse bucket of users → per-event neighbor aggregates, fully
+    vectorized across ALL users at once: rows are sorted by a composite
+    key that embeds user identity as a stride larger than any in-user
+    span (+window padding), so one searchsorted pair per side yields each
+    event's [ts−W, ts+W] window bounds WITHIN its own user segment —
+    no per-user Python loop, prefix sums finish the value aggregation."""
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("event_id", "n_neighbors", "neighbor_cents")}
+        )
+    ts = g["ts"].astype("int64").to_numpy()
+    uid, _ = pd.factorize(g["user_id"].astype("int64"), sort=False)
+    cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+    span = int(ts.max()) - int(ts.min()) + 2 * window_us + 2
+    key = uid.astype(np.int64) * span + (ts - int(ts.min()) + window_us + 1)
+    order = np.argsort(key, kind="mergesort")
+    k, c, eid = key[order], cents[order], g["event_id"].astype("int64").to_numpy()[order]
+    lo = np.searchsorted(k, k - window_us, side="left")
+    hi = np.searchsorted(k, k + window_us, side="right")
+    pref = np.r_[0, np.cumsum(c)]
+    return pd.DataFrame(
+        {
+            "event_id": eid,
+            "n_neighbors": (hi - lo - 1).astype(np.int64),
+            "neighbor_cents": (pref[hi] - pref[lo] - c).astype(np.int64),
+        }
+    )
+
+
+def events_neighbors(
+    sf_dir: str, window_us: int = NEIGHBOR_WINDOW_US
+) -> ray.data.Dataset:
+    """Range self-join on the events stream: for every event, the count
+    and value (integer cents, floor(value·100) per event so the sum is
+    order-free) of the same user's OTHER events within ±window.
+
+    This is the interval-join shape Ray Data lacks natively: ONE
+    user-hash exchange co-locates each user's events, then the bucketed
+    kernel answers every in-window query with two binary searches — at
+    10^12 rows the shuffle is the unavoidable cost and the per-bucket
+    work stays O(rows log rows) with bounded memory (users per bucket
+    shrink as the cluster and bucket count grow).
+    Output: (event_id, n_neighbors, neighbor_cents)."""
+    ds = read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"].astype("int64") % N_USER_BUCKETS)
+        ),
+        batch_format="pandas",
+    )
+    return ds.groupby("bucket").map_groups(
+        lambda g: _neighbors_bucket(g, window_us), batch_format="pandas"
+    )
+
+
 # --- session windows ---------------------------------------------------------
 
 _US = 1_000_000
