@@ -81,7 +81,11 @@ from zerox_ray.pipelines.relational import (
     user_event_ledger,
 )
 from zerox_ray.pipelines.search import DEFAULT_K, DEFAULT_QUERY, search_bm25
-from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_ivf_topk
+from zerox_ray.pipelines.similarity import (
+    ann_bruteforce_topk,
+    ann_ivf_topk,
+    ann_radius_search,
+)
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
     cms_probe,
@@ -269,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25": search_bm25,
         # range self-join (interval join): per-event ±4 h same-user neighbors
         "events_neighbors": events_neighbors,
+        # radius similarity search: all in-cosine-range corpus vectors
+        "ann_radius_search": ann_radius_search,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -1463,6 +1469,24 @@ LEFT JOIN events e2
  AND e2.ts >= e1.ts - INTERVAL 4 HOUR
  AND e2.ts <= e1.ts + INTERVAL 4 HOUR
 GROUP BY e1.event_id
+""",
+        # same dot/(|a|·|b|) + round-half-up ppm arithmetic as the engine's
+        # exact re-score pass (pipelines/similarity.py::_RadiusPartial)
+        "ann_radius_search": """
+WITH rs_q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 8
+),
+rs_c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+rs_s AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(floor(1000000.0 * list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               + 0.5) AS BIGINT) AS cosine_ppm
+  FROM rs_q q CROSS JOIN rs_c c
+  WHERE q.qid <> c.vec_id
+)
+SELECT qid, neighbor_id, cosine_ppm FROM rs_s WHERE cosine_ppm >= 250000
 """,
         # mirrors testgen.generate_media_table branch-by-branch (the
         # media table is a pure function of media_id and the documents

@@ -297,3 +297,43 @@ class TestSpanDedup:
             vocab.update(text.split(" "))
         assert got.kept_spans.sum() == len(vocab)
         assert (got.n_spans == got.kept_spans + got.dup_spans).all()
+
+
+class TestRadiusSearch:
+    def test_matches_bruteforce_set(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.similarity import PPM, ann_radius_search
+
+        thr = 150_000
+        got = (
+            ann_radius_search(sf_dir, n_queries=4, threshold_ppm=thr)
+            .to_pandas()
+            .sort_values(["qid", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        mat = np.array(t.embedding.tolist(), dtype=np.float64)
+        ids = t.vec_id.to_numpy(dtype=np.int64)
+        exp = []
+        for qi in range(4):
+            q = mat[ids == qi][0]
+            nq = float(np.sqrt(q @ q))
+            for j in range(len(ids)):
+                if ids[j] == qi:
+                    continue
+                c = float(q @ mat[j]) / (nq * float(np.sqrt(mat[j] @ mat[j])))
+                ppm = int(np.floor(c * PPM + 0.5))
+                if ppm >= thr:
+                    exp.append((qi, int(ids[j]), ppm))
+        exp.sort()
+        assert list(zip(got.qid, got.neighbor_id, got.cosine_ppm)) == exp
+        assert len(exp) > 0  # threshold low enough to be exercised
+
+    def test_no_self_matches_and_threshold_respected(self, sf_dir):
+        from zerox_ray.pipelines.similarity import ann_radius_search
+
+        got = ann_radius_search(sf_dir, n_queries=2, threshold_ppm=100_000).to_pandas()
+        assert (got.qid != got.neighbor_id).all()
+        assert (got.cosine_ppm >= 100_000).all()

@@ -133,6 +133,92 @@ def ann_bruteforce_topk(
     )
 
 
+# --- radius (range) search ----------------------------------------------------
+
+PPM = 1_000_000
+#: ppm slack for the matmul prefilter: blocked-sum matmul and the exact
+#: sequential dot differ by ≲1e-12 relative — 10 ppm is orders beyond it
+_RADIUS_FILTER_SLACK_PPM = 10
+
+
+class _RadiusPartial:
+    """map_batches radius search: ONE matmul prefilters each batch with a
+    slack margin, then the few surviving candidates are re-scored with
+    the exact sequential dot/(|a|·|b|) + round-half-up ppm arithmetic the
+    DuckDB oracle mirrors (same formulation as dedup.py's cosine verify —
+    matmul's blocked summation is NOT bit-stable across layouts, the
+    per-pair dot is)."""
+
+    def __init__(self, queries_ref, threshold_ppm: int):
+        qids, qraw = ray.get(queries_ref)
+        self.qids = qids
+        self.qraw = qraw  # UN-normalized float64 rows
+        self.qnorm = np.array([float(np.sqrt(q @ q)) for q in qraw])
+        self.qmat = qraw / self.qnorm[:, None]
+        self.threshold_ppm = threshold_ppm
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", raw, raw))
+        sims = (self.qmat @ raw.T) / norms[None, :]  # (Q, batch), approx
+        cut = (self.threshold_ppm - _RADIUS_FILTER_SLACK_PPM) / PPM
+        out = {"qid": [], "neighbor_id": [], "cosine_ppm": []}
+        for qi, qid in enumerate(self.qids):
+            cand = np.flatnonzero((sims[qi] >= cut) & (ids != qid))
+            for j in cand:
+                c = float(self.qraw[qi] @ raw[j]) / (
+                    self.qnorm[qi] * float(np.sqrt(raw[j] @ raw[j]))
+                )
+                ppm = int(np.floor(c * PPM + 0.5))
+                if ppm >= self.threshold_ppm:
+                    out["qid"].append(int(qid))
+                    out["neighbor_id"].append(int(ids[j]))
+                    out["cosine_ppm"].append(ppm)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "cosine_ppm": pd.Series(out["cosine_ppm"], dtype="int64"),
+            }
+        )
+
+
+def _radius_partial_batch(df, queries_ref, threshold_ppm):
+    key = ("radius", queries_ref.hex(), threshold_ppm)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _RadiusPartial(queries_ref, threshold_ppm)
+    return _WORKER_STATE[key](df)
+
+
+def _load_raw_queries(path: str, n_queries: int):
+    cols = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
+    ids = np.asarray(cols["vec_id"].to_pylist(), dtype=np.int64)
+    return ids, np.array(cols["embedding"].to_pylist(), dtype=np.float64)
+
+
+def ann_radius_search(
+    sf_dir: str, n_queries: int = 8, threshold_ppm: int = 250_000
+) -> ray.data.Dataset:
+    """Range similarity search: ALL corpus vectors within cosine ≥
+    threshold of each query (vec_id < n_queries), not just the top k —
+    the retrieval shape dedup/contamination sweeps need. Pure map: the
+    query matrix broadcasts once via ``ray.put``; each batch emits only
+    its in-radius rows, so there is NO exchange at all downstream.
+    Output: (qid, neighbor_id, cosine_ppm), self-matches excluded."""
+    path = f"{sf_dir}/embeddings.parquet"
+    queries_ref = ray.put(_load_raw_queries(path, n_queries))
+    ds = read_table(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        _radius_partial_batch,
+        fn_kwargs={"queries_ref": queries_ref, "threshold_ppm": threshold_ppm},
+        batch_format="pandas",
+        batch_size=2048,
+    )
+
+
 # --- IVF (inverted-file) variant --------------------------------------------
 
 
