@@ -95,7 +95,11 @@ from zerox_ray.pipelines.sketches import (
     price_histogram,
     price_quantiles,
 )
-from zerox_ray.testgen import pages_dir_for, sheet_pages_dir_for
+from zerox_ray.testgen import (
+    pages_dir_for,
+    sheet_pages_dir_for,
+    snapshot_pages_dir_for,
+)
 
 DOC_COLS = ["url", "markdown", "total_pages", "ocr_successful", "ocr_failed"]
 _EXTRACT_SCHEMA = {
@@ -187,6 +191,21 @@ def _q_extract_direct(sf_dir: str):
     )
 
 
+def _q_ocr_snapshot_ingest(sf_dir: str):
+    """Snapshot-corpus ingest: each url appears with 1-3 WARC snapshots
+    (+ a same-ts crc32-tie decoy on every 7th doc); latest_snapshot_only
+    collapses them at the read and the OCR output must be byte-identical
+    to the single-snapshot corpus (testgen.generate_snapshot_pages_table)."""
+    from zerox_ray.sources.pages import read_pages
+
+    pages = read_pages(
+        snapshot_pages_dir_for(sf_dir),
+        columns=("url", "html"),
+        latest_snapshot_only=True,
+    )
+    return run_ocr(pages).select_columns(DOC_COLS)
+
+
 def _q_structured_pages(sf_dir: str):
     """Spreadsheet branch: ZXSHEET payloads → sheet-as-page rows (S6/M12)."""
     return extracted_pages(sheet_pages_dir_for(sf_dir)).select_columns(
@@ -224,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
+        "ocr_snapshot_ingest": _q_ocr_snapshot_ingest,
         "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
         "token_stats": token_stats,
@@ -731,10 +751,9 @@ pages AS (
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "ocr_documents": _PAGES_CTE
-        + """
+_OCR_DOCUMENTS_SQL = (
+    _PAGES_CTE
+    + """
 SELECT url,
        COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
                            e'\n\n' ORDER BY page_index), '') AS markdown,
@@ -742,7 +761,17 @@ SELECT url,
        CAST(sum(CASE WHEN is_err THEN 0 ELSE 1 END) AS BIGINT) AS ocr_successful,
        CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
 FROM pages GROUP BY url
-""",
+"""
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "ocr_documents": _OCR_DOCUMENTS_SQL,
+        # the snapshot corpus collapses to the repeat=1 corpus at ingest,
+        # so the expected OCR output is IDENTICAL to ocr_documents — any
+        # wrongly-kept stale/tied snapshot produces different markdown
+        "ocr_snapshot_ingest": _OCR_DOCUMENTS_SQL,
         "ocr_pages": _PAGES_CTE
         + """
 SELECT url, CAST(page_index AS BIGINT) AS page_index, content,

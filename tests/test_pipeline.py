@@ -474,3 +474,36 @@ def test_maintain_format_skips_marker_on_empty_prior_tail():
     md = docs.iloc[0].markdown
     assert "<!-- cont:tiny -->" in md  # page 2 conditioned on page 1
     assert "<!-- cont: -->" not in md  # page 3 gets nothing from empty page 2
+
+
+class TestSnapshotIngest:
+    def test_collapses_to_single_snapshot_corpus(self, sf_dir, pages_dir):
+        """Multi-snapshot corpus + latest_snapshot_only ≡ plain corpus,
+        byte-identical markdown (stale/tied decoys would differ loudly)."""
+        from zerox_ray.sources.pages import read_pages
+        from zerox_ray.testgen import snapshot_pages_dir_for
+
+        snap = read_pages(
+            snapshot_pages_dir_for(sf_dir),
+            columns=("url", "html"),
+            latest_snapshot_only=True,
+        )
+        got = (
+            run_ocr(snap).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        exp = (
+            run_ocr(pages_dir).to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_snapshot_table_shape(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.testgen import snapshot_pages_dir_for
+
+        t = pq.read_table(snapshot_pages_dir_for(sf_dir)).to_pandas()
+        per_url = t.groupby("url").size()
+        assert per_url.min() >= 1 and per_url.max() <= 4  # ≤3 snaps + tie decoy
+        # tie decoys exist: some url has two rows sharing its max warc_ts
+        dup_ts = t.groupby(["url", "warc_ts"]).size()
+        assert (dup_ts > 1).any()

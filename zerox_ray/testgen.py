@@ -304,6 +304,80 @@ def sheet_pages_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -
     return out
 
 
+def generate_snapshot_pages_table(documents_path: str) -> pa.Table:
+    """documents.parquet → MULTI-SNAPSHOT pages table: each url appears
+    1 + doc_id % 3 times with distinct warc_ts; only the NEWEST snapshot
+    carries the real payload — older ones carry deterministic stale
+    decoys that would produce DIFFERENT markdown if wrongly kept. Every
+    7th doc additionally gets a decoy that TIES the newest warc_ts,
+    constructed so the real payload wins the crc32 tie-break
+    (sources/pages.py::latest_snapshots). Running the OCR pipeline with
+    ``latest_snapshot_only=True`` over this table must therefore produce
+    byte-identical output to the repeat=1 corpus — which is exactly what
+    the ``ocr_snapshot_ingest`` oracle (the ocr_documents SQL) checks."""
+    import zlib
+
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
+
+    def add(d: int, ts: int, pl: bytes, t: str, lg: str) -> None:
+        urls.append(f"{URL_PREFIX}{d}")
+        tss.append(ts)
+        payloads.append(pl)
+        out_texts.append(t)
+        out_langs.append(lg)
+
+    for d, t, lg in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        real = build_payload(d, t)
+        n_snap = 1 + d % 3
+        newest_ts = EPOCH_US + d * 1_000_000 + (n_snap - 1)
+        for s in range(n_snap - 1):
+            add(d, EPOCH_US + d * 1_000_000 + s,
+                build_payload(d, f"STALE SNAPSHOT {s} {t}"), t, lg)
+        add(d, newest_ts, real, t, lg)
+        if d % 7 == 0:
+            # the kept row is max (warc_ts, crc32): pad the decoy until
+            # its crc32 sorts BELOW the real payload's. When the real
+            # crc32 is small this can fail cheaply — skip the decoy then
+            # (most %7 docs still exercise the tie-break; deterministic)
+            decoy = build_payload(d, f"TIED STALE {t}")
+            for _ in range(64):
+                if zlib.crc32(decoy) < zlib.crc32(real):
+                    add(d, newest_ts, decoy, t, lg)
+                    break
+                decoy += b"#"
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def snapshot_pages_dir_for(
+    sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache"
+) -> str:
+    """Cached multi-snapshot pages corpus for a testdata sf dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "snapshot-pages")
+    if os.path.isdir(out):
+        return out
+
+    def write(tmp: str) -> None:
+        table = generate_snapshot_pages_table(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        pq.write_table(table, os.path.join(tmp, "pages-00000.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
+
+
 def media_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
     """Cached fake multimodal table for a sf dir (row count scales with sf)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
