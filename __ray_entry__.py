@@ -75,6 +75,8 @@ from zerox_ray.pipelines.relational import (
     events_neighbors,
     events_sessions,
     events_sliding,
+    lang_embedding_centroids,
+    priority_price_quantiles,
     orders_by_nation,
     pricing_summary,
     revenue_by_priority,
@@ -295,6 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_neighbors": events_neighbors,
         # radius similarity search: all in-cosine-range corpus vectors
         "ann_radius_search": ann_radius_search,
+        # exact per-group order statistics (the shuffle-based complement
+        # to the mergeable histogram sketch)
+        "priority_price_quantiles": priority_price_quantiles,
+        # embeddings ⋈ documents enrichment + quantized-exact centroids
+        "lang_embedding_centroids": lang_embedding_centroids,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -1498,6 +1505,36 @@ LEFT JOIN events e2
  AND e2.ts >= e1.ts - INTERVAL 4 HOUR
  AND e2.ts <= e1.ts + INTERVAL 4 HOUR
 GROUP BY e1.event_id
+""",
+        # zero-based rank (n-1)*q//100 of the sorted multiset — tie-order
+        # independent, so row_number over any order picks the same value
+        "priority_price_quantiles": """
+WITH pq_r AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY floor(o_totalprice * 100)) - 1 AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, CAST(q.q_pct AS BIGINT) AS q_pct,
+       cents AS value_cents
+FROM pq_r JOIN (VALUES (25), (50), (75)) AS q(q_pct)
+  ON pq_r.rn = ((pq_r.n - 1) * q.q_pct) // 100
+""",
+        # floor(1e6·x) micro-units summed per (lang, dim); parallel unnest
+        # of (embedding, range(len)) gives the dim ordinal
+        "lang_embedding_centroids": """
+WITH lc_x AS (
+  SELECT d.lang,
+         unnest(range(len(e.embedding))) AS dim,
+         CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+)
+SELECT lang, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM lc_x GROUP BY lang, dim
 """,
         # same dot/(|a|·|b|) + round-half-up ppm arithmetic as the engine's
         # exact re-score pass (pipelines/similarity.py::_RadiusPartial)

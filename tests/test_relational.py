@@ -490,3 +490,56 @@ class TestEventsNeighbors:
         assert got.loc[3].n_neighbors == 2  # both ts=100 events at -50 bound
         assert got.loc[4].n_neighbors == 0  # other user
         assert got.loc[1].neighbor_cents == 200 + 300
+
+
+class TestGroupedQuantiles:
+    def test_matches_sorted_order_statistics(self, sf_dir):
+        from zerox_ray.pipelines.relational import priority_price_quantiles
+
+        got = (
+            priority_price_quantiles(sf_dir)
+            .to_pandas()
+            .sort_values(["o_orderpriority", "q_pct"])
+            .reset_index(drop=True)
+        )
+        o = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        ).to_pandas()
+        o["cents"] = np.floor(o.o_totalprice * 100).astype("int64")
+        for (prio, q), grp in got.groupby(["o_orderpriority", "q_pct"]):
+            v = np.sort(o.loc[o.o_orderpriority == prio, "cents"].to_numpy())
+            exp = int(v[(len(v) - 1) * q // 100])
+            assert grp.value_cents.iloc[0] == exp, (prio, q)
+        assert len(got) == got.o_orderpriority.nunique() * 3
+
+    def test_single_row_group(self):
+        from zerox_ray.pipelines.relational import _group_quantiles
+
+        g = pd.DataFrame({"o_orderpriority": ["X"], "cents": [123]})
+        out = _group_quantiles(g, (25, 50, 75))
+        assert out.value_cents.tolist() == [123, 123, 123]
+
+
+class TestLangCentroids:
+    def test_matches_pandas_quantized_sums(self, sf_dir):
+        from zerox_ray.pipelines.relational import lang_embedding_centroids
+
+        got = (
+            lang_embedding_centroids(sf_dir)
+            .to_pandas()
+            .sort_values(["lang", "dim"])
+            .reset_index(drop=True)
+        )
+        e = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        d = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        j = e.merge(d, left_on="vec_id", right_on="doc_id")
+        mat = np.floor(
+            np.stack(j.embedding.to_numpy()).astype(np.float64) * 1e6
+        ).astype("int64")
+        for lang, idx in j.groupby("lang").indices.items():
+            sub = got[got.lang == lang].sort_values("dim")
+            assert sub.sum_q.tolist() == mat[idx].sum(axis=0).tolist()
+            assert (sub.n_vecs == len(idx)).all()
+        assert len(got) == d.lang.nunique() * mat.shape[1]

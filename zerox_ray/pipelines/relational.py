@@ -788,3 +788,124 @@ def pricing_summary(sf_dir: str, cutoff: str = "1999-01-01") -> ray.data.Dataset
             "n_rows": ("n_rows", "sum"),
         },
     )
+
+
+# --- exact grouped quantiles ----------------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75)
+
+
+def _group_quantiles(g: pd.DataFrame, pcts: tuple[int, ...]) -> pd.DataFrame:
+    """One coarse bucket of priorities → discrete order-statistic rows,
+    vectorized per key: for each quantile q% the value at zero-based rank
+    (n-1)*q // 100 of the sorted values — a pure multiset property, so
+    the result is independent of tie order and bit-exact in SQL."""
+    rows = {"o_orderpriority": [], "q_pct": [], "value_cents": []}
+    for key, sub in g.groupby("o_orderpriority", sort=False):
+        v = np.sort(sub["cents"].to_numpy(dtype=np.int64), kind="mergesort")
+        n = len(v)
+        for q in pcts:
+            rows["o_orderpriority"].append(key)
+            rows["q_pct"].append(q)
+            rows["value_cents"].append(int(v[(n - 1) * q // 100]))
+    return pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series(rows["o_orderpriority"], dtype="string"),
+            "q_pct": pd.Series(rows["q_pct"], dtype="int64"),
+            "value_cents": pd.Series(rows["value_cents"], dtype="int64"),
+        }
+    )
+
+
+def priority_price_quantiles(
+    sf_dir: str, pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (p25/p50/p75 of order price per
+    priority), complementing the mergeable histogram sketch
+    (sketches.price_quantiles) with the shuffle-based exact path: one
+    key-hash exchange co-locates each group, the order statistic is read
+    off the in-group sort. Integer cents end-to-end.
+
+    Scale note: per-group exact quantiles fundamentally need the group's
+    values together (or a multi-pass selection); this is the few-groups /
+    many-rows shape where one exchange is the right cost. For
+    many-groups-huge-group inputs, the histogram sketch is the scale
+    path. Output: (o_orderpriority, q_pct, value_cents)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    ds = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": np.floor(df["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_group_map(
+        ds, "o_orderpriority", lambda g: _group_quantiles(g, pcts)
+    )
+
+
+# --- embedding enrichment join --------------------------------------------------
+
+
+def lang_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-language embedding centroid (quantized-exact): embeddings
+    joined to their documents' lang via the partitioned hash join, then
+    per-(lang, dim) sums of floor(1e6·x) — integer micro-units so the
+    reduction is order-free and the oracle value-checks every cell.
+    Output: (lang, dim, sum_q, n_vecs); centroid = sum_q / n_vecs / 1e6.
+
+    Scale shape: ONE bucketed join exchange (embedding payloads move
+    once) + per-batch dense partial sums (n_langs × 64 rows per batch)
+    + a tiny grouped merge — no driver materialization anywhere."""
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        # list<float> → one binary cell of int64 micro-units per row:
+        # a clean Arrow binary column survives the join's pandas blocks
+        # (object-dtype ndarray-of-ndarray columns do not)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1_000_000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["vec_id"].astype("int64"),
+                "qbytes": pd.Series([r.tobytes() for r in q], dtype=object),
+            }
+        )
+
+    emb = read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pandas")
+    langs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = hash_join(emb, langs, on="doc_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.frombuffer(b"".join(df["qbytes"]), dtype=np.int64).reshape(
+            len(df), -1
+        )
+        dim = q.shape[1]
+        rows = {"lang": [], "dim": [], "sum_q": [], "n_vecs": []}
+        for lang, idx in df.groupby("lang", sort=False).indices.items():
+            rows["lang"] += [lang] * dim
+            rows["dim"] += list(range(dim))
+            rows["sum_q"] += q[idx].sum(axis=0).tolist()
+            rows["n_vecs"] += [len(idx)] * dim
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(rows["lang"], dtype="string"),
+                "dim": pd.Series(rows["dim"], dtype="int64"),
+                "sum_q": pd.Series(rows["sum_q"], dtype="int64"),
+                "n_vecs": pd.Series(rows["n_vecs"], dtype="int64"),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(
+        partials,
+        ["lang", "dim"],
+        {"sum_q": ("sum_q", "sum"), "n_vecs": ("n_vecs", "sum")},
+    )
