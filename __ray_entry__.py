@@ -41,6 +41,8 @@ from zerox_ray.pipelines.dataops import (
     stratified_sample,
     tfidf_top_terms,
     sample_documents,
+    shuffled_shards,
+    source_report,
     token_counts_bpe,
     token_stats,
     top_orders_per_priority,
@@ -302,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_quantiles": priority_price_quantiles,
         # embeddings ⋈ documents enrichment + quantized-exact centroids
         "lang_embedding_centroids": lang_embedding_centroids,
+        # per-source corpus rollup + deterministic training-order shuffle
+        "source_report": source_report,
+        "shuffled_shards": shuffled_shards,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -652,6 +657,31 @@ bm_s AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score_ppm,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM bm_s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _shuffle_sql(n_shards: int = 64) -> str:
+    """Mirror of pipelines/dataops.py::shuffled_shards: splitmix64 of
+    doc_id (same avalanche chain as the HLL oracle), shard = z mod
+    n_shards, rank of (z // 2, doc_id) within the shard."""
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+WITH sh_z0 AS (
+  SELECT doc_id, (CAST(doc_id AS HUGEINT) + {golden}) % {_MOD64} AS z FROM documents
+),
+sh_z1 AS (SELECT doc_id, xor(z, z // 1073741824) AS z FROM sh_z0),
+sh_z2 AS (SELECT doc_id, {_sql_mulmod64(str(c1), 'z')} AS z FROM sh_z1),
+sh_z3 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM sh_z2),
+sh_z4 AS (SELECT doc_id, {_sql_mulmod64(str(c2), 'z')} AS z FROM sh_z3),
+sh_z5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM sh_z4),
+sh_k AS (
+  SELECT doc_id, CAST(z % {n_shards} AS BIGINT) AS shard,
+         CAST(z // 2 AS BIGINT) AS k
+  FROM sh_z5
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+            AS BIGINT) AS pos
+FROM sh_k"""
 
 
 def _hll_sql(p: int = 12) -> str:
@@ -1506,6 +1536,14 @@ LEFT JOIN events e2
  AND e2.ts <= e1.ts + INTERVAL 4 HOUR
 GROUP BY e1.event_id
 """,
+        "source_report": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY source
+""",
+        "shuffled_shards": _shuffle_sql(),
         # zero-based rank (n-1)*q//100 of the sorted multiset — tie-order
         # independent, so row_number over any order picks the same value
         "priority_price_quantiles": """

@@ -397,3 +397,59 @@ def test_quality_percentiles_are_rank_consistent(sf_dir):
     err = (got.percentile_ppm - exact_below * 1_000_000 // n).abs()
     bin_mass = got.groupby(got.score_ppm // 976).size().max()
     assert (err <= bin_mass * 1_000_000 // n).all()
+
+
+class TestSourceReport:
+    def test_matches_pandas(self, sf_dir):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import source_report
+
+        got = (
+            source_report(sf_dir)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        d = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+        exp = (
+            d.assign(total_tokens=d.text.str.count(" ") + 1)
+            .groupby("source", as_index=False)
+            .agg(
+                n_docs=("source", "size"),
+                total_chars=("n_chars", "sum"),
+                total_tokens=("total_tokens", "sum"),
+            )
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_docs": "int64"}), exp.astype({"n_docs": "int64"})
+        )
+
+
+class TestShuffledShards:
+    def test_deterministic_and_complete(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import shuffled_shards
+
+        a = shuffled_shards(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = shuffled_shards(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)  # hash-derived: identical across runs
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        assert len(a) == n and a.doc_id.nunique() == n
+        # positions are 0..size-1 within each shard
+        for shard, g in a.groupby("shard"):
+            assert sorted(g.pos.tolist()) == list(range(len(g)))
+        # the hash spreads docs over many shards
+        assert a.shard.nunique() > 32
+
+    def test_order_is_not_doc_id_order(self, sf_dir):
+        from zerox_ray.pipelines.dataops import shuffled_shards
+
+        a = shuffled_shards(sf_dir).to_pandas()
+        one = a[a.shard == a.shard.iloc[0]].sort_values("pos")
+        assert not one.doc_id.is_monotonic_increasing  # actually shuffled

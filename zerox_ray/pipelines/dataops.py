@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1002,3 +1003,84 @@ def quality_percentiles(sf_dir: str) -> ray.data.Dataset:
     return read_table(path, columns=["doc_id", "text"]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --- per-source corpus report ---------------------------------------------------
+
+
+def source_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus rollup (the triage table a corpus curator reads
+    first): doc count, total chars, total whitespace tokens — all exact
+    integers via per-batch partials + one tiny grouped sum.
+    Output: (source, n_docs, total_chars, total_tokens)."""
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": np.int64(1),
+                "total_chars": df["n_chars"].astype("int64"),
+                "total_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "total_chars": ("total_chars", "sum"),
+            "total_tokens": ("total_tokens", "sum"),
+        },
+    )
+
+
+# --- deterministic corpus shuffle -----------------------------------------------
+
+N_SHUFFLE_SHARDS = 64
+
+
+def shuffled_shards(sf_dir: str, n_shards: int = N_SHUFFLE_SHARDS) -> ray.data.Dataset:
+    """Deterministic training-order shuffle: every doc gets a splitmix64
+    key; shard = key % n_shards, position = rank of (key//2, doc_id)
+    within the shard. Hash-derived, so the assignment is identical across
+    runs, cluster shapes, and resumes (unlike random_shuffle) — the
+    property a resumable training-data pipeline needs. key//2 (int63)
+    is the sort key so every column stays int64; doc_id breaks the
+    (vanishingly rare) halved-key ties on both sides.
+
+    Scale shape: pure map to (doc_id, shard, k) + ONE shard exchange with
+    an in-group argsort — the same single-exchange cost as any global
+    re-partition, with n_shards controlling downstream file granularity.
+    Output: (doc_id, shard, pos)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.sketches import _hll_hash
+
+    def key_batch(df: pd.DataFrame) -> pd.DataFrame:
+        z = _hll_hash(df["doc_id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "shard": (z % np.uint64(n_shards)).astype(np.int64),
+                "k": (z >> np.uint64(1)).astype(np.int64),
+            }
+        )
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "k", "doc_id"], kind="mergesort")
+        pos = g.groupby("shard", sort=False).cumcount().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "shard": g["shard"].to_numpy(dtype=np.int64),
+                "pos": pos.to_numpy(),
+            }
+        )
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    keyed = ds.map_batches(key_batch, batch_format="pandas")
+    return bucketed_group_map(keyed, "shard", rank_shard)
