@@ -40,6 +40,7 @@ from zerox_ray.pipelines.dataops import (
     quality_scores,
     stratified_sample,
     tfidf_top_terms,
+    global_rank_docs,
     sample_documents,
     shuffled_shards,
     source_report,
@@ -307,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source corpus rollup + deterministic training-order shuffle
         "source_report": source_report,
         "shuffled_shards": shuffled_shards,
+        # global total order via two-pass offsets (no global sort)
+        "global_rank_docs": global_rank_docs,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -1544,6 +1547,11 @@ SELECT source,
 FROM documents GROUP BY source
 """,
         "shuffled_shards": _shuffle_sql(),
+        "global_rank_docs": """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents
+""",
         # zero-based rank (n-1)*q//100 of the sorted multiset — tie-order
         # independent, so row_number over any order picks the same value
         "priority_price_quantiles": """

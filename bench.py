@@ -135,6 +135,20 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
 
         timed("dedup_spans", lambda: dedup_spans(sf_dir).to_pandas())
         timed("tfidf_top_terms", lambda: tfidf_top_terms(sf_dir).to_pandas())
+        from zerox_ray.pipelines.dataops import shuffled_shards
+        from zerox_ray.pipelines.relational import (
+            events_neighbors,
+            lang_embedding_centroids,
+        )
+        from zerox_ray.pipelines.search import search_bm25
+
+        timed("search_bm25", lambda: search_bm25(sf_dir).to_pandas())
+        timed("events_neighbors", lambda: events_neighbors(sf_dir).to_pandas())
+        timed(
+            "lang_embedding_centroids",
+            lambda: lang_embedding_centroids(sf_dir).to_pandas(),
+        )
+        timed("shuffled_shards", lambda: shuffled_shards(sf_dir).to_pandas())
         timed("orders_by_nation", lambda: orders_by_nation(sf_dir).to_pandas())
         timed("events_sessions", lambda: events_sessions(sf_dir).to_pandas())
         ex_cfg = ZeroxConfig(

@@ -453,3 +453,30 @@ class TestShuffledShards:
         a = shuffled_shards(sf_dir).to_pandas()
         one = a[a.shard == a.shard.iloc[0]].sort_values("pos")
         assert not one.doc_id.is_monotonic_increasing  # actually shuffled
+
+
+class TestGlobalRank:
+    def test_matches_row_number(self, sf_dir):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import global_rank_docs
+
+        got = (
+            global_rank_docs(sf_dir)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        d = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        exp = d.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        exp["rank"] = pd.Series(range(1, len(exp) + 1), dtype="int64")
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"doc_id": "int64", "n_chars": "int64"})
+        )
+        # a permutation: every rank exactly once
+        assert got["rank"].tolist() == list(range(1, len(d) + 1))

@@ -1084,3 +1084,62 @@ def shuffled_shards(sf_dir: str, n_shards: int = N_SHUFFLE_SHARDS) -> ray.data.D
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     keyed = ds.map_batches(key_batch, batch_format="pandas")
     return bucketed_group_map(keyed, "shard", rank_shard)
+
+
+# --- distributed global ranking --------------------------------------------------
+
+
+def global_rank_docs(sf_dir: str) -> ray.data.Dataset:
+    """Global total order WITHOUT a global sort: rank every document by
+    (n_chars DESC, doc_id ASC) via the two-pass offset technique —
+    pass 1 counts docs per n_chars value (per-batch value_counts → one
+    tiny grouped sum; the reduced table is O(distinct values), the same
+    bounded-driver-state contract as quality_percentiles' 1024-bin
+    histogram); pass 2 broadcasts the per-value rank offsets and each
+    value-group orders only ITS OWN doc_ids locally. The corpus is never
+    globally sorted — the one exchange is a value-hash groupby whose
+    groups order themselves independently.
+
+    For continuous scores, bin first (quality_percentiles shows the
+    shape); for integer-valued keys like n_chars this is exact.
+    Output: (doc_id, n_chars, rank), rank 1-based, ties on doc_id."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame(
+            {"n_chars": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        bucketed_group_agg(
+            ds.map_batches(count_partial, batch_format="pandas"),
+            ["n_chars"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # O(distinct n_chars) rows — bounded driver state
+        .sort_values("n_chars", ascending=False)
+    )
+    # offset[v] = number of docs with n_chars strictly greater than v
+    offsets = dict(
+        zip(
+            counts["n_chars"].to_numpy(),
+            np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]],
+        )
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        base = g["n_chars"].map(offsets).to_numpy(dtype=np.int64)
+        pos = g.groupby("n_chars", sort=False).cumcount().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": g["n_chars"].to_numpy(dtype=np.int64),
+                "rank": base + pos + 1,
+            }
+        )
+
+    return bucketed_group_map(ds, "n_chars", rank_group)
