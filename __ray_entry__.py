@@ -93,6 +93,7 @@ from zerox_ray.pipelines.similarity import (
 )
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
+    bloom_semi_join,
     cms_probe,
     distinct_users_exact,
     distinct_users_hll,
@@ -310,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_shards": shuffled_shards,
         # global total order via two-pass offsets (no global sort)
         "global_rank_docs": global_rank_docs,
+        # sketch-accelerated semi-join: customers pre-filtered by an
+        # 8 KiB broadcast Bloom filter over orders' buyer keys
+        "bloom_semi_join": bloom_semi_join,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
@@ -660,6 +664,41 @@ bm_s AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score_ppm,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM bm_s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _bloom_semi_sql(m: int = 1 << 16) -> str:
+    """Mirror of pipelines/sketches.py::bloom_semi_join: the bl_ hash
+    chain (md5-64 → splitmix64 → odd-stride Kirsch–Mitzenmacher) builds
+    the bit set over orders.o_custkey and probes every c_custkey —
+    deterministic false positives and all."""
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+WITH bs_keys AS (
+  SELECT CAST(NULL AS BIGINT) AS probe_id,
+         CAST({_sql_md5_u64("CAST(o_custkey AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM orders
+  UNION ALL
+  SELECT c_custkey AS probe_id,
+         CAST({_sql_md5_u64("CAST(c_custkey AS VARCHAR)")} AS HUGEINT) AS h1
+  FROM customer
+),
+bs_z0 AS (SELECT probe_id, h1, (h1 + {golden}) % {_MOD64} AS z FROM bs_keys),
+bs_z1 AS (SELECT probe_id, h1, xor(z, z // 1073741824) AS z FROM bs_z0),
+bs_z2 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c1), 'z')} AS z FROM bs_z1),
+bs_z3 AS (SELECT probe_id, h1, xor(z, z // 134217728) AS z FROM bs_z2),
+bs_z4 AS (SELECT probe_id, h1, {_sql_mulmod64(str(c2), 'z')} AS z FROM bs_z3),
+bs_h2 AS (
+  SELECT probe_id, h1, (xor(z, z // 2147483648) // 2) * 2 + 1 AS h2 FROM bs_z4
+),
+bs_pos AS (
+  SELECT probe_id, ((h1 + i.i * h2) % {_MOD64}) % {m} AS pos
+  FROM bs_h2, (VALUES (0::HUGEINT),(1::HUGEINT),(2::HUGEINT),(3::HUGEINT)) i(i)
+),
+bs_set AS (SELECT DISTINCT pos FROM bs_pos WHERE probe_id IS NULL)
+SELECT probe_id AS c_custkey
+FROM bs_pos WHERE probe_id IS NOT NULL
+GROUP BY probe_id
+HAVING bool_and(pos IN (SELECT pos FROM bs_set))"""
 
 
 def _shuffle_sql(n_shards: int = 64) -> str:
@@ -1552,6 +1591,7 @@ SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
 FROM documents
 """,
+        "bloom_semi_join": _bloom_semi_sql(),
         # zero-based rank (n-1)*q//100 of the sorted multiset — tie-order
         # independent, so row_number over any order picks the same value
         "priority_price_quantiles": """

@@ -177,3 +177,49 @@ class TestCountMin:
             ]
         )
         assert (_cms_merge(whole) == _cms_merge(parts)).all()
+
+
+class TestBloomSemiJoin:
+    def test_superset_of_exact_semi_join(self, sf_dir):
+        import duckdb
+
+        from zerox_ray.pipelines.sketches import bloom_semi_join
+
+        got = set(bloom_semi_join(sf_dir).to_pandas().c_custkey)
+        exact = set(
+            duckdb.sql(
+                f"""select distinct c_custkey
+                    from read_parquet('{sf_dir}/customer.parquet')
+                    where c_custkey in (select o_custkey
+                                        from read_parquet('{sf_dir}/orders.parquet'))"""
+            ).df().c_custkey
+        )
+        assert exact <= got  # no false negatives, ever
+
+    def test_prunes_non_buyers(self):
+        """Synthetic: buyers 0..99, customers 0..1999 — the filter must
+        pass all buyers and prune almost every non-buyer (8 KiB / 4-hash
+        filter at 100 keys has fill ≈ 0.006, FP rate ≈ 1e-9)."""
+        import numpy as np
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import (
+            _bloom_key_hash,
+            _bloom_partial,
+            _bloom_positions,
+            _or_merge,
+        )
+
+        parts = pd.concat(
+            [
+                _bloom_partial(pd.DataFrame({"o_custkey": np.arange(0, 50)}), "o_custkey"),
+                _bloom_partial(pd.DataFrame({"o_custkey": np.arange(50, 100)}), "o_custkey"),
+            ]
+        )
+        bitmap = _or_merge(parts)
+        keys = np.arange(2000, dtype=np.int64)
+        pos = _bloom_positions(_bloom_key_hash(keys))
+        bits = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        passed = keys[bits.all(axis=1)]
+        assert set(range(100)) <= set(passed)
+        assert len(passed) <= 105  # ≤5 false positives out of 1900

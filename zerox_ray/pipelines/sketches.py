@@ -195,19 +195,19 @@ def _bloom_key_hash(ids: np.ndarray) -> np.ndarray:
     return md5_64_array([str(int(d)).encode() for d in ids])
 
 
-def _bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+def _bloom_partial(df: pd.DataFrame, column: str = "doc_id") -> pd.DataFrame:
     """One batch → ONE (bucket, bitmap) row: the batch's keys OR-ed into
     a local 8 KiB bitmap. The sketch — not the keys — is what shuffles."""
     if len(df) == 0:  # empty block → empty partial, not IndexError
         return pd.DataFrame(
             {"bucket": pd.Series([], dtype="int64"), "bitmap": pd.Series([], dtype=object)}
         )
-    pos = _bloom_positions(_bloom_key_hash(df["doc_id"].to_numpy()))
+    pos = _bloom_positions(_bloom_key_hash(df[column].to_numpy()))
     bitmap = np.zeros(BLOOM_M // 8, dtype=np.uint8)
     np.bitwise_or.at(
         bitmap, pos.ravel() // 8, np.uint8(1) << (pos.ravel() % 8).astype(np.uint8)
     )
-    bucket = int(df["doc_id"].iloc[0]) % _N_BLOOM_MERGE_BUCKETS
+    bucket = int(df[column].iloc[0]) % _N_BLOOM_MERGE_BUCKETS
     return pd.DataFrame({"bucket": [bucket], "bitmap": [bitmap.tobytes()]})
 
 
@@ -258,6 +258,43 @@ def bloom_probe(sf_dir: str) -> ray.data.Dataset:
         )
 
     return merged.groupby("g").map_groups(finish, batch_format="pandas")
+
+
+def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Sketch-accelerated semi-join: customers who (probably) placed an
+    order, WITHOUT shuffling either table. The Bloom filter is built over
+    orders.o_custkey (per-batch 8 KiB bitmap partials → bucket-tree
+    OR-merge), the merged bitmap — 8 KiB regardless of table size — is
+    broadcast once via ``ray.put``, and the customer scan keeps rows whose
+    4 probe bits are all set. Deterministic false positives pass (the
+    point of the operator: at 100 TB this is the cheap pre-filter BEFORE
+    an exact join, shrinking the big side by ~|non-buyers|), and the
+    oracle reproduces them bit-for-bit.
+    Output: (c_custkey,) for rows passing the filter."""
+    orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    partials = orders.map_batches(
+        lambda df: _bloom_partial(df, "o_custkey"), batch_format="pandas"
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [0], "bitmap": [_or_merge(g).tobytes()]})
+
+    merged = partials.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+    # the merged filter is 8 KiB — a scalar-sized driver artifact, like
+    # the N every idf needs; broadcast once to the probe stage
+    bitmap_ref = ray.put(_or_merge(merged.to_pandas()))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bitmap = ray.get(bitmap_ref)
+        keys = df["c_custkey"].to_numpy(dtype=np.int64)
+        pos = _bloom_positions(_bloom_key_hash(keys))
+        bits = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        return pd.DataFrame({"c_custkey": keys[bits.all(axis=1)]})
+
+    customers = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return customers.map_batches(probe, batch_format="pandas")
 
 
 # --- Count-Min sketch (heavy-hitter frequency estimates) ----------------------
