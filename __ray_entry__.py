@@ -97,6 +97,7 @@ from zerox_ray.pipelines.sketches import (
     cms_probe,
     distinct_users_exact,
     distinct_users_hll,
+    grouped_price_quantiles,
     heavy_hitters,
     price_histogram,
     price_quantiles,
@@ -322,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": dedup_spans,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
+        # grouped histogram sketch: per-group quantiles with only
+        # (group, bin, count) rows on the wire, interpolation in-reduce
+        "returnflag_price_quantiles": grouped_price_quantiles,
         # approximate ANN (rows-only: recall-tested vs brute force in pytest)
         "ann_ivf_topk": ann_ivf_topk,
         # IVF with every centroid probed is EXACT — same answer as brute
@@ -1865,5 +1869,42 @@ pq_val AS (
   CROSS JOIN pq_total t
 )
 SELECT q_ppm, value FROM pq_val
+""",
+        # grouped form of price_quantiles_sketch: identical binning /
+        # cumsum / interpolation arithmetic, partitioned by l_returnflag
+        "returnflag_price_quantiles": """
+WITH gq_h AS (
+  SELECT l_returnflag,
+         CAST(least(floor(l_extendedprice / (200000.0 / 256)), 255) AS BIGINT) AS bin_id,
+         count(*) AS n_items FROM lineitem GROUP BY 1, 2
+),
+gq_g AS (SELECT DISTINCT l_returnflag FROM lineitem),
+gq_bins AS (
+  SELECT g.l_returnflag, b.bin_id, COALESCE(h.n_items, 0) AS n_items,
+         sum(COALESCE(h.n_items, 0)) OVER (
+           PARTITION BY g.l_returnflag ORDER BY b.bin_id) AS cum
+  FROM gq_g g CROSS JOIN (SELECT unnest(range(0,256)) AS bin_id) b
+  LEFT JOIN gq_h h ON h.l_returnflag = g.l_returnflag AND h.bin_id = b.bin_id
+),
+gq_tot AS (SELECT l_returnflag, max(cum) AS total FROM gq_bins GROUP BY 1),
+gq_qs(q_ppm, q) AS (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)),
+gq_pick AS (
+  SELECT bn.l_returnflag, q_ppm, q, min(bn.bin_id) AS b
+  FROM gq_qs, gq_bins bn JOIN gq_tot t USING (l_returnflag)
+  WHERE CAST(bn.cum AS DOUBLE) >= q * t.total
+  GROUP BY 1, 2, 3
+),
+gq_val AS (
+  SELECT p.l_returnflag, p.q_ppm,
+         (p.b + CASE WHEN bb.n_items = 0 THEN 0.0
+                ELSE (p.q * t.total - CAST(COALESCE(prev.cum, 0) AS DOUBLE)) / bb.n_items END)
+         * (200000.0 / 256) AS value
+  FROM gq_pick p
+  JOIN gq_bins bb ON bb.l_returnflag = p.l_returnflag AND bb.bin_id = p.b
+  LEFT JOIN gq_bins prev
+    ON prev.l_returnflag = p.l_returnflag AND prev.bin_id = p.b - 1
+  JOIN gq_tot t ON t.l_returnflag = p.l_returnflag
+)
+SELECT l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm, value FROM gq_val
 """,
     }

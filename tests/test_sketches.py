@@ -6,6 +6,7 @@ import numpy as np
 from zerox_ray.pipelines.sketches import (
     distinct_users_exact,
     distinct_users_hll,
+    grouped_price_quantiles,
     histogram_quantiles,
     price_histogram,
     price_quantiles,
@@ -34,6 +35,21 @@ def test_quantiles_within_bin_width(sf_dir):
     width = 200_000.0 / 256
     for v, e in zip(got.value, exact):
         assert abs(v - e) <= width
+
+
+def test_grouped_quantiles_within_bin_width_per_group(sf_dir):
+    got = grouped_price_quantiles(sf_dir).to_pandas()
+    exact = duckdb.sql(
+        f"""select l_returnflag, quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) qs
+            from read_parquet('{sf_dir}/lineitem.parquet') group by 1"""
+    ).fetchdf()
+    width = 200_000.0 / 256
+    assert set(got.l_returnflag) == set(exact.l_returnflag)
+    for _, row in exact.iterrows():
+        g = got[got.l_returnflag == row.l_returnflag].sort_values("q_ppm")
+        assert list(g.q_ppm) == [500_000, 900_000, 990_000]
+        for v, e in zip(g.value, row.qs):
+            assert abs(v - e) <= width
 
 
 def test_hll_close_to_exact(sf_dir):

@@ -98,6 +98,61 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     return histogram_quantiles(hist)
 
 
+def grouped_price_quantiles(
+    sf_dir: str,
+    group: str = "l_returnflag",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = N_BINS,
+    lo: float = PRICE_LO,
+    hi: float = PRICE_HI,
+) -> ray.data.Dataset:
+    """Per-GROUP approximate quantiles via mergeable histograms — the
+    grouped form of ``price_quantiles``. The exact grouped quantile
+    (relational.grouped_quantiles) needs every value of a group
+    co-located; this sketch shuffles only (group, bin_id, count) rows —
+    ≤ |groups|·256 regardless of data size — then interpolates per group
+    INSIDE the reduce task (nothing ever lands on the driver).
+
+    Scale shape: per-batch (group, bin) ``np.bincount`` partials → one
+    bucketed exchange keyed on group → per-group cumsum + linear
+    interpolation (error ≤ bin width). Deterministic binning and float
+    arithmetic, so the DuckDB oracle reproduces values bit-for-bit.
+    Output: (group, q_ppm, value)."""
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet", columns=[group, "l_extendedprice"]
+    )
+    width = (hi - lo) / n_bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        bins = np.clip(((x - lo) // width).astype(np.int64), 0, n_bins - 1)
+        out = (
+            pd.DataFrame({group: df[group].to_numpy(), "bin_id": bins})
+            .groupby([group, "bin_id"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_items"})
+        )
+        return out.astype({"bin_id": "int64", "n_items": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    hist = bucketed_group_agg(
+        partials, [group, "bin_id"], {"n_items": ("n_items", "sum")}
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # many groups may share a coarse bucket — interpolate per key
+        rows = []
+        for key, h in g.groupby(group, sort=True):
+            q = histogram_quantiles(h[["bin_id", "n_items"]], qs, n_bins, lo, hi)
+            q.insert(0, group, key)
+            rows.append(q)
+        return pd.concat(rows, ignore_index=True)
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    return bucketed_group_map(hist, group, finish)
+
+
 # --- HyperLogLog distinct count ----------------------------------------------
 
 HLL_P = 12  # 4096 registers → ~1.6% standard error
