@@ -97,6 +97,7 @@ from zerox_ray.pipelines.sketches import (
     cms_probe,
     distinct_users_exact,
     distinct_users_hll,
+    grouped_distinct_hll,
     grouped_price_quantiles,
     heavy_hitters,
     price_histogram,
@@ -291,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches + dedup family (SQL-oracled: md5-derived hashing and
         # seeded params are reproduced literally in the oracle SQL)
         "distinct_users_hll": distinct_users_hll,
+        # grouped HLL: per-type approximate reach, ≤|groups|·4096 register
+        # rows on the wire vs event_type_reach's O(distinct pairs)
+        "event_type_reach_hll": grouped_distinct_hll,
         "bloom_probe": bloom_probe,
         "cms_probe": cms_probe,
         # Misra-Gries: events carries ≤5 event types vs k=32, the exact
@@ -774,6 +778,57 @@ SELECT CAST(round(CASE WHEN raw <= 2.5*{m} AND zeros > 0
                        THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
                        ELSE raw END) AS BIGINT) AS n_users_estimate
 FROM hll_est"""
+
+
+def _hll_grouped_sql(p: int = 12) -> str:
+    """Mirror of pipelines/sketches.py::grouped_distinct_hll — the
+    _hll_sql chain with event_type carried through and the estimator
+    applied per group."""
+    m = 1 << p
+    width = 64 - p
+    golden, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    pows = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(width))
+    return f"""
+WITH ghl_ids AS (SELECT DISTINCT event_type, user_id FROM events),
+ghl_z0 AS (
+  SELECT event_type, (CAST(user_id AS HUGEINT) + {golden}) % {_MOD64} AS z FROM ghl_ids
+),
+ghl_z1 AS (SELECT event_type, xor(z, z // 1073741824) AS z FROM ghl_z0),
+ghl_z2 AS (SELECT event_type, {_sql_mulmod64(str(c1), 'z')} AS z FROM ghl_z1),
+ghl_z3 AS (SELECT event_type, xor(z, z // 134217728) AS z FROM ghl_z2),
+ghl_z4 AS (SELECT event_type, {_sql_mulmod64(str(c2), 'z')} AS z FROM ghl_z3),
+ghl_h AS (SELECT event_type, xor(z, z // 2147483648) AS h FROM ghl_z4),
+ghl_parts AS (
+  SELECT event_type, h % {m} AS register, h // {m} AS rest FROM ghl_h
+),
+ghl_pows(j, pw) AS (VALUES {pows}),
+ghl_rank AS (
+  SELECT event_type, register,
+         CASE WHEN rest = 0 THEN {width + 1}
+              ELSE {width} - (SELECT max(j) FROM ghl_pows WHERE pw <= rest) END AS rank
+  FROM ghl_parts
+),
+ghl_regs AS (
+  SELECT event_type, register, max(rank) AS rank
+  FROM ghl_rank GROUP BY event_type, register
+),
+ghl_stats AS (
+  SELECT event_type,
+         sum(pow(2.0, -CAST(rank AS DOUBLE))) AS sum_present,
+         count(*) AS n_present
+  FROM ghl_regs GROUP BY event_type
+),
+ghl_est AS (
+  SELECT event_type,
+         ({m} - n_present) AS zeros,
+         (0.7213/(1 + 1.079/{m})) * {m} * {m} / (sum_present + ({m} - n_present) * 1.0) AS raw
+  FROM ghl_stats
+)
+SELECT event_type,
+       CAST(round(CASE WHEN raw <= 2.5*{m} AND zeros > 0
+                       THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                       ELSE raw END) AS BIGINT) AS n_users_estimate
+FROM ghl_est"""
 
 
 _NGRAM_JACCARD_SQL = """
@@ -1556,6 +1611,7 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
 """,
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
+        "event_type_reach_hll": _hll_grouped_sql(),
         "bloom_probe": _bloom_sql(),
         "cms_probe": _cms_sql(),
         # exact regime (distinct event types ≤ k=32): zero decrements, so

@@ -6,6 +6,7 @@ import numpy as np
 from zerox_ray.pipelines.sketches import (
     distinct_users_exact,
     distinct_users_hll,
+    grouped_distinct_hll,
     grouped_price_quantiles,
     histogram_quantiles,
     price_histogram,
@@ -56,6 +57,17 @@ def test_hll_close_to_exact(sf_dir):
     est = distinct_users_hll(sf_dir).n_users_estimate[0]
     ex = distinct_users_exact(sf_dir).n_users[0]
     assert abs(est - ex) / ex < 0.05
+
+
+def test_grouped_hll_close_to_exact_per_group(sf_dir):
+    got = grouped_distinct_hll(sf_dir).to_pandas()
+    exact = duckdb.sql(
+        f"""select event_type, count(distinct user_id) n
+            from read_parquet('{sf_dir}/events.parquet') group by 1"""
+    ).fetchdf()
+    assert set(got.event_type) == set(exact.event_type)
+    m = got.merge(exact, on="event_type")
+    assert (abs(m.n_users_estimate - m.n) / m.n < 0.05).all()
 
 
 def test_hll_deterministic(sf_dir):

@@ -167,12 +167,14 @@ def _hll_hash(ids: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _hll_partial(df: pd.DataFrame, column: str, p: int) -> pd.DataFrame:
-    h = _hll_hash(df[column].to_numpy(dtype=np.int64))
+def _hll_reg_rank(ids: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rank) arrays for a batch of int64 keys: low p bits pick
+    the register; rank = position of the first set bit in the remaining
+    64-p bits (width+1 when all zero)."""
+    h = _hll_hash(ids)
     m = np.uint64(1 << p)
     reg = (h & (m - np.uint64(1))).astype(np.int64)
     rest = h >> np.uint64(p)
-    # rank = leading position of first set bit in the remaining 64-p bits
     width = 64 - p
     rank = np.full(len(h), width + 1, dtype=np.int64)
     found = np.zeros(len(h), dtype=bool)
@@ -182,6 +184,11 @@ def _hll_partial(df: pd.DataFrame, column: str, p: int) -> pd.DataFrame:
         )
         rank[hit] = bit + 1
         found |= hit
+    return reg, rank
+
+
+def _hll_partial(df: pd.DataFrame, column: str, p: int) -> pd.DataFrame:
+    reg, rank = _hll_reg_rank(df[column].to_numpy(dtype=np.int64), p)
     out = pd.DataFrame({"register": reg, "rank": rank})
     return (
         out.groupby("register", sort=False)["rank"].max().reset_index()
@@ -214,6 +221,56 @@ def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
         partials, ["register"], {"rank": ("rank", "max")}
     ).to_pandas()
     return pd.DataFrame({"n_users_estimate": [int(round(hll_estimate(regs, p)))]})
+
+
+def grouped_distinct_hll(
+    sf_dir: str,
+    group: str = "event_type",
+    column: str = "user_id",
+    p: int = HLL_P,
+) -> ray.data.Dataset:
+    """Approximate distinct ``column`` PER ``group`` via one HLL register
+    plane per group — the sketch form of the exact two-level distinct
+    (dataops.event_type_reach). The exact shape shuffles O(distinct
+    pairs); this one shuffles ≤ |groups|·2^p register rows no matter how
+    many distinct keys exist — the right trade at 10^12 events with
+    high-cardinality groups.
+
+    Scale shape: per-batch (group, register) rank-max partials → one
+    bucketed exchange keyed on group → per-group standard HLL estimator
+    (with the linear-counting switch) inside the reduce task.
+    Deterministic (splitmix64 hash, order-free max-merge), so the DuckDB
+    oracle reproduces estimates bit-for-bit.
+    Output: (group, n_users_estimate)."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=[group, column])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        reg, rank = _hll_reg_rank(df[column].to_numpy(dtype=np.int64), p)
+        out = pd.DataFrame(
+            {group: df[group].to_numpy(), "register": reg, "rank": rank}
+        )
+        return (
+            out.groupby([group, "register"], sort=False, as_index=False)["rank"]
+            .max()
+            .astype({"register": "int64", "rank": "int64"})
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    regs = bucketed_group_agg(
+        partials, [group, "register"], {"rank": ("rank", "max")}
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, h in g.groupby(group, sort=True):
+            rows.append(
+                {group: key, "n_users_estimate": int(round(hll_estimate(h, p)))}
+            )
+        return pd.DataFrame(rows)
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    return bucketed_group_map(regs, group, finish)
 
 
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
