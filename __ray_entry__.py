@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Sum
 
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
+    cohort_retention,
     corpus_mix,
     quality_percentiles,
     decontaminate,
@@ -273,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "events_hourly": events_hourly,
         "event_type_reach": event_type_reach,
+        # weekly cohort-retention matrix: user-keyed exchange emits
+        # per-cell partials, tiny second exchange sums them
+        "cohort_retention": cohort_retention,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
@@ -1376,6 +1380,21 @@ FROM events GROUP BY user_id, hour_id
         "event_type_reach": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+        # Monday-truncated week index since 1970-01-05 mirrors the
+        # engine's (epoch_days - 4) // 7 cohort arithmetic
+        "cohort_retention": """
+WITH cr_uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-05',
+                       CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events
+),
+cr_c AS (SELECT user_id, min(wk) AS cohort_wk FROM cr_uw GROUP BY user_id)
+SELECT c.cohort_wk, CAST(uw.wk - c.cohort_wk AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cr_uw uw JOIN cr_c c USING (user_id)
+GROUP BY 1, 2
 """,
         # G5 merge mirror (reference index.ts:435-443, 539-552): per-page
         # first_token entries in page order + full-doc n_tokens over the

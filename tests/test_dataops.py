@@ -480,3 +480,35 @@ class TestGlobalRank:
         )
         # a permutation: every rank exactly once
         assert got["rank"].tolist() == list(range(1, len(d) + 1))
+
+
+def test_cohort_retention_matches_pandas(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import cohort_retention
+
+    got = (
+        cohort_retention(sf_dir)
+        .to_pandas()
+        .sort_values(["cohort_wk", "week_offset"])
+        .reset_index(drop=True)
+    )
+    e = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    days = e["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    uw = pd.DataFrame({"user_id": e["user_id"], "wk": (days - 4) // 7}).drop_duplicates()
+    cohort = uw.groupby("user_id")["wk"].transform("min")
+    cells = pd.DataFrame({"cohort_wk": cohort, "week_offset": uw["wk"] - cohort})
+    exp = (
+        cells.groupby(["cohort_wk", "week_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .astype("int64")
+        .sort_values(["cohort_wk", "week_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # offset-0 cell of a cohort counts every user of that cohort: it must
+    # be the row-max of its cohort
+    base = got[got.week_offset == 0].set_index("cohort_wk")["n_users"]
+    assert (got.groupby("cohort_wk")["n_users"].max() <= base).all()

@@ -27,7 +27,7 @@ import ray.data
 
 from zerox_ray.sources.tables import read_table
 from zerox_ray.functions.text import STOPWORD_RE, TOKEN_RE
-from zerox_ray.pipelines.agg import bucketed_group_agg
+from zerox_ray.pipelines.agg import bucketed_group_agg, bucketed_group_map
 
 PPM = 1_000_000
 
@@ -937,6 +937,57 @@ def event_type_reach(sf_dir: str) -> ray.data.Dataset:
     )
     return bucketed_group_agg(
         counts, ["event_type"], {"n_users": ("n_users", "sum")}
+    )
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix over the events stream: users are
+    cohorted by their first active ISO week (Monday-truncated), and each
+    (cohort_week, week_offset) cell counts distinct users from that
+    cohort active offset weeks later.
+
+    Scale shape — two exchanges, both bounded:
+    1. per-batch distinct (user_id, week) pairs (the combiner: a user
+       active 1000× in a week ships once per batch), then ONE bucketed
+       exchange on user_id so each user's weeks are co-located; the
+       reduce computes cohort = min(week) per user and emits per-cell
+       PARTIAL counts — O(cohorts × offsets) rows per bucket.
+    2. a tiny second exchange sums cells across buckets.
+    Nothing is per-event after the first map; the driver holds nothing.
+    Output: (cohort_wk, week_offset, n_users); cohort_wk is the
+    Monday-aligned week index since 1970-01-05."""
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "wk": (days - 4) // 7,  # Monday-truncated week index
+            }
+        ).drop_duplicates()
+        return out
+
+    pairs = ds.map_batches(pair_partial, batch_format="pandas")
+
+    def per_user_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id")["wk"].transform("min")
+        cells = pd.DataFrame(
+            {"cohort_wk": cohort, "week_offset": g["wk"] - cohort}
+        )
+        return (
+            cells.groupby(["cohort_wk", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+            .astype("int64")
+        )
+
+    cell_partials = bucketed_group_map(pairs, "user_id", per_user_cells)
+    return bucketed_group_agg(
+        cell_partials,
+        ["cohort_wk", "week_offset"],
+        {"n_users": ("n_users", "sum")},
     )
 
 
