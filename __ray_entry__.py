@@ -215,6 +215,28 @@ def _q_ocr_snapshot_ingest(sf_dir: str):
     return run_ocr(pages).select_columns(DOC_COLS)
 
 
+def _q_snapshot_churn(sf_dir: str):
+    """Per-url churn stats over the multi-snapshot corpus, keyed back to
+    doc_id. The generator's churn is closed-form (1 + doc_id%3 snapshots,
+    all distinct versions, 1 µs apart) EXCEPT the crc32-searched tie
+    decoy on every 7th doc — crc32 is not SQL-expressible, so those docs
+    are excluded from the oracled slice (documented cap, visible here)."""
+    import pandas as pd
+
+    from zerox_ray.sources.pages import snapshot_churn
+    from zerox_ray.testgen import URL_PREFIX
+
+    churn = snapshot_churn(snapshot_pages_dir_for(sf_dir))
+
+    def to_doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["doc_id"] = out["url"].str.slice(len(URL_PREFIX)).astype("int64")
+        out = out[out["doc_id"] % 7 != 0]
+        return out[["doc_id", "n_snapshots", "n_versions", "ts_span_us"]]
+
+    return churn.map_batches(to_doc_rows, batch_format="pandas")
+
+
 def _q_structured_pages(sf_dir: str):
     """Spreadsheet branch: ZXSHEET payloads → sheet-as-page rows (S6/M12)."""
     return extracted_pages(sheet_pages_dir_for(sf_dir)).select_columns(
@@ -253,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
         "ocr_snapshot_ingest": _q_ocr_snapshot_ingest,
+        # per-url recrawl churn over the same multi-snapshot corpus
+        "snapshot_churn": _q_snapshot_churn,
         "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
         "token_stats": token_stats,
@@ -914,6 +938,19 @@ def oracle_sql() -> dict[str, str]:
         # so the expected OCR output is IDENTICAL to ocr_documents — any
         # wrongly-kept stale/tied snapshot produces different markdown
         "ocr_snapshot_ingest": _OCR_DOCUMENTS_SQL,
+        # generator churn is closed-form off doc_id (1 + d%3 snapshots,
+        # 1 µs apart; versions all distinct EXCEPT corrupt docs, whose
+        # payload ignores the text — there every snapshot is identical,
+        # which exercises the engine's version dedup); %7 tie-decoy docs
+        # excluded — their snapshot count depends on a crc32 search
+        "snapshot_churn": """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_snapshots,
+       CAST(CASE WHEN doc_id % 101 = 13 THEN 1
+            ELSE 1 + doc_id % 3 END AS BIGINT) AS n_versions,
+       CAST(doc_id % 3 AS BIGINT) AS ts_span_us
+FROM documents WHERE doc_id % 7 <> 0
+""",
         "ocr_pages": _PAGES_CTE
         + """
 SELECT url, CAST(page_index AS BIGINT) AS page_index, content,

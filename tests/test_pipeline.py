@@ -507,3 +507,44 @@ class TestSnapshotIngest:
         # tie decoys exist: some url has two rows sharing its max warc_ts
         dup_ts = t.groupby(["url", "warc_ts"]).size()
         assert (dup_ts > 1).any()
+
+
+class TestSnapshotChurn:
+    def test_matches_generator_closed_form(self, sf_dir):
+        """n_snapshots/n_versions/ts_span against the generator plan —
+        INCLUDING the %7 tie-decoy docs the SQL oracle must skip (here we
+        recompute the crc32 search, so the full corpus is covered)."""
+        import zlib
+
+        from zerox_ray.sources.pages import snapshot_churn
+        from zerox_ray.testgen import (
+            URL_PREFIX,
+            build_payload,
+            snapshot_pages_dir_for,
+        )
+        import pyarrow.parquet as pq
+
+        got = snapshot_churn(snapshot_pages_dir_for(sf_dir)).to_pandas()
+        got["doc_id"] = got["url"].str.slice(len(URL_PREFIX)).astype("int64")
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        for d, t in zip(docs.doc_id, docs.text):
+            row = got[got.doc_id == d].iloc[0]
+            n_snap = 1 + d % 3
+            n_ver = 1 if d % 101 == 13 else n_snap
+            if d % 7 == 0:  # replay the generator's crc32 decoy search
+                real = build_payload(d, t)
+                decoy = build_payload(d, f"TIED STALE {t}")
+                for _ in range(64):
+                    if zlib.crc32(decoy) < zlib.crc32(real):
+                        n_snap += 1
+                        # the decoy payload is always distinct (corrupt
+                        # docs' decoys get '#'-padded past the identical
+                        # real payload before the crc32 can sort below)
+                        n_ver += 1
+                        break
+                    decoy += b"#"
+            assert row.n_snapshots == n_snap, d
+            assert row.n_versions == n_ver, d
+            assert row.ts_span_us == d % 3, d

@@ -126,3 +126,49 @@ def latest_snapshots(
 
     tagged = ds.map_batches(tag, batch_format="pandas")
     return tagged.groupby("__bucket").map_groups(pick, batch_format="pandas")
+
+
+def snapshot_churn(path: str | list[str]) -> ray.data.Dataset:
+    """Per-url crawl-churn statistics over a MULTI-snapshot pages table:
+    how often was each url recrawled, how many distinct payload versions
+    exist, and how far apart are the snapshots — the rollup a crawl
+    operator runs before deciding recrawl budgets (and the profiling
+    step before ``latest_snapshots`` collapses the corpus).
+
+    Scale shape: per-batch combiner dedups (url, payload-hash) and
+    pre-aggregates counts/ts-extents, so the ONE url-keyed exchange
+    moves ≤ one row per (url, version) per batch — never payload bytes
+    (the md5-64 hash travels instead of the html). The reduce merges
+    partials per url. Output: (url, n_snapshots, n_versions,
+    ts_span_us)."""
+    import numpy as np
+    import pandas as pd
+
+    from zerox_ray.functions.hashing import md5_64_array
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    ds = read_pages(path, columns=("url", "warc_ts", "html"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_64_array(list(df["html"])).astype(np.int64)  # two's-complement view
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rows = pd.DataFrame({"url": df["url"], "h": h, "ts": ts})
+        return rows.groupby(["url", "h"], as_index=False).agg(
+            n=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max")
+        ).astype({"h": "int64", "n": "int64", "min_ts": "int64", "max_ts": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", as_index=False).agg(
+            n_snapshots=("n", "sum"),
+            n_versions=("h", "nunique"),
+            min_ts=("min_ts", "min"),
+            max_ts=("max_ts", "max"),
+        )
+        out["ts_span_us"] = out["max_ts"] - out["min_ts"]
+        return out[["url", "n_snapshots", "n_versions", "ts_span_us"]].astype(
+            {"n_snapshots": "int64", "n_versions": "int64", "ts_span_us": "int64"}
+        )
+
+    return bucketed_group_map(partials, "url", finish)
