@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Sum
 
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
+    above_median_docs,
     cohort_retention,
     corpus_mix,
     quality_percentiles,
@@ -301,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weekly cohort-retention matrix: user-keyed exchange emits
         # per-cell partials, tiny second exchange sums them
         "cohort_retention": cohort_retention,
+        # grouped-threshold filter: exact per-lang median broadcast
+        # once, then a shuffle-free filter scan
+        "above_median_docs": above_median_docs,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
@@ -1417,6 +1421,22 @@ FROM events GROUP BY user_id, hour_id
         "event_type_reach": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+        # zero-based rank (n-1)*50//100 of the per-lang sorted multiset —
+        # tie-order independent, same convention as priority_price_quantiles
+        "above_median_docs": """
+WITH amd_r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+amd_med AS (
+  SELECT lang, n_chars AS med FROM amd_r WHERE rn = ((n - 1) * 50) // 100
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN amd_med m USING (lang)
+WHERE d.n_chars > m.med
 """,
         # Monday-truncated week index since 1970-01-05 mirrors the
         # engine's (epoch_days - 4) // 7 cohort arithmetic

@@ -512,3 +512,21 @@ def test_cohort_retention_matches_pandas(sf_dir):
     # be the row-max of its cohort
     base = got[got.week_offset == 0].set_index("cohort_wk")["n_users"]
     assert (got.groupby("cohort_wk")["n_users"].max() <= base).all()
+
+
+def test_above_median_docs_threshold_semantics(sf_dir):
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import above_median_docs
+
+    got = above_median_docs(sf_dir).to_pandas()
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    for lang, g in d.groupby("lang"):
+        v = g["n_chars"].sort_values().to_numpy()
+        med = v[(len(v) - 1) * 50 // 100]
+        exp = set(g.loc[g["n_chars"] > med, "doc_id"])
+        assert set(got.loc[got["lang"] == lang, "doc_id"]) == exp
+    # strictly-above semantics: every lang loses at least its median row
+    assert len(got) < len(d)

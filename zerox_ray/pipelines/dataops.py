@@ -940,6 +940,47 @@ def event_type_reach(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def above_median_docs(sf_dir: str) -> ray.data.Dataset:
+    """Documents longer than their LANGUAGE's median length — the
+    grouped-threshold filter every per-language quality gate needs
+    (filter by a statistic of the row's own group).
+
+    Scale shape: pass 1 computes the exact per-lang median with one
+    lang-keyed exchange of (lang, n_chars) rows and reads the
+    order statistic off the in-group sort (zero-based rank
+    (n-1)*50//100 — tie-order independent); the resulting table is
+    ≤ |langs| rows, a scalar-sized artifact broadcast once via
+    ``ray.put``. Pass 2 is a shuffle-free filter scan against the
+    broadcast map. For many-groups/huge-group inputs swap pass 1 for
+    the grouped histogram sketch (sketches.grouped_price_quantiles
+    shape); exact medians are the few-langs shape.
+    Output: (doc_id, lang, n_chars) rows above their lang median."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    vals = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, h in g.groupby("lang", sort=True):
+            v = np.sort(h["n_chars"].to_numpy())
+            rows.append({"lang": lang, "med": int(v[(len(v) - 1) * 50 // 100])})
+        return pd.DataFrame(rows)
+
+    medians = bucketed_group_map(vals, "lang", med).to_pandas()
+    lookup_ref = ray.put(dict(zip(medians["lang"], medians["med"])))
+
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        thr = df["lang"].map(lookup)
+        return df[df["n_chars"] > thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     """Weekly cohort-retention matrix over the events stream: users are
     cohorted by their first active ISO week (Monday-truncated), and each
