@@ -92,6 +92,7 @@ from zerox_ray.pipelines.similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_radius_search,
+    kmeans_clusters,
 )
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
@@ -364,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_price_quantiles": grouped_price_quantiles,
         # approximate ANN (rows-only: recall-tested vs brute force in pytest)
         "ann_ivf_topk": ann_ivf_topk,
+        # iterative distributed Lloyd's k-means: per-round broadcast of
+        # the k×dim int centroid plane, ≤k partial rows per batch on the
+        # wire, bit-exact via quantized integer arithmetic
+        "kmeans_clusters": kmeans_clusters,
         # IVF with every centroid probed is EXACT — same answer as brute
         # force — so the full IVF machinery (centroid assignment, probe
         # masking, partial top-k, merge) gets a value-hash oracle too
@@ -861,6 +866,62 @@ SELECT event_type,
                        THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
                        ELSE raw END) AS BIGINT) AS n_users_estimate
 FROM ghl_est"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Mirror of pipelines/similarity.py::kmeans_clusters — the fixed
+    ``iters`` Lloyd rounds unrolled as CTE chains. Micro-unit int
+    centroids make every distance/sum exact in DOUBLE; centroid updates
+    use floor(sum/n) (DuckDB's integer ``//`` truncates toward zero,
+    numpy floors — floor() in DOUBLE matches the engine); assignment
+    ties break on the lowest cluster id."""
+    parts = [
+        f"""
+WITH km_q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+km_qd AS (SELECT vec_id, q, CAST(q AS DOUBLE[]) AS qd FROM km_q),
+km_c0 AS (
+  SELECT vec_id AS cl, q, CAST(q AS DOUBLE[]) AS qd FROM km_q WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+km_a{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.qd, e.qd)
+             - 2 * list_dot_product(e.qd, c.qd)
+             + list_dot_product(c.qd, c.qd), c.cl) AS rn
+    FROM km_qd e CROSS JOIN km_c{i - 1} c
+  ) WHERE rn = 1
+),
+km_s{i} AS (
+  SELECT cl, dim, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM (
+    SELECT a.cl, unnest(range(len(e.q))) AS dim, unnest(e.q) AS qv
+    FROM km_q e JOIN km_a{i} a USING (vec_id)
+  ) GROUP BY cl, dim
+),
+km_c{i} AS (
+  SELECT cl, list(v ORDER BY dim) AS q,
+         CAST(list(v ORDER BY dim) AS DOUBLE[]) AS qd
+  FROM km_s{i} GROUP BY cl
+)""")
+    parts.append(f"""
+SELECT vec_id, cl AS cluster FROM (
+  SELECT e.vec_id, c.cl,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.qd, e.qd)
+           - 2 * list_dot_product(e.qd, c.qd)
+           + list_dot_product(c.qd, c.qd), c.cl) AS rn
+  FROM km_qd e CROSS JOIN km_c{iters} c
+) WHERE rn = 1""")
+    return "".join(parts)
 
 
 _NGRAM_JACCARD_SQL = """
@@ -1688,6 +1749,7 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "dedup_embedding_cosine": _embed_cosine_sql(),
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "bloom_probe": _bloom_sql(),
         "cms_probe": _cms_sql(),
         # exact regime (distinct event types ≤ k=32): zero decrements, so

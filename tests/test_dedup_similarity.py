@@ -337,3 +337,52 @@ class TestRadiusSearch:
         got = ann_radius_search(sf_dir, n_queries=2, threshold_ppm=100_000).to_pandas()
         assert (got.qid != got.neighbor_id).all()
         assert (got.cosine_ppm >= 100_000).all()
+
+
+class TestKmeansClusters:
+    def test_matches_sequential_lloyd(self, sf_dir):
+        """Distributed rounds ≡ a single-process numpy replay of the same
+        quantized Lloyd iterations (init = first k by vec_id)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.similarity import (
+            KMEANS_ITERS,
+            KMEANS_K,
+            _assign,
+            _quantize,
+            kmeans_clusters,
+        )
+
+        got = (
+            kmeans_clusters(sf_dir)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = _quantize(np.array(t["embedding"].to_pylist(), dtype=np.float64))[order]
+        cl_ids = ids[: KMEANS_K]
+        cents = q[: KMEANS_K]
+        for _ in range(KMEANS_ITERS):
+            cl = _assign(q, cl_ids, cents)
+            keep = np.unique(cl)
+            cents = np.stack(
+                [
+                    np.floor(q[cl == u].sum(axis=0) / (cl == u).sum()).astype(np.int64)
+                    for u in keep
+                ]
+            )
+            cl_ids = keep
+        exp = _assign(q, cl_ids, cents)
+        assert got.vec_id.to_numpy().tolist() == ids.tolist()
+        assert got.cluster.to_numpy().tolist() == exp.tolist()
+        # every cluster id is one of the surviving seeds, and clustering
+        # is non-trivial (more than one cluster in use)
+        assert set(got.cluster) <= set(cl_ids.tolist())
+        assert got.cluster.nunique() > 1

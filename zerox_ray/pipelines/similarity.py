@@ -297,3 +297,119 @@ def ann_ivf_topk(
     return partials.groupby("qid").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
     )
+
+
+# --- distributed k-means (iterative synchronous clustering) -------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_Q_SCALE = 1_000_000  # micro-unit quantization (exact in float64/int64)
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """floor(1e6·x) micro-units: |x| < 1 ⇒ |q| ≤ 1e6, so every product
+    and 64-dim sum below stays < 2^53 — bit-exact in BOTH numpy int64
+    and DuckDB DOUBLE, which is what lets the oracle replay the whole
+    iteration (same trick as lang_embedding_centroids)."""
+    return np.floor(mat.astype(np.float64) * _Q_SCALE).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cl_ids: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid by integer L2², ties → lowest cluster id
+    (cl_ids is sorted ascending; argmin keeps the first minimum)."""
+    d = (
+        (q * q).sum(axis=1, keepdims=True)
+        - 2 * (q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return cl_ids[np.argmin(d, axis=1)]
+
+
+def kmeans_clusters(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the embeddings table — the
+    engine's iterative-algorithm shape. Fully deterministic: centroids
+    are quantized int64 micro-units, init is the first ``k`` vectors by
+    vec_id, updates are element-wise integer floor-division means, and
+    tie-breaks go to the lowest cluster id — so a fixed-iteration DuckDB
+    oracle replays every round bit-for-bit.
+
+    Scale shape per iteration: the k×dim centroid plane (scalar-sized)
+    broadcasts via ``ray.put``; each batch assigns locally and emits ONE
+    (cluster, sum-vector, count) partial row per cluster — the exchange
+    moves ≤ k rows per batch, never vectors; a tiny bucketed reduce +
+    driver floor-div closes the round (the per-round driver artifact is
+    k×dim ints — same contract as the Bloom/IVF broadcasts). Empty
+    clusters drop out (their id simply stops being assignable). The
+    final pass re-assigns and emits (vec_id, cluster)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(path, columns=["vec_id", "embedding"])
+
+    init = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    )
+    order = np.argsort(np.asarray(init["vec_id"].to_pylist(), dtype=np.int64))
+    cl_ids = np.asarray(init["vec_id"].to_pylist(), dtype=np.int64)[order]
+    cents = _quantize(np.array(init["embedding"].to_pylist(), dtype=np.float64))[order]
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        state_ref = ray.put((cl_ids, cents))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            ids, c = ray.get(state_ref)
+            q = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
+            cl = _assign(q, ids, c)
+            rows = []
+            for u in np.unique(cl):
+                m = cl == u
+                rows.append(
+                    {
+                        "cl": int(u),
+                        "s": q[m].sum(axis=0).tobytes(),
+                        "n": int(m.sum()),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            return out.astype({"cl": "int64", "n": "int64"})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out_rows = []
+            for u, h in g.groupby("cl", sort=True):
+                s = np.stack(
+                    [np.frombuffer(b, dtype=np.int64) for b in h["s"]]
+                ).sum(axis=0)
+                out_rows.append(
+                    {"cl": int(u), "s": s.tobytes(), "n": int(h["n"].sum())}
+                )
+            return pd.DataFrame(out_rows).astype({"cl": "int64", "n": "int64"})
+
+        reduced = bucketed_group_map(
+            ds.map_batches(partial, batch_format="pandas"), "cl", merge
+        ).to_pandas()  # ≤ k rows — scalar-sized per-round artifact
+        reduced = reduced.sort_values("cl")
+        cl_ids = reduced["cl"].to_numpy(dtype=np.int64)
+        cents = np.stack(
+            [
+                np.frombuffer(b, dtype=np.int64) // n
+                for b, n in zip(reduced["s"], reduced["n"])
+            ]
+        )
+        assert cents.shape[1] == dim
+
+    final_ref = ray.put((cl_ids, cents))
+
+    def final_assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, c = ray.get(final_ref)
+        q = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "cluster": _assign(q, ids, c).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pandas")
