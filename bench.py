@@ -153,6 +153,11 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         timed("shuffled_shards", lambda: shuffled_shards(sf_dir).to_pandas())
         timed("orders_by_nation", lambda: orders_by_nation(sf_dir).to_pandas())
         timed("events_sessions", lambda: events_sessions(sf_dir).to_pandas())
+        from zerox_ray.pipelines.similarity import kmeans_clusters
+
+        # the iterative-algorithm shape: 3 synchronous Lloyd rounds, each
+        # a broadcast + one ≤k-rows-per-batch exchange
+        timed("kmeans_clusters", lambda: kmeans_clusters(sf_dir).to_pandas())
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",
