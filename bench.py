@@ -220,8 +220,9 @@ def _measure_scaling(lo: int = 8, hi: int = 32, max_rounds: int = 6) -> dict:
     IDENTICAL build across one hour). Sample both arms in interleaved
     rounds, keep each arm's best (the steady-state estimator the
     headline timing already uses), and stop early once a MATCHED
-    same-round pair clears 0.85 (a calm round found; a calm box pays one
-    round, a loaded one up to ``max_rounds``).
+    same-round pair clears 0.85 with a validity-gated lo sample (a calm
+    pair found; a calm box pays two rounds, a loaded one up to
+    ``max_rounds``).
 
     The REPORTED efficiency is the best matched-round ratio among
     VALID rounds — rounds whose lo sample is within 10% of the lo arm's
@@ -246,16 +247,23 @@ def _measure_scaling(lo: int = 8, hi: int = 32, max_rounds: int = 6) -> dict:
             if ncpu not in best or r["pages_per_sec"] > best[ncpu]["pages_per_sec"]:
                 best[ncpu] = r
         round_effs.append((this_round[hi] / this_round[lo]) / (hi / lo))
-        if round_effs[-1] >= 0.85:
+        # early stop only from round 2: a single round can't tell a calm
+        # lo sample from a suppressed one (a suppressed lo INFLATES the
+        # ratio), so require the round's lo to sit within 10% of the
+        # best lo seen so far — the same validity gate the final
+        # selection applies — before trusting its ratio
+        if (
+            len(round_effs) >= 2
+            and this_round[lo] >= 0.9 * max(samples[lo])
+            and round_effs[-1] >= 0.85
+        ):
             break
+    # best matched ratio among valid rounds; the round holding
+    # max(samples[lo]) is always valid, so `valid` is never empty
     lo_best = max(samples[lo])
-    valid = [
+    eff = max(
         e for s, e in zip(samples[lo], round_effs) if s >= 0.9 * lo_best
-    ]
-    if valid:
-        eff = max(valid)
-    else:  # degenerate: every round's lo sample was an outlier-low
-        eff = (best[hi]["pages_per_sec"] / best[lo]["pages_per_sec"]) / (hi / lo)
+    )
     return {
         "cpus": [lo, hi],
         "pages_per_sec": [best[lo]["pages_per_sec"], best[hi]["pages_per_sec"]],

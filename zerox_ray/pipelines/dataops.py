@@ -955,8 +955,6 @@ def above_median_docs(sf_dir: str) -> ray.data.Dataset:
     the grouped histogram sketch (sketches.grouped_price_quantiles
     shape); exact medians are the few-langs shape.
     Output: (doc_id, lang, n_chars) rows above their lang median."""
-    from zerox_ray.pipelines.agg import bucketed_group_map
-
     vals = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
     def med(g: pd.DataFrame) -> pd.DataFrame:

@@ -342,11 +342,31 @@ def kmeans_clusters(
     driver floor-div closes the round (the per-round driver artifact is
     k×dim ints — same contract as the Bloom/IVF broadcasts). Empty
     clusters drop out (their id simply stops being assignable). The
-    final pass re-assigns and emits (vec_id, cluster)."""
+    final pass re-assigns and emits (vec_id, cluster).
+
+    The corpus is quantized ONCE and ``materialize()``-d: each of the
+    ``iters``+1 passes re-scans those spill-backed object-store blocks
+    instead of re-reading + re-quantizing the parquet per round — the
+    standard persist-the-working-set trade for iterative algorithms
+    (the one place mid-pipeline materialization is the right call)."""
     from zerox_ray.pipelines.agg import bucketed_group_map
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = read_table(path, columns=["vec_id", "embedding"])
+
+    def quantize_rows(df: pd.DataFrame) -> pd.DataFrame:
+        qm = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "qb": [row.tobytes() for row in qm],
+            }
+        )
+
+    ds = (
+        read_table(path, columns=["vec_id", "embedding"])
+        .map_batches(quantize_rows, batch_format="pandas")
+        .materialize()
+    )
 
     init = pq.read_table(
         path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
@@ -356,12 +376,24 @@ def kmeans_clusters(
     cents = _quantize(np.array(init["embedding"].to_pylist(), dtype=np.float64))[order]
 
     dim = cents.shape[1]
+
+    def _unpack(df: pd.DataFrame) -> np.ndarray:
+        return np.stack([np.frombuffer(b, dtype=np.int64) for b in df["qb"]])
+
     for _ in range(iters):
         state_ref = ray.put((cl_ids, cents))
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:  # empty block → empty partial, not AxisError
+                return pd.DataFrame(
+                    {
+                        "cl": pd.Series([], dtype="int64"),
+                        "s": pd.Series([], dtype=object),
+                        "n": pd.Series([], dtype="int64"),
+                    }
+                )
             ids, c = ray.get(state_ref)
-            q = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
+            q = _unpack(df)
             cl = _assign(q, ids, c)
             rows = []
             for u in np.unique(cl):
@@ -403,12 +435,18 @@ def kmeans_clusters(
     final_ref = ray.put((cl_ids, cents))
 
     def final_assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                }
+            )
         ids, c = ray.get(final_ref)
-        q = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].astype("int64"),
-                "cluster": _assign(q, ids, c).astype(np.int64),
+                "cluster": _assign(_unpack(df), ids, c).astype(np.int64),
             }
         )
 

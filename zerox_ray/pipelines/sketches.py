@@ -256,21 +256,21 @@ def grouped_distinct_hll(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    regs = bucketed_group_agg(
-        partials, [group, "register"], {"rank": ("rank", "max")}
-    )
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # the ONE group-keyed exchange lands every partial of a group
+        # here: max-merge registers and estimate in the same reduce task
         rows = []
         for key, h in g.groupby(group, sort=True):
+            regs = h.groupby("register", as_index=False)["rank"].max()
             rows.append(
-                {group: key, "n_users_estimate": int(round(hll_estimate(h, p)))}
+                {group: key, "n_users_estimate": int(round(hll_estimate(regs, p)))}
             )
         return pd.DataFrame(rows)
 
     from zerox_ray.pipelines.agg import bucketed_group_map
 
-    return bucketed_group_map(regs, group, finish)
+    return bucketed_group_map(partials, group, finish)
 
 
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
