@@ -39,6 +39,7 @@ from zerox_ray.pipelines.dataops import (
     lang_id,
     quality_filter,
     pii_scrub,
+    props_field_stats,
     quality_scores,
     stratified_sample,
     tfidf_top_terms,
@@ -300,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": top_ngrams,
         "events_hourly": events_hourly,
         "event_type_reach": event_type_reach,
+        # schema-on-read JSON field extraction + grouped rollup
+        "props_field_stats": props_field_stats,
         # weekly cohort-retention matrix: user-keyed exchange emits
         # per-cell partials, tiny second exchange sums them
         "cohort_retention": cohort_retention,
@@ -1481,6 +1484,17 @@ FROM events GROUP BY user_id, hour_id
 """,
         "event_type_reach": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+        # json_extract mirrors the engine's regex field pull (flat
+        # integer field; every row parses in this corpus)
+        "props_field_stats": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
         # zero-based rank (n-1)*50//100 of the per-lang sorted multiset —

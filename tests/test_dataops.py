@@ -530,3 +530,49 @@ def test_above_median_docs_threshold_semantics(sf_dir):
         assert set(got.loc[got["lang"] == lang, "doc_id"]) == exp
     # strictly-above semantics: every lang loses at least its median row
     assert len(got) < len(d)
+
+
+def test_props_field_stats_handles_missing_fields():
+    """Unparseable props rows become NaN (→ n_missing), not errors."""
+    import zerox_ray.pipelines.dataops as dataops
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b", "b"],
+            "props": ['{"k": 3}', "not json", "{}", '{"k": -2}'],
+        }
+    )
+    # exercise the partial directly (module-level regex cache path)
+    import re
+
+    if dataops._PROPS_K_RE is None:
+        dataops._PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
+    k = df["props"].str.extract(dataops._PROPS_K_RE, expand=False).astype("float64")
+    assert list(k.isna()) == [False, True, True, False]
+
+
+def test_props_field_stats_matches_pandas(sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import props_field_stats
+
+    got = (
+        props_field_stats(sf_dir)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    e = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"]).to_pandas()
+    e["k"] = [json.loads(p)["k"] for p in e["props"]]
+    exp = (
+        e.groupby("event_type")["k"]
+        .agg(n_events="size", sum_k="sum", min_k="min", max_k="max")
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got.n_missing == 0).all()
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        assert got[c].tolist() == exp[c].tolist(), c

@@ -979,6 +979,72 @@ def above_median_docs(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(keep, batch_format="pandas")
 
 
+#: compiled once per worker process (module scope), not per batch
+_PROPS_K_RE = None
+
+
+def props_field_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction over the events ``props`` JSON column:
+    pull the integer field ``k`` out of every payload and roll it up per
+    event type — the schema-on-read shape (JSON stays a string column at
+    rest; fields are extracted in the scan, never materialized wide).
+
+    Scale shape: extraction is ONE vectorized regex pass per batch
+    (``Series.str.extract`` with a module-cached compiled pattern — a
+    full JSON parse per row would be a Python-loop hot path), the
+    combiner pre-aggregates per (event_type) inside the batch, and one
+    tiny bucketed exchange merges partials. Rows with no parseable ``k``
+    count into n_missing instead of poisoning the sums.
+    Output: (event_type, n_events, n_missing, sum_k, min_k, max_k)."""
+    import re
+
+    global _PROPS_K_RE
+    if _PROPS_K_RE is None:
+        _PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(_PROPS_K_RE, expand=False).astype("float64")
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "k": k,
+                "n": np.int64(1),
+                "miss": k.isna().astype("int64"),
+            }
+        )
+        out = t.groupby("event_type", as_index=False).agg(
+            n_events=("n", "sum"),
+            n_missing=("miss", "sum"),
+            sum_k=("k", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+        )
+        # identity elements keep an all-missing group mergeable (sum 0,
+        # min +∞, max -∞); n_missing == n_events flags such groups
+        out["sum_k"] = out["sum_k"].fillna(0)
+        out["min_k"] = out["min_k"].fillna(np.iinfo(np.int64).max)
+        out["max_k"] = out["max_k"].fillna(np.iinfo(np.int64).min)
+        return out.astype(
+            {"n_events": "int64", "n_missing": "int64", "sum_k": "int64",
+             "min_k": "int64", "max_k": "int64"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(
+        partials,
+        ["event_type"],
+        {
+            "n_events": ("n_events", "sum"),
+            "n_missing": ("n_missing", "sum"),
+            "sum_k": ("sum_k", "sum"),
+            "min_k": ("min_k", "min"),
+            "max_k": ("max_k", "max"),
+        },
+    )
+
+
 def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     """Weekly cohort-retention matrix over the events stream: users are
     cohorted by their first active ISO week (Monday-truncated), and each
