@@ -76,6 +76,7 @@ from zerox_ray.pipelines.ocr import extracted_pages
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
+    brand_region_revenue,
     dormant_customers,
     events_funnel,
     events_neighbors,
@@ -345,6 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-group order statistics (the shuffle-based complement
         # to the mergeable histogram sketch)
         "priority_price_quantiles": priority_price_quantiles,
+        # star-schema fact rollup: three composed broadcast dims, the
+        # fact table never shuffles
+        "brand_region_revenue": brand_region_revenue,
         # embeddings ⋈ documents enrichment + quantized-exact centroids
         "lang_embedding_centroids": lang_embedding_centroids,
         # per-source corpus rollup + deterministic training-order shuffle
@@ -1485,6 +1489,20 @@ FROM events GROUP BY user_id, hour_id
         "event_type_reach": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+        # floor before the cents sum mirrors the engine's per-row
+        # np.floor(ep·(1-disc)·100) — identical left-assoc DOUBLE ops
+        "brand_region_revenue": """
+SELECT p.p_brand, r.r_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
 """,
         # json_extract mirrors the engine's regex field pull (flat
         # integer field; every row parses in this corpus)

@@ -543,3 +543,29 @@ class TestLangCentroids:
             assert sub.sum_q.tolist() == mat[idx].sum(axis=0).tolist()
             assert (sub.n_vecs == len(idx)).all()
         assert len(got) == d.lang.nunique() * mat.shape[1]
+
+
+def test_brand_region_revenue_matches_duckdb(sf_dir):
+    import duckdb
+
+    from zerox_ray.pipelines.relational import brand_region_revenue
+
+    got = (
+        brand_region_revenue(sf_dir)
+        .to_pandas()
+        .sort_values(["p_brand", "r_name"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""select p.p_brand, r.r_name,
+                   cast(count(*) as bigint) n_items,
+                   cast(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                 as bigint)) as bigint) revenue_cents
+            from read_parquet('{sf_dir}/lineitem.parquet') l
+            join read_parquet('{sf_dir}/part.parquet') p on p.p_partkey = l.l_partkey
+            join read_parquet('{sf_dir}/supplier.parquet') s on s.s_suppkey = l.l_suppkey
+            join read_parquet('{sf_dir}/nation.parquet') n on n.n_nationkey = s.s_nationkey
+            join read_parquet('{sf_dir}/region.parquet') r on r.r_regionkey = n.n_regionkey
+            group by 1, 2 order by 1, 2"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

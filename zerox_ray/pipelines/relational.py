@@ -909,3 +909,100 @@ def lang_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
         ["lang", "dim"],
         {"sum_q": ("sum_q", "sum"), "n_vecs": ("n_vecs", "sum")},
     )
+
+
+# --- star-schema fact rollup (multi-dim broadcast join) -----------------------
+
+
+class _StarEnricher:
+    """lineitem batch → per-(brand, region) revenue partials. The THREE
+    dim chains (part→brand; supplier→nation→region name) are composed
+    driver-side into two flat lookups and broadcast once — the classic
+    star-join: the fact table never shuffles, dims never re-ship."""
+
+    def __init__(self, part_ref, supp_region_ref):
+        part = ray.get(part_ref)
+        self.part_to_brand = dict(
+            zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())
+        )
+        self.supp_to_region = ray.get(supp_region_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "p_brand": df["l_partkey"].map(self.part_to_brand),
+                    "r_name": df["l_suppkey"].map(self.supp_to_region),
+                    "cents": cents,
+                }
+            )
+            .groupby(["p_brand", "r_name"], sort=False, as_index=False)
+            .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        )
+        return part.astype({"n_items": "int64", "revenue_cents": "int64"})
+
+
+def _star_batch(df, part_ref, supp_region_ref):
+    key = ("star", part_ref.hex(), supp_region_ref.hex())
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _StarEnricher(part_ref, supp_region_ref)
+    return _WORKER_STATE[key](df)
+
+
+def brand_region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q9-style star rollup: discounted lineitem revenue per
+    (part brand, supplier region). Scale shape: the fact scan is the
+    only big movement — dims (part/supplier/nation/region) broadcast
+    once via ``ray.put`` after composing the supplier→nation→region
+    chain on the driver (all dim tables are lookup-sized; a dim too big
+    to broadcast is what hash_join is for). Per-batch combiner → one
+    tiny exchange over ≤ |brands|·|regions| rows.
+    Output: (p_brand, r_name, n_items, revenue_cents)."""
+    part_ref = ray.put(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    r_name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    n_region = {
+        int(nk): r_name[int(rk)]
+        for nk, rk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    supp_region_ref = ray.put(
+        {
+            int(sk): n_region[int(nk)]
+            for sk, nk in zip(
+                supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()
+            )
+        }
+    )
+    ds = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(
+        _star_batch,
+        fn_kwargs={"part_ref": part_ref, "supp_region_ref": supp_region_ref},
+        batch_format="pandas",
+    )
+    return bucketed_group_agg(
+        partials,
+        ["p_brand", "r_name"],
+        {"n_items": ("n_items", "sum"), "revenue_cents": ("revenue_cents", "sum")},
+    )
