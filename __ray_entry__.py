@@ -330,7 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeded params are reproduced literally in the oracle SQL)
         "distinct_users_hll": distinct_users_hll,
         # grouped HLL: per-type approximate reach, ≤|groups|·4096 register
-        # rows on the wire vs event_type_reach's O(distinct pairs)
+        # rows per batch on the wire vs event_type_reach's O(distinct
+        # pairs) total
         "event_type_reach_hll": grouped_distinct_hll,
         "bloom_probe": bloom_probe,
         "cms_probe": cms_probe,

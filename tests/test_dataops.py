@@ -532,23 +532,36 @@ def test_above_median_docs_threshold_semantics(sf_dir):
     assert len(got) < len(d)
 
 
-def test_props_field_stats_handles_missing_fields():
-    """Unparseable props rows become NaN (→ n_missing), not errors."""
-    import zerox_ray.pipelines.dataops as dataops
+def test_props_partial_identity_elements_merge_correctly():
+    """The all-missing identity path: min/max sentinels must be the TRUE
+    int64 extremes (a float64 round-trip would wrap INT64_MAX negative
+    and invert the min-merge) and a later real value must win the merge."""
+    import numpy as np
 
-    df = pd.DataFrame(
-        {
-            "event_type": ["a", "a", "b", "b"],
-            "props": ['{"k": 3}', "not json", "{}", '{"k": -2}'],
-        }
+    from zerox_ray.pipelines.dataops import _props_partial
+
+    all_missing = _props_partial(
+        pd.DataFrame({"event_type": ["b", "b"], "props": ["not json", "{}"]})
     )
-    # exercise the partial directly (module-level regex cache path)
-    import re
+    assert all_missing.n_missing.tolist() == [2]
+    assert all_missing.min_k.tolist() == [np.iinfo(np.int64).max]
+    assert all_missing.max_k.tolist() == [np.iinfo(np.int64).min]
+    assert all_missing.sum_k.tolist() == [0]
 
-    if dataops._PROPS_K_RE is None:
-        dataops._PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
-    k = df["props"].str.extract(dataops._PROPS_K_RE, expand=False).astype("float64")
-    assert list(k.isna()) == [False, True, True, False]
+    real = _props_partial(
+        pd.DataFrame({"event_type": ["b", "b"], "props": ['{"k": 3}', '{"k": -2}']})
+    )
+    merged = pd.concat([all_missing, real]).groupby("event_type").agg(
+        n_events=("n_events", "sum"),
+        n_missing=("n_missing", "sum"),
+        sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"),
+        max_k=("max_k", "max"),
+    )
+    row = merged.loc["b"]
+    assert (row.n_events, row.n_missing, row.sum_k, row.min_k, row.max_k) == (
+        4, 2, 1, -2, 3,
+    )
 
 
 def test_props_field_stats_matches_pandas(sf_dir):

@@ -18,6 +18,7 @@ applied throughout:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -979,8 +980,42 @@ def above_median_docs(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(keep, batch_format="pandas")
 
 
-#: compiled once per worker process (module scope), not per batch
-_PROPS_K_RE = None
+_PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+
+def _props_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """One batch → per-event_type (n, missing, sum/min/max of k) partial."""
+    k = df["props"].str.extract(_PROPS_K_RE, expand=False).astype("float64")
+    t = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "k": k,
+            "n": np.int64(1),
+            "miss": k.isna().astype("int64"),
+        }
+    )
+    out = t.groupby("event_type", as_index=False).agg(
+        n_events=("n", "sum"),
+        n_missing=("miss", "sum"),
+        sum_k=("k", "sum"),
+        min_k=("k", "min"),
+        max_k=("k", "max"),
+    )
+    # identity elements keep an all-missing group mergeable (sum 0,
+    # min +∞, max -∞); n_missing == n_events flags such groups. The
+    # ±∞ sentinels are assigned AFTER the int64 cast: INT64_MAX is not
+    # float64-representable, so fillna-then-cast would wrap it negative
+    # and invert the min-merge.
+    miss_min = out["min_k"].isna()
+    miss_max = out["max_k"].isna()
+    out["sum_k"] = out["sum_k"].fillna(0)
+    out = out.fillna({"min_k": 0, "max_k": 0}).astype(
+        {"n_events": "int64", "n_missing": "int64", "sum_k": "int64",
+         "min_k": "int64", "max_k": "int64"}
+    )
+    out.loc[miss_min, "min_k"] = np.iinfo(np.int64).max
+    out.loc[miss_max, "max_k"] = np.iinfo(np.int64).min
+    return out
 
 
 def props_field_stats(sf_dir: str) -> ray.data.Dataset:
@@ -990,48 +1025,21 @@ def props_field_stats(sf_dir: str) -> ray.data.Dataset:
     rest; fields are extracted in the scan, never materialized wide).
 
     Scale shape: extraction is ONE vectorized regex pass per batch
-    (``Series.str.extract`` with a module-cached compiled pattern — a
-    full JSON parse per row would be a Python-loop hot path), the
-    combiner pre-aggregates per (event_type) inside the batch, and one
-    tiny bucketed exchange merges partials. Rows with no parseable ``k``
-    count into n_missing instead of poisoning the sums.
+    (``Series.str.extract`` — a full JSON parse per row would be a
+    Python-loop hot path), the combiner pre-aggregates per (event_type)
+    inside the batch, and one tiny bucketed exchange merges partials.
+    Rows with no parseable ``k`` count into n_missing instead of
+    poisoning the sums.
+
+    CONTRACT: payloads are flat JSON objects (the corpus shape). The
+    regex matches a top-level-looking ``"k": int`` anywhere in the
+    string, so NESTED objects, ``k`` inside string values, or float
+    ``k`` would diverge from a strict JSON reading (and from the
+    json_extract oracle) — payloads like that need a real JSON-parse
+    stage, not this fast path.
     Output: (event_type, n_events, n_missing, sum_k, min_k, max_k)."""
-    import re
-
-    global _PROPS_K_RE
-    if _PROPS_K_RE is None:
-        _PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
-
     ds = read_table(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(_PROPS_K_RE, expand=False).astype("float64")
-        t = pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "k": k,
-                "n": np.int64(1),
-                "miss": k.isna().astype("int64"),
-            }
-        )
-        out = t.groupby("event_type", as_index=False).agg(
-            n_events=("n", "sum"),
-            n_missing=("miss", "sum"),
-            sum_k=("k", "sum"),
-            min_k=("k", "min"),
-            max_k=("k", "max"),
-        )
-        # identity elements keep an all-missing group mergeable (sum 0,
-        # min +∞, max -∞); n_missing == n_events flags such groups
-        out["sum_k"] = out["sum_k"].fillna(0)
-        out["min_k"] = out["min_k"].fillna(np.iinfo(np.int64).max)
-        out["max_k"] = out["max_k"].fillna(np.iinfo(np.int64).min)
-        return out.astype(
-            {"n_events": "int64", "n_missing": "int64", "sum_k": "int64",
-             "min_k": "int64", "max_k": "int64"}
-        )
-
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(_props_partial, batch_format="pandas")
     return bucketed_group_agg(
         partials,
         ["event_type"],

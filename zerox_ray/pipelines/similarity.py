@@ -378,7 +378,11 @@ def kmeans_clusters(
     dim = cents.shape[1]
 
     def _unpack(df: pd.DataFrame) -> np.ndarray:
-        return np.stack([np.frombuffer(b, dtype=np.int64) for b in df["qb"]])
+        # one frombuffer over the concatenated fixed-width rows — this
+        # sits in the per-batch inner loop of every Lloyd round
+        return np.frombuffer(b"".join(df["qb"]), dtype=np.int64).reshape(
+            len(df), dim
+        )
 
     for _ in range(iters):
         state_ref = ray.put((cl_ids, cents))

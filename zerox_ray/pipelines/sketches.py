@@ -232,13 +232,18 @@ def grouped_distinct_hll(
     """Approximate distinct ``column`` PER ``group`` via one HLL register
     plane per group — the sketch form of the exact two-level distinct
     (dataops.event_type_reach). The exact shape shuffles O(distinct
-    pairs); this one shuffles ≤ |groups|·2^p register rows no matter how
-    many distinct keys exist — the right trade at 10^12 events with
-    high-cardinality groups.
+    pairs) rows TOTAL; this one ships ≤ |groups|·2^p register rows PER
+    BATCH (each batch's rank-max combiner caps its own contribution
+    regardless of how many distinct keys the batch holds) — the right
+    trade at 10^12 events with high-cardinality keys.
 
-    Scale shape: per-batch (group, register) rank-max partials → one
-    bucketed exchange keyed on group → per-group standard HLL estimator
-    (with the linear-counting switch) inside the reduce task.
+    Scale shape: per-batch (group, register) rank-max partials → ONE
+    bucketed exchange keyed on group → the reduce task max-merges its
+    groups' partials and runs the standard HLL estimator (with the
+    linear-counting switch) in place. A group's reduce input grows with
+    the number of batches (partials, not raw keys); if that ever
+    dominates, reinstate a (group, register) pre-merge exchange first —
+    at the corpus sizes here the single exchange is strictly cheaper.
     Deterministic (splitmix64 hash, order-free max-merge), so the DuckDB
     oracle reproduces estimates bit-for-bit.
     Output: (group, n_users_estimate)."""
