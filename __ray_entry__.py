@@ -103,6 +103,7 @@ from zerox_ray.pipelines.sketches import (
     distinct_users_exact,
     distinct_users_hll,
     grouped_distinct_hll,
+    grouped_heavy_hitters,
     grouped_price_quantiles,
     heavy_hitters,
     price_histogram,
@@ -333,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows per batch on the wire vs event_type_reach's O(distinct
         # pairs) total
         "event_type_reach_hll": grouped_distinct_hll,
+        # per-lang MG top sources: 20 distinct < k=32 → exact regime,
+        # the grouped summary machinery gets a bit-exact oracle
+        "lang_top_sources": grouped_heavy_hitters,
         "bloom_probe": bloom_probe,
         "cms_probe": cms_probe,
         # Misra-Gries: events carries ≤5 event types vs k=32, the exact
@@ -1783,6 +1787,13 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        # exact-regime MG: the grouped summary equals the grouped count
+        "lang_top_sources": """
+SELECT lang, source AS key,
+       CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM documents GROUP BY lang, source
+""",
         "bloom_probe": _bloom_sql(),
         "cms_probe": _cms_sql(),
         # exact regime (distinct event types ≤ k=32): zero decrements, so

@@ -251,3 +251,56 @@ class TestBloomSemiJoin:
         passed = keys[bits.all(axis=1)]
         assert set(range(100)) <= set(passed)
         assert len(passed) <= 105  # ≤5 false positives out of 1900
+
+
+class TestGroupedHeavyHitters:
+    def test_exact_regime_matches_grouped_count(self, sf_dir):
+        import duckdb
+
+        from zerox_ray.pipelines.sketches import grouped_heavy_hitters
+
+        got = (
+            grouped_heavy_hitters(sf_dir)
+            .to_pandas()
+            .sort_values(["lang", "key"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""select lang, source as key, cast(count(*) as bigint) est_count
+                from read_parquet('{sf_dir}/documents.parquet')
+                group by 1, 2 order by 1, 2"""
+        ).fetchdf()
+        assert (got.err_bound == 0).all()
+        assert got.lang.tolist() == exp.lang.tolist()
+        assert got.key.tolist() == exp.key.tolist()
+        assert got.est_count.tolist() == exp.est_count.tolist()
+
+    def test_approximate_regime_group_isolation(self):
+        """k smaller than a group's distinct count: bounds hold per group
+        and a skewed group never perturbs a small group's counters."""
+        import numpy as np
+        import pandas as pd
+
+        from zerox_ray.pipelines.sketches import (
+            _MG_DEFICIT_KEY,
+            _mg_merge_rows,
+        )
+        from zerox_ray.pipelines.sketches import grouped_heavy_hitters  # noqa: F401
+
+        # simulate two per-batch partials for group A (heavy skew) and
+        # one for group B (tiny), merge group-wise like finish() does
+        a1 = pd.DataFrame({"g": "A", "key": ["x", "y", _MG_DEFICIT_KEY],
+                           "est_count": [100, 3, 2]})
+        a2 = pd.DataFrame({"g": "A", "key": ["x", "z", _MG_DEFICIT_KEY],
+                           "est_count": [50, 1, 1]})
+        b1 = pd.DataFrame({"g": "B", "key": ["q", _MG_DEFICIT_KEY],
+                           "est_count": [7, 0]})
+        allp = pd.concat([a1, a2, b1], ignore_index=True)
+        for gval, h in allp.groupby("g"):
+            counts, ded = _mg_merge_rows(h, k=2)
+            if gval == "B":
+                assert counts == {"q": 7} and ded == 0
+            else:
+                # MG bound: est ≤ true ≤ est + ded (true x-count is 150)
+                assert ded >= 3
+                assert counts["x"] <= 150 <= counts["x"] + ded

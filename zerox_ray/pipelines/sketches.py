@@ -563,6 +563,75 @@ def heavy_hitters(
     return merged.groupby("g").map_groups(finish, batch_format="pandas")
 
 
+def grouped_heavy_hitters(
+    sf_dir: str, group: str = "lang", column: str = "source", k: int = MG_K
+) -> ray.data.Dataset:
+    """Misra-Gries heavy hitters PER GROUP: one ≤k-counter summary per
+    (group) — per-language top document sources here. Same guarantees as
+    ``heavy_hitters`` applied group-wise: when a group's true distinct
+    count is ≤ k (this corpus: 20 sources vs k=32) the summary IS the
+    exact grouped count with err_bound 0, giving the whole grouped
+    partial→merge machinery a bit-exact oracle; the approximate regime
+    keeps the N_group/(k+1) undercount bound.
+
+    Scale shape: per-batch per-group ≤k+1-row summaries (keys never
+    shuffle in bulk) → ONE bucketed exchange keyed on group → per-group
+    MG merge in the reduce task. Output: (group, key, est_count,
+    err_bound)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=[group, column])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for gval, h in df.groupby(group, sort=False):
+            vc = h[column].value_counts()
+            counts, ded = _mg_compress(
+                dict(zip(vc.index.astype(str), vc.to_numpy())), k
+            )
+            keys = list(counts)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        group: gval,
+                        "key": pd.Series([*keys, _MG_DEFICIT_KEY], dtype="string"),
+                        "est_count": pd.Series(
+                            [*(counts[x] for x in keys), ded], dtype="int64"
+                        ),
+                    }
+                )
+            )
+        if not frames:  # empty block → empty summary, stable schema
+            return pd.DataFrame(
+                {
+                    group: pd.Series([], dtype="string"),
+                    "key": pd.Series([], dtype="string"),
+                    "est_count": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for gval, h in g.groupby(group, sort=True):
+            counts, ded = _mg_merge_rows(h, k)
+            for key in sorted(counts):
+                out.append(
+                    {
+                        group: gval,
+                        "key": key,
+                        "est_count": counts[key],
+                        "err_bound": ded,
+                    }
+                )
+        res = pd.DataFrame(out)
+        return res.astype({"est_count": "int64", "err_bound": "int64"})
+
+    return bucketed_group_map(partials, group, finish)
+
+
 def cms_probe(sf_dir: str) -> ray.data.Dataset:
     """Count-Min sketch of per-user event frequencies, probed: build the
     D×W counter plane over the events stream (md5-64 of the decimal
