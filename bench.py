@@ -274,6 +274,12 @@ def _measure_scaling(lo: int = 8, hi: int = 32, max_rounds: int = 6) -> dict:
         "samples_pages_per_sec": {str(k): v for k, v in samples.items()},
         "round_efficiencies": [round(e, 3) for e in round_effs],
         "efficiency": round(eff, 3),
+        # conservative companion estimator: best hi over best lo — it
+        # cannot pair a suppressed lo with a hot hi, but under-reports
+        # when the arms peak in different load windows
+        "efficiency_best_of_arms": round(
+            (best[hi]["pages_per_sec"] / best[lo]["pages_per_sec"]) / (hi / lo), 3
+        ),
     }
 
 
