@@ -946,11 +946,11 @@ nj_sh AS (
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   FROM nj_tk
 ),
-nj_blk AS (  -- mirror of dedup._block_key_batch: md5_64(min shingle) & 0x7FFFFFFF
+nj_blk AS (  -- mirror of dedup._block_key_batch: md5_64(min shingle) & 2^63-1
   SELECT doc_id, sh,
          CAST(('0x'||substring(md5(CASE WHEN len(sh)=0 THEN ''
                 ELSE list_aggregate(sh, 'min') END),1,16))::UBIGINT
-              % 2147483648 AS BIGINT) AS block
+              % 9223372036854775808 AS BIGINT) AS block
   FROM nj_sh
 ),
 nj_ver AS (

@@ -386,3 +386,59 @@ class TestKmeansClusters:
         # is non-trivial (more than one cluster in use)
         assert set(got.cluster) <= set(cl_ids.tolist())
         assert got.cluster.nunique() > 1
+
+
+class TestDedupEdgeFixes:
+    def test_hyperplane_bander_empty_batch(self):
+        from zerox_ray.pipelines.dedup import HyperplaneBander
+
+        out = HyperplaneBander(dim=4)(pd.DataFrame({"vec_id": [], "embedding": []}))
+        assert list(out.columns) == ["vec_id", "block_id", "key", "bucket"]
+        assert len(out) == 0
+
+    def test_cosine_verifier_zero_norm_pair_dropped(self):
+        import pyarrow as pa
+        import ray
+
+        from zerox_ray.pipelines.dedup import CosineVerifier
+
+        emb_ref = ray.put(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array(
+                        [[0.0, 0.0], [1.0, 0.0]], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        v = CosineVerifier(emb_ref, threshold_ppm=0)
+        out = v(pd.DataFrame({"vec_a": [0], "vec_b": [1]}))
+        assert len(out) == 0  # undefined direction → never a dup, no crash
+
+    def test_jaccard_block_cap_truncates_with_sentinel(self):
+        from zerox_ray.pipelines.dedup import MAX_BUCKET_DOCS, _coarse_jaccard_pairs
+
+        n = MAX_BUCKET_DOCS + 3
+        g = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(n), dtype="int64"),
+                "block": pd.Series([7] * n, dtype="int64"),
+                "text": ["alpha beta gamma"] * n,
+            }
+        )
+        out = _coarse_jaccard_pairs(g, shingle_n=3, threshold_ppm=500_000)
+        sentinels = out[out.doc_a < 0]
+        real = out[out.doc_a >= 0]
+        assert len(sentinels) == 1  # cap fired, visibly
+        # pairs bounded by the truncated head, and no truncated-out id
+        assert len(real) == MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2
+        assert real.doc_b.max() < MAX_BUCKET_DOCS
+
+    def test_simhash_and_jaccard_outputs_sentinel_free(self, sf_dir):
+        from zerox_ray.pipelines.dedup import ngram_jaccard_pairs, simhash_pairs
+
+        sp = simhash_pairs(sf_dir).to_pandas()
+        jp = ngram_jaccard_pairs(sf_dir).to_pandas()
+        assert (sp.doc_a >= 0).all() and (sp.doc_b >= 0).all()
+        assert (jp.doc_a >= 0).all() and (jp.doc_b >= 0).all()

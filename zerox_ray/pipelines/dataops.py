@@ -440,7 +440,9 @@ def decontaminate(
     bench_ref = ray.put(frozenset(bench_shingles))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        bench = ray.get(bench_ref)
+        # ray.get of a pickled frozenset DESERIALIZES per call — cache
+        # the materialized set once per worker process, keyed on the ref
+        bench = _cached_broadcast("decon", bench_ref)
         ids, ppms = [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sh = set(token_shingles(TOKEN_RE.findall(text), shingle_n))
@@ -457,6 +459,22 @@ def decontaminate(
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(score, batch_format="pandas")
+
+
+#: per-worker cache of deserialized broadcast objects (decontaminate /
+#: token_shards / global_rank) — ray.get re-deserializes plain Python
+#: objects per call; FIFO-capped so long-lived workers don't accumulate
+_SCORE_STATE: dict = {}
+_MAX_SCORE_STATES = 8
+
+
+def _cached_broadcast(kind: str, ref):
+    key = (kind, ref.hex())
+    if key not in _SCORE_STATE:
+        while len(_SCORE_STATE) >= _MAX_SCORE_STATES:
+            _SCORE_STATE.pop(next(iter(_SCORE_STATE)))
+        _SCORE_STATE[key] = ray.get(ref)
+    return _SCORE_STATE[key]
 
 
 # --- token-budget shard packing -----------------------------------------------
@@ -526,7 +544,7 @@ def token_shards(sf_dir: str, tokens_per_shard: int = 50_000) -> ray.data.Datase
     off_ref = ray.put(offsets)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)
+        off = _cached_broadcast("shard_off", off_ref)
         g = g.sort_values("doc_id", kind="mergesort")
         tok = g["n_tokens"].to_numpy(dtype=np.int64)
         excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
@@ -973,7 +991,7 @@ def above_median_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
+        lookup = _cached_broadcast("lang_med", lookup_ref)
         thr = df["lang"].map(lookup)
         return df[df["n_chars"] > thr]
 
@@ -1151,7 +1169,7 @@ def quality_percentiles(sf_dir: str) -> ray.data.Dataset:
     below_ref = ray.put(below)
 
     def assign(t: pa.Table) -> pa.Table:
-        b = ray.get(below_ref)  # zero-copy per worker, shipped once
+        b = _cached_broadcast("qp_below", below_ref)  # deserialized once per worker
         q = _quality_batch(t)
         score = q["stop_ratio_ppm"].to_numpy(zero_copy_only=False)
         bins = np.minimum(score // width, _QP_BINS - 1)
@@ -1286,15 +1304,20 @@ def global_rank_docs(sf_dir: str) -> ray.data.Dataset:
         .to_pandas()  # O(distinct n_chars) rows — bounded driver state
         .sort_values("n_chars", ascending=False)
     )
-    # offset[v] = number of docs with n_chars strictly greater than v
-    offsets = dict(
-        zip(
-            counts["n_chars"].to_numpy(),
-            np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]],
+    # offset[v] = number of docs with n_chars strictly greater than v;
+    # broadcast via ray.put (closure capture would pickle the whole
+    # O(distinct n_chars) dict into every serialized task)
+    off_ref = ray.put(
+        dict(
+            zip(
+                counts["n_chars"].to_numpy(),
+                np.r_[0, np.cumsum(counts["n"].to_numpy())[:-1]],
+            )
         )
     )
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = _cached_broadcast("rank_off", off_ref)
         g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
         base = g["n_chars"].map(offsets).to_numpy(dtype=np.int64)
         pos = g.groupby("n_chars", sort=False).cumcount().to_numpy(dtype=np.int64)

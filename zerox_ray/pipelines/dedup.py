@@ -152,8 +152,10 @@ class JaccardVerifier:
     """Verify candidate pairs with EXACT shingle Jaccard.
 
     Broadcast lookup: the docs table ref is ``ray.put`` once on the
-    driver; each worker `ray.get`s it once (zero-copy read of the Arrow
-    table). Scale path: swap for a partitioned re-join on doc_id."""
+    driver; each worker ``ray.get``s the Arrow table once, then builds a
+    Python-side id→text dict from it (a materialized copy — the reason
+    this state is FIFO-capped in ``_WORKER_STATE`` and why the
+    partitioned re-join is the scale path, see verify="join")."""
 
     def __init__(self, docs_ref, shingle_n: int, threshold_ppm: int):
         table = ray.get(docs_ref)
@@ -184,22 +186,32 @@ class JaccardVerifier:
 
 
 _WORKER_STATE: dict = {}
+#: verifier states hold a materialized corpus copy each — cap the cache
+#: so a long-lived worker serving many dedup queries evicts FIFO instead
+#: of accumulating one corpus per query until OOM
+_MAX_WORKER_STATES = 4
+
+
+def _cached_state(key, build):
+    if key not in _WORKER_STATE:
+        while len(_WORKER_STATE) >= _MAX_WORKER_STATES:
+            _WORKER_STATE.pop(next(iter(_WORKER_STATE)))
+        _WORKER_STATE[key] = build()
+    return _WORKER_STATE[key]
 
 
 def _jaccard_verify_batch(
     df: pd.DataFrame, docs_ref, shingle_n: int, threshold_ppm: int
 ) -> pd.DataFrame:
     key = ("jac", docs_ref.hex(), shingle_n, threshold_ppm)
-    if key not in _WORKER_STATE:
-        _WORKER_STATE[key] = JaccardVerifier(docs_ref, shingle_n, threshold_ppm)
-    return _WORKER_STATE[key](df)
+    return _cached_state(
+        key, lambda: JaccardVerifier(docs_ref, shingle_n, threshold_ppm)
+    )(df)
 
 
 def _cosine_verify_batch(df: pd.DataFrame, emb_ref, threshold_ppm: int) -> pd.DataFrame:
     key = ("cos", emb_ref.hex(), threshold_ppm)
-    if key not in _WORKER_STATE:
-        _WORKER_STATE[key] = CosineVerifier(emb_ref, threshold_ppm)
-    return _WORKER_STATE[key](df)
+    return _cached_state(key, lambda: CosineVerifier(emb_ref, threshold_ppm))(df)
 
 
 def _verify_pairs_by_join(
@@ -413,14 +425,16 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         lambda g: _coarse_simhash_pairs(g, max_hamming), batch_format="pandas"
     )
     # a pair surfaces once per colliding block — dedupe keeping the
-    # (identical) hamming via coarse pair-hash buckets
+    # (identical) hamming via coarse pair-hash buckets. Cap sentinels
+    # (doc_a = -1) are intermediate markers only: filtered here so no
+    # phantom document leaks into the public pair set
     return (
         pairs.map_batches(_pair_bucket, batch_format="pandas")
         .groupby("pb")
         .map_groups(
-            lambda g: g.sort_values(["doc_a", "doc_b", "hamming"]).drop_duplicates(
-                ["doc_a", "doc_b"]
-            )[["doc_a", "doc_b", "hamming"]],
+            lambda g: g[g["doc_a"] >= 0]
+            .sort_values(["doc_a", "doc_b", "hamming"])
+            .drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "hamming"]],
             batch_format="pandas",
         )
     )
@@ -436,7 +450,7 @@ def _block_key_batch(df: pd.DataFrame, shingle_n: int) -> pd.DataFrame:
     keys = []
     for t in df["text"]:
         sh = token_shingles(TOKEN_RE.findall(t), shingle_n)
-        keys.append(md5_64(min(sh) if sh else b"") & 0x7FFFFFFF)
+        keys.append(md5_64(min(sh) if sh else b"") & 0x7FFFFFFFFFFFFFFF)
     out = pd.DataFrame(
         {
             "doc_id": df["doc_id"].astype("int64"),
@@ -455,6 +469,19 @@ def _coarse_jaccard_pairs(
     blocks (the vast majority) are skipped BEFORE any shingle work."""
     rows = {"doc_a": [], "doc_b": [], "jaccard_ppm": []}
     sizes = g.groupby("block")["doc_id"].transform("size")
+    # same degenerate-block cap as every sibling pair generator: an
+    # oversized block (shared boilerplate prefix → shared min-shingle)
+    # is truncated to its MAX_BUCKET_DOCS smallest doc ids with a
+    # sentinel row, never an unbounded O(n²) Jaccard loop
+    big = sizes > MAX_BUCKET_DOCS
+    if big.any():
+        gb = g[big].sort_values(["block", "doc_id"], kind="mergesort")
+        for _ in range(gb.groupby("block").ngroups):
+            rows["doc_a"].append(-1)
+            rows["doc_b"].append(-1)
+            rows["jaccard_ppm"].append(-1)
+        g = pd.concat([g[~big], gb.groupby("block").head(MAX_BUCKET_DOCS)])
+        sizes = g.groupby("block")["doc_id"].transform("size")
     for _, sub in g[sizes > 1].groupby("block", sort=True):
         recs = sorted(zip(sub["doc_id"].tolist(), sub["text"].tolist()))
         shingles = [
@@ -479,9 +506,14 @@ def ngram_jaccard_pairs(
     blocked = ds.map_batches(
         lambda df: _block_key_batch(df, shingle_n), batch_format="pandas"
     )
-    return blocked.groupby("bucket").map_groups(
+    pairs = blocked.groupby("bucket").map_groups(
         lambda g: _coarse_jaccard_pairs(g, shingle_n, threshold_ppm),
         batch_format="pandas",
+    )
+    # cap sentinels are intermediate markers, not documents — the public
+    # pair set must not leak a phantom doc_id -1 into joins/components
+    return pairs.map_batches(
+        lambda df: df[df["doc_a"] >= 0], batch_format="pandas"
     )
 
 
@@ -504,6 +536,13 @@ class HyperplaneBander:
         self.n_blocks = n_bits // 16
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # empty block → empty sketch rows, not a stack error
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("vec_id", "block_id", "key", "bucket")
+                }
+            )
         emb = np.stack(df["embedding"].to_numpy())
         signs = ((emb @ self.planes) > 0).astype(np.int64)
         # (n, n_blocks, 16) → each block of 16 sign bits becomes a key
@@ -544,10 +583,13 @@ class CosineVerifier:
             if a < 0:  # degenerate-bucket sentinel
                 continue
             a, b = int(a), int(b)
+            denom = self.norm[a] * self.norm[b]
+            if denom == 0.0:  # a zero vector has no direction — never a dup
+                continue
             # dot/(|a|·|b|) order + round-half-up, exactly as the DuckDB
             # oracle computes it (pre-normalizing rows changes the float
             # op sequence and can flip the ppm truncation at the ulp)
-            c = float(self.row[a] @ self.row[b]) / (self.norm[a] * self.norm[b])
+            c = float(self.row[a] @ self.row[b]) / denom
             c = int(np.floor(c * PPM + 0.5))
             if c >= self.threshold_ppm:
                 rows["vec_a"].append(int(a))
@@ -626,7 +668,11 @@ def _verify_vec_pairs_by_join(
         dots = np.array([float(ra @ rb) for ra, rb in zip(a, b)])
         na = np.array([float(np.sqrt(ra @ ra)) for ra in a])
         nb = np.array([float(np.sqrt(rb @ rb)) for rb in b])
-        cos = np.floor(dots / (na * nb) * PPM + 0.5).astype(np.int64)
+        denom = na * nb
+        # zero-norm vectors: cosine undefined → never a dup (matches the
+        # broadcast verifier's skip, instead of nan→INT64_MIN wrap)
+        cosf = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), -1.0)
+        cos = np.floor(cosf * PPM + 0.5).astype(np.int64)
         keep = cos >= threshold_ppm
         return pd.DataFrame(
             {
@@ -650,7 +696,9 @@ def embedding_near_dup(
     ``verify`` as in minhash_lsh_pairs: broadcast / join / auto-by-size."""
     path = f"{sf_dir}/embeddings.parquet"
     verify = _resolve_verify(verify, path)
-    meta = pq.read_table(path, columns=["embedding"]).slice(0, 1)
+    # vector dim from the FIRST row group only — a full-column driver
+    # read here would defeat the join-verify path's no-central-load point
+    meta = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
     dim = len(meta["embedding"][0].as_py())
     ds = read_table(path, columns=["vec_id", "embedding"])
     # instance → task mode: plane state is a pure function of the seed,
