@@ -169,10 +169,20 @@ def mf_fold_block(df, **fold_kwargs):
     import pandas as pd
 
     if len(df) == 0:
-        return pd.DataFrame(
-            columns=["row_kind", "pid", "page_index", "frag_kind", "fragment"]
-            + _MF_DOC_COLS
-        )
+        # TYPED empty frame: untyped (all-object) columns would clash
+        # with non-empty blocks' schemas at the pid exchange
+        empty = {
+            "row_kind": pd.Series([], dtype="string"),
+            "pid": pd.Series([], dtype="int64"),
+            "page_index": pd.Series([], dtype="int64"),
+            "frag_kind": pd.Series([], dtype="string"),
+            "fragment": pd.Series([], dtype=object),
+        }
+        for c in _MF_DOC_COLS:
+            empty[c] = pd.Series(
+                [], dtype="string" if c in ("url", "markdown") else "int64"
+            )
+        return pd.DataFrame(empty)
     urls = df["url"]
     edge = (urls == urls.iloc[0]) | (urls == urls.iloc[-1])
     out_parts = []
@@ -226,7 +236,17 @@ def mf_fold_block_pages(df, **fold_kwargs):
     from zerox_ray.stages.reassemble import maintain_format_fold_bucket
 
     if len(df) == 0:
-        return pd.DataFrame(columns=["row_kind", "frag_kind", "fragment"] + _PAGE_COLS)
+        # TYPED empty frame (see mf_fold_block): schema-stable at the
+        # pid exchange
+        str_cols = {"row_kind", "frag_kind", "url", "content", "status", "error"}
+        empty = {"row_kind": pd.Series([], dtype="string"),
+                 "frag_kind": pd.Series([], dtype="string"),
+                 "fragment": pd.Series([], dtype=object)}
+        for c in _PAGE_COLS:
+            empty[c] = pd.Series(
+                [], dtype="string" if c in str_cols else "int64"
+            )
+        return pd.DataFrame(empty)
     urls = df["url"]
     edge = (urls == urls.iloc[0]) | (urls == urls.iloc[-1])
     parts = []

@@ -48,15 +48,15 @@ class _NationEnricher:
     def __init__(self, cust_ref, nation_ref):
         cust = ray.get(cust_ref)
         nation = ray.get(nation_ref)
-        # custkey → nation name, as a dense numpy lookup (custkeys are
-        # 0..N-1 in this corpus; a dict fallback covers sparse keys)
+        # custkey → nation name dict (composed through nationkey)
         n_name = dict(
             zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
         )
-        ck = np.asarray(cust["c_custkey"].to_pylist())
-        nk = np.asarray(cust["c_nationkey"].to_pylist())
         self.cust_to_nation = {
-            int(c): n_name[int(n)] for c, n in zip(ck, nk)
+            c: n_name[n]
+            for c, n in zip(
+                cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+            )
         }
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -356,6 +356,15 @@ def _neighbors_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
     uid, _ = pd.factorize(g["user_id"].astype("int64"), sort=False)
     cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
     span = int(ts.max()) - int(ts.min()) + 2 * window_us + 2
+    # composite-key capacity check: silent int64 wraparound would corrupt
+    # the window bounds without an error — fail loudly with the remedy
+    if (int(uid.max()) + 1) * span >= 2**63:
+        raise ValueError(
+            "events_neighbors composite key would overflow int64: "
+            f"{int(uid.max()) + 1} users × span {span} µs in one bucket; "
+            "raise N_USER_BUCKETS (narrower buckets) or shrink the ts range "
+            "per run (e.g. partition the input by time first)"
+        )
     key = uid.astype(np.int64) * span + (ts - int(ts.min()) + window_us + 1)
     order = np.argsort(key, kind="mergesort")
     k, c, eid = key[order], cents[order], g["event_id"].astype("int64").to_numpy()[order]
@@ -868,6 +877,13 @@ def lang_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
         # list<float> → one binary cell of int64 micro-units per row:
         # a clean Arrow binary column survives the join's pandas blocks
         # (object-dtype ndarray-of-ndarray columns do not)
+        if len(df) == 0:  # empty block → stable schema, not a stack error
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "qbytes": pd.Series([], dtype=object),
+                }
+            )
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         q = np.floor(mat * 1_000_000.0).astype(np.int64)
         return pd.DataFrame(
@@ -884,6 +900,15 @@ def lang_embedding_centroids(sf_dir: str) -> ray.data.Dataset:
     joined = hash_join(emb, langs, on="doc_id")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # one-sided join bucket → empty block here
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="string"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "sum_q": pd.Series([], dtype="int64"),
+                    "n_vecs": pd.Series([], dtype="int64"),
+                }
+            )
         q = np.frombuffer(b"".join(df["qbytes"]), dtype=np.int64).reshape(
             len(df), -1
         )

@@ -329,8 +329,15 @@ def _bloom_partial(df: pd.DataFrame, column: str = "doc_id") -> pd.DataFrame:
 
 
 def _or_merge(g: pd.DataFrame) -> np.ndarray:
+    if len(g) == 0:  # empty input table → empty (all-zero) filter
+        return np.zeros(BLOOM_M // 8, dtype=np.uint8)
     stack = np.stack([np.frombuffer(b, dtype=np.uint8) for b in g["bitmap"]])
     return np.bitwise_or.reduce(stack, axis=0)
+
+
+def _merge_bitmap_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Shared bucket-tree OR-merge step for the Bloom pipelines."""
+    return pd.DataFrame({"g": [0], "bitmap": [_or_merge(g).tobytes()]})
 
 
 def bloom_probe(sf_dir: str) -> ray.data.Dataset:
@@ -348,13 +355,8 @@ def bloom_probe(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     partials = ds.map_batches(_bloom_partial, batch_format="pandas")
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"g": [0], "bitmap": [_or_merge(g).tobytes()]}
-        )
-
     merged = partials.groupby("bucket").map_groups(
-        merge_bucket, batch_format="pandas"
+        _merge_bitmap_bucket, batch_format="pandas"
     )
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -393,11 +395,8 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
         lambda df: _bloom_partial(df, "o_custkey"), batch_format="pandas"
     )
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"g": [0], "bitmap": [_or_merge(g).tobytes()]})
-
     merged = partials.groupby("bucket").map_groups(
-        merge_bucket, batch_format="pandas"
+        _merge_bitmap_bucket, batch_format="pandas"
     )
     # the merged filter is 8 KiB — a scalar-sized driver artifact, like
     # the N every idf needs; broadcast once to the probe stage
@@ -449,6 +448,8 @@ def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cms_merge(g: pd.DataFrame) -> np.ndarray:
+    if len(g) == 0:  # empty input stream → all-zero counter plane
+        return np.zeros((CMS_D, CMS_W), dtype=np.int64)
     stack = np.stack(
         [np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W) for b in g["sketch"]]
     )
@@ -626,6 +627,15 @@ def grouped_heavy_hitters(
                         "err_bound": ded,
                     }
                 )
+        if not out:  # every counter compressed away → empty typed frame
+            return pd.DataFrame(
+                {
+                    group: pd.Series([], dtype="string"),
+                    "key": pd.Series([], dtype="string"),
+                    "est_count": pd.Series([], dtype="int64"),
+                    "err_bound": pd.Series([], dtype="int64"),
+                }
+            )
         res = pd.DataFrame(out)
         return res.astype({"est_count": "int64", "err_bound": "int64"})
 

@@ -121,7 +121,10 @@ class CheckpointedOcrRunner:
         shards = self.shards()
         out = set()
         for f in glob.glob(os.path.join(self.manifest_dir, "*.json")):
-            sid = int(os.path.splitext(os.path.basename(f))[0])
+            stem = os.path.splitext(os.path.basename(f))[0]
+            if not stem.isdigit():
+                continue  # stray non-shard json must not brick resume
+            sid = int(stem)
             if sid >= len(shards):
                 continue  # input shrank — positional id no longer exists
             try:
@@ -185,10 +188,14 @@ class CheckpointedOcrRunner:
     def run(self, max_shards: int | None = None) -> dict:
         """Process pending shards (all, or at most ``max_shards`` — the
         test hook for simulating interruption). Returns a run summary."""
+        # capture the shard plan ONCE: re-globbing per iteration would let
+        # files landing mid-run shift positional ids away from the plan
+        # pending_shards() was computed from
+        shards = self.shards()
         pending = self.pending_shards()
         processed = []
         for shard_id in pending[: max_shards if max_shards is not None else None]:
-            processed.append(self._run_shard(shard_id, self.shards()[shard_id]))
+            processed.append(self._run_shard(shard_id, shards[shard_id]))
         return {
             "processed_shards": [r.shard_id for r in processed],
             "skipped_shards": sorted(self.completed_shards() - {r.shard_id for r in processed}),
