@@ -153,3 +153,61 @@ def test_plan_doc_error_and_skew_arms():
     assert plan_doc(13, "x" * 50)["is_err"]
     assert plan_doc(100, "x" * 50)["n_pages"] == 24
     assert plan_doc(7, "x" * 50)["kind"] == "pdf"
+
+
+class TestHtmlSplitEdges:
+    def test_nested_div_page_not_truncated(self):
+        from zerox_ray.functions.htmlx import extract_main_text, split_html_pages
+
+        p = (
+            b'<html><body><div class="page"><div class="box">x</div>'
+            b"<p>Main body text</p></div>"
+            b'<div class="page"><p>second</p></div></body></html>'
+        )
+        pages = split_html_pages(p)
+        assert len(pages) == 2
+        texts = [extract_main_text(x.decode()) for x in pages]
+        assert texts == ["Main body text", "second"]
+
+    def test_uppercase_page_markers_recognized(self):
+        from zerox_ray.functions.htmlx import split_html_pages
+
+        p = (
+            b'<html><body><DIV CLASS="page"><p>a</p></DIV>'
+            b'<DIV CLASS="page"><p>b</p></DIV></body></html>'
+        )
+        assert len(split_html_pages(p)) == 2
+
+    def test_max_page_prefix_bound(self):
+        from zerox_ray.functions.htmlx import split_html_pages
+        from zerox_ray.testgen import build_html
+
+        raw = build_html(3, ["p1", "p2", "p3", "p4"], False)
+        full = split_html_pages(raw)
+        pref = split_html_pages(raw, max_page=2)
+        assert len(pref) == 2
+        assert pref == full[:2]  # byte-identical prefix
+
+    def test_uppercase_link_blocks_scored(self):
+        from zerox_ray.functions.htmlx import extract_main_text
+
+        frag = '<li><A HREF="/x">Archives</A></li><p>real content here</p>'
+        # the uppercase link farm must be dropped, the paragraph kept
+        assert extract_main_text(frag) == "real content here"
+
+
+def test_error_row_survives_select_pages_without_page_1():
+    """A corrupt doc under select_pages=[2] must still surface as an
+    ERROR row (the error row is not a page; select must not filter it)."""
+    import pandas as pd
+    import ray.data
+
+    from zerox_ray import ZeroxConfig, extracted_pages
+    from zerox_ray.testgen import build_corrupt
+
+    ds = ray.data.from_items(
+        [{"url": "u1", "html": build_corrupt(9), "text": "", "lang": "en"}]
+    )
+    pages = extracted_pages(ds, ZeroxConfig(select_pages=[2])).to_pandas()
+    assert len(pages) == 1
+    assert pages.status.iloc[0] == "ERROR"

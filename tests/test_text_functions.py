@@ -42,13 +42,18 @@ class TestFormatMarkdown:
 
 
 def test_sanitize_filename():
-    assert sanitize_filename("https://Example.org/Doc 1!") == "https___example_org_doc_1_"
+    # reference chain (index.ts:558-562): delete [^\w\s], \s+ → '_',
+    # lowercase, truncate — punctuation is DELETED, not underscored
+    assert sanitize_filename("https://Example.org/Doc 1!") == "httpsexampleorgdoc_1"
+    assert sanitize_filename("My-File (v2)") == "myfile_v2"
     assert len(sanitize_filename("x" * 500)) == 255
 
 
 def test_casing_helpers():
     assert snake_to_camel("max_tokens") == "maxTokens"
     assert camel_to_snake("maxTokens") == "max_tokens"
+    # TS replaces EVERY capital, the leading one included
+    assert camel_to_snake("PageCount") == "_page_count"
 
 
 def test_is_valid_url():

@@ -29,7 +29,11 @@ from dataclasses import dataclass
 
 _COMMENT_RE_B = re.compile(rb"<!--[\s\S]*?-->")
 _SCRIPT_STYLE_RE_B = re.compile(rb"<(script|style)\b[\s\S]*?</\1>", re.I)
-_PAGE_DIV_RE_B = re.compile(rb"<div\s[^>]*class=\"page\"[^>]*>[\s\S]*?</div>")
+# page boundaries are the START markers; each page runs to the next
+# marker (or end of body). Matching `…[\s\S]*?</div>` instead would end
+# a page at the FIRST closing div — truncating any page whose content
+# nests a div — and a case-sensitive scan would miss `<DIV CLASS=…>`.
+_PAGE_DIV_START_RE_B = re.compile(rb"<div\s[^>]*class=\"page\"[^>]*>", re.I)
 _BODY_RE_B = re.compile(rb"<body\b[^>]*>([\s\S]*?)</body>", re.I)
 _NAV_RE_B = re.compile(rb"<(nav|header)\b[\s\S]*?</\1>", re.I)
 _FOOTER_RE_B = re.compile(rb"<(footer|aside)\b[\s\S]*?</\1>", re.I)
@@ -76,7 +80,9 @@ def parse_blocks(fragment_html: str) -> list[Block]:
     for m in _BLOCK_RE.finditer(fragment_html):
         tag, inner = m.group(1).lower(), m.group(2)
         text = strip_tags(inner)
-        if "<a" in inner:
+        # case-insensitive guard matching _LINK_RE's re.I — a plain
+        # '"<a" in inner' would score uppercase anchor tags as zero links
+        if "<a" in inner or "<A" in inner:
             link_len = sum(len(strip_tags(g)) for g in _LINK_RE.findall(inner))
         else:
             link_len = 0
@@ -98,7 +104,7 @@ def extract_main_text(fragment_html: str) -> str:
     return "\n\n".join(kept)
 
 
-def split_html_pages(payload: bytes) -> list[bytes]:
+def split_html_pages(payload: bytes, max_page: int | None = None) -> list[bytes]:
     """Split one HTML payload into ordered logical-page fragments.
 
     Each fragment carries the document's nav/footer boilerplate alongside the
@@ -132,7 +138,26 @@ def split_html_pages(payload: bytes) -> list[bytes]:
             body = body[j + 1 : k]
     nav = b"\n".join(mm.group(0) for mm in _NAV_RE_B.finditer(body))
     foot = b"\n".join(mm.group(0) for mm in _FOOTER_RE_B.finditer(body))
-    pages = [mm.group(0) for mm in _PAGE_DIV_RE_B.finditer(body)]
-    if not pages:
+    # ``max_page`` (giant-doc chunk rows): stop scanning once max_page+1
+    # markers are found — the +1 supplies the last wanted page's end bound
+    starts = []
+    for mm in _PAGE_DIV_START_RE_B.finditer(body):
+        starts.append(mm.start())
+        if max_page is not None and len(starts) > max_page:
+            break
+    if not starts:
         return [body]
+    keep = starts if max_page is None else starts[:max_page]
+    bounds = starts + [len(body)]
+    pages = []
+    for i in range(len(keep)):
+        p = body[bounds[i] : bounds[i + 1]]
+        # close the page at its LAST </div> before the next marker: a
+        # nested div no longer truncates the page (the old lazy
+        # `…[\s\S]*?</div>` regex ended at the FIRST closer), and for
+        # well-formed pages the bytes are identical to that regex match
+        end = p.rfind(b"</div>")
+        if end >= 0:
+            p = p[: end + 6]
+        pages.append(p)
     return [nav + b"\n" + p + b"\n" + foot for p in pages]

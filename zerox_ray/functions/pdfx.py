@@ -35,16 +35,23 @@ def is_cfb_payload(payload: bytes) -> bool:
     return payload[:4] == CFB_MAGIC
 
 
-def split_pdf_pages(payload: bytes) -> list[bytes]:
+def split_pdf_pages(payload: bytes, max_page: int | None = None) -> list[bytes]:
     """One PDF payload → ordered per-page stream fragments (the engine
     analogue of convertPdfToImages' 1-doc→N-images fan-out,
     file.ts:153-207). Raises ValueError on a non-zx container so the caller
-    can emit an ERROR row (errorMode semantics, index.ts:338-352)."""
+    can emit an ERROR row (errorMode semantics, index.ts:338-352).
+    ``max_page`` stops the scan after that many pages — giant-doc chunk
+    rows use it so a chunk pays only for its prefix, not the whole doc."""
     if not is_pdf_payload(payload):
         raise ValueError("not a PDF payload")
     if ZX_MARKER not in payload[:64]:
         return parse_real_pdf(payload)
-    return [m.group(1) for m in _STREAM_RE.finditer(payload)]
+    out = []
+    for m in _STREAM_RE.finditer(payload):
+        out.append(m.group(1))
+        if max_page is not None and len(out) >= max_page:
+            break
+    return out
 
 
 def pdf_page_count(payload: bytes) -> int:

@@ -58,17 +58,22 @@ def format_markdown_py(text: str) -> str:
 
 # -- misc scalar helpers ------------------------------------------------------
 
-_SANITIZE_RE = re.compile(r"[^a-z0-9]")
+#: JS \w / \s are ASCII in the reference — mirror with re.ASCII
+_NON_WORD_RE = re.compile(r"[^\w\s]", re.ASCII)
+_WS_RUN_RE = re.compile(r"\s+", re.ASCII)
 
 
 def sanitize_filename(name: str, max_len: int = 255) -> str:
-    """Lowercase, non-alphanumeric → '_', truncate (index.ts:556-562).
-    Used to derive partition-safe keys from urls."""
-    return _SANITIZE_RE.sub("_", name.lower())[:max_len]
+    """Exact mirror of the reference chain (index.ts:558-562):
+    delete non-word/non-space chars, collapse whitespace runs to one
+    '_', lowercase, truncate. Used to derive partition-safe keys."""
+    out = _NON_WORD_RE.sub("", name)
+    out = _WS_RUN_RE.sub("_", out)
+    return out.lower()[:max_len]
 
 
 _SNAKE_RE = re.compile(r"_([a-z])")
-_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+_CAMEL_RE = re.compile(r"[A-Z]")
 
 
 def snake_to_camel(s: str) -> str:
@@ -77,8 +82,9 @@ def snake_to_camel(s: str) -> str:
 
 
 def camel_to_snake(s: str) -> str:
-    """utils/common.ts:1-2."""
-    return _CAMEL_RE.sub("_", s).lower()
+    """utils/common.ts:1-2 — EVERY capital becomes '_'+lower, the
+    leading one included ('PageCount' → '_page_count', as the TS does)."""
+    return _CAMEL_RE.sub(lambda m: "_" + m.group(0).lower(), s)
 
 
 def convert_keys_to_snake_case(d: dict | None) -> dict:

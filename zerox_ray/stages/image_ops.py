@@ -73,7 +73,21 @@ def _empty_rows(data: np.ndarray) -> np.ndarray:
 
 
 def split_tall_image(data: np.ndarray) -> list[np.ndarray]:
-    """Aspect-aware segmentation at empty-row runs (image.ts:116-231)."""
+    """Aspect-aware segmentation at empty-row runs.
+
+    Shares image.ts:116-231's structure and constants (>230 luma,
+    >0.95 empty ratio, ≥5-row runs, ≤150 px radius, ceil(aspect)
+    sections) but DELIBERATELY diverges in the snapping step: the
+    search radius is min(150, h//3) of the FULL height (the reference
+    uses section_height/3) with an inclusive bound, candidates are
+    empty-run midpoints, there is no ``last split + 50`` monotonic
+    margin, and an unmatched target cuts at the ideal line instead of
+    the reference's [last+50, h-50] clamp. The reference's pixel
+    margins assume ~10³-px page rasters and degenerate on small
+    images (its fallback can emit split points past the image end);
+    this variant degrades gracefully at any raster size while
+    agreeing with the reference's choice whenever a significant empty
+    run sits near the ideal cut — the common case on real pages."""
     h, w = data.shape
     aspect = h / max(w, 1)
     if aspect <= ASPECT_RATIO_THRESHOLD:

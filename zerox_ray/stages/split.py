@@ -115,11 +115,13 @@ class PageSplitter:
         self.select = set(select_pages) if select_pages else None
         self.error_mode = error_mode
 
-    def _split_one(self, payload: bytes, kind: str) -> tuple[str, list[bytes]]:
+    def _split_one(
+        self, payload: bytes, kind: str, max_page: int | None = None
+    ) -> tuple[str, list[bytes]]:
         if kind == "pdf":
-            return "pdf", pdfx.split_pdf_pages(payload)
+            return "pdf", pdfx.split_pdf_pages(payload, max_page)
         if kind == "html":
-            return "html", htmlx.split_html_pages(payload)
+            return "html", htmlx.split_html_pages(payload, max_page)
         if kind in ("sheet", "xlsx"):
             # structured data: sheet = page (file.ts:311-329); fragments
             # are already rendered sheet HTML, scored as pass-through
@@ -158,14 +160,26 @@ class PageSplitter:
             firsts,
             lasts,
         ):
+            # prefix bound: a giant-doc chunk row only needs pages up to
+            # its ``last`` (else chunking costs n_chunks × O(whole doc));
+            # a select_pages run only needs pages up to max(select)
+            if last != -1:
+                max_page = last
+            elif self.select is not None:
+                max_page = max(self.select)
+            else:
+                max_page = None
             try:
-                out_kind, fragments = self._split_one(payload, kind)
+                out_kind, fragments = self._split_one(payload, kind, max_page)
             except Exception as exc:  # noqa: BLE001 — error-row containment
                 if self.error_mode == "THROW":
                     raise
                 # only the chunk covering page 1 emits the error row —
-                # replicated chunks must not duplicate it
-                if (self.select is None or 1 in self.select) and first <= 1:
+                # replicated chunks must not duplicate it. The error row
+                # is NOT a page: select_pages must not filter it away, or
+                # a corrupt doc under select=[2] would vanish silently
+                # (neither SUCCESS nor ERROR anywhere downstream)
+                if first <= 1:
                     urls.append(url)
                     pids.append(pid)
                     idxs.append(1)
@@ -193,16 +207,18 @@ class PageSplitter:
         )
 
 
-def convert_office_payload(payload: bytes) -> bytes:
+def convert_office_payload(payload: bytes, soffice: str | None = None) -> bytes:
     """M3 (convertFileToPdf, node-zerox/src/utils/file.ts:129-150):
     legacy-Office (CFB) / docx payload → PDF bytes via headless
     libreoffice when the cluster ships it (the same import-try seam shape
     as openpyxl/pypdf/pillow-heif); else a clearly-marked
     NotImplementedError, which the splitter turns into an ERROR row under
-    errorMode IGNORE."""
-    import shutil
+    errorMode IGNORE. ``soffice`` lets the actor-pool wrapper pass its
+    once-per-actor resolved binary instead of re-probing PATH per call."""
+    if soffice is None:
+        import shutil
 
-    soffice = shutil.which("soffice")
+        soffice = shutil.which("soffice")
     if soffice is None:  # pragma: no cover - runtime has no libreoffice
         raise NotImplementedError(
             "office→pdf conversion requires libreoffice (soffice), which is "
@@ -237,7 +253,10 @@ class OfficeToPdf:
         self.soffice = shutil.which("soffice")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = [convert_office_payload(bytes(p)) for p in batch["html"].to_pylist()]
+        payloads = [
+            convert_office_payload(bytes(p), soffice=self.soffice)
+            for p in batch["html"].to_pylist()
+        ]
         return batch.set_column(
             batch.schema.get_field_index("html"), "html", pa.array(payloads, pa.binary())
         )
