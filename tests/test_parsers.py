@@ -211,3 +211,39 @@ def test_error_row_survives_select_pages_without_page_1():
     pages = extracted_pages(ds, ZeroxConfig(select_pages=[2])).to_pandas()
     assert len(pages) == 1
     assert pages.status.iloc[0] == "ERROR"
+
+
+def test_sheet_negative_length_prefix_raises():
+    """Malformed ZXSHEET length prefixes must raise, never loop forever."""
+    import pytest
+
+    from zerox_ray.functions.sheetx import SHEET_MAGIC, split_sheet_pages
+
+    bad = SHEET_MAGIC + b"== sheet:-10:-12 ==\nXXXX"
+    with pytest.raises(ValueError, match="out of range"):
+        split_sheet_pages(bad)
+
+
+def test_zxaud_truncation_raises():
+    from zerox_ray.pipelines.media import decode_payload
+    import pytest
+
+    p = b"ZXAUD" + (8000).to_bytes(4, "big") + (1000).to_bytes(4, "big") + b"short"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_payload(p)
+
+
+def test_read_pages_snapshot_collapse_with_pruned_columns(sf_dir):
+    """latest_snapshot_only must work even when the caller prunes away
+    the url/html columns the collapse itself needs."""
+    from zerox_ray.sources.pages import read_pages
+    from zerox_ray.testgen import snapshot_pages_dir_for
+
+    ds = read_pages(
+        snapshot_pages_dir_for(sf_dir),
+        columns=("url", "text"),
+        latest_snapshot_only=True,
+    )
+    df = ds.to_pandas()
+    assert list(df.columns) == ["url", "text"]
+    assert df.url.is_unique

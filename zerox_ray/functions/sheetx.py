@@ -71,6 +71,12 @@ def split_sheet_pages(payload: bytes) -> list[bytes]:
             raise ValueError(
                 f"ZXSHEET: malformed length-prefixed header at offset {pos}"
             ) from None
+        # negative/oversized prefixes would walk pos BACKWARD (an
+        # infinite loop, which error_mode cannot catch) — reject loudly
+        if not (0 <= name_len <= len(payload) and 0 <= cell_len <= len(payload)):
+            raise ValueError(
+                f"ZXSHEET: length prefix out of range at offset {pos}"
+            )
         pos = eol + 4
         name = payload[pos : pos + name_len].decode("utf-8", errors="replace")
         pos += name_len + 1  # +1: writer-added newline after the name

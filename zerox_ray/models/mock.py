@@ -79,9 +79,12 @@ class DeterministicExtractorModel(ScorerModel):
         elif kind == "pdf":
             text = extract_pdf_text(fragment)
         elif kind == "sheet":
-            # structured data skips the model: the page content IS the
-            # rendered sheet HTML (file.ts:311-329)
+            # structured data BYPASSES the model (file.ts:311-329): the
+            # page content IS the rendered sheet HTML — so neither the
+            # prompt marker nor maintain_format conditioning may touch it
             text = fragment.decode("utf-8", errors="replace")
+            tail = text[-self.prior_tail_chars :] if self.prior_tail_chars > 0 else ""
+            return Completion(text, in_tok, _tokens(len(text)), tail=tail)
         else:
             return Completion("", in_tok, 0, error=f"unsupported payload kind {kind!r}")
         text = self._prompt_marker + format_markdown(text)

@@ -65,6 +65,10 @@ def decode_payload(payload: bytes) -> dict:
         sr = int.from_bytes(payload[5:9], "big")
         n = int.from_bytes(payload[9:13], "big")
         data = np.frombuffer(payload[13 : 13 + n], dtype=np.uint8)
+        if len(data) != n:  # truncated container → ERROR row, not a
+            # silently short sample plane (images get this for free:
+            # their reshape raises on truncation)
+            raise ValueError(f"ZXAUD: truncated payload ({len(data)} of {n} bytes)")
         return {"kind": "audio", "sample_rate": sr, "n_samples": n, "data": data}
     return _decode_real(payload)
 
@@ -131,7 +135,12 @@ class ImageResizer:
                 out_payloads.append(encode_image(np.ascontiguousarray(d["data"][::2, ::2])))
             else:
                 out_payloads.append(payload)
-        return pd.DataFrame({"media_id": df["media_id"].astype("int64"), "payload": out_payloads})
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"].astype("int64"),
+                "payload": pd.Series(out_payloads, dtype=object, index=df.index),
+            }
+        )
 
 
 class MediaCleanup:
@@ -182,7 +191,7 @@ class MediaCleanup:
             {
                 "media_id": pd.Series(ids, dtype="int64"),
                 "fragment_index": pd.Series(fragments, dtype="int64"),
-                "payload": payloads,
+                "payload": pd.Series(payloads, dtype=object),
                 "width": pd.Series(widths, dtype="int64"),
                 "height": pd.Series(heights, dtype="int64"),
             }
@@ -346,7 +355,10 @@ class FrameSampler:
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_index": pd.Series(fidx, dtype="int64"),
                 "n_frames": pd.Series(nfs, dtype="int64"),
-                "payload": payloads,
+                # explicit object dtype: an all-dropped batch would
+                # otherwise emit a float64 payload column that cannot
+                # unify with the binary blocks of non-empty batches
+                "payload": pd.Series(payloads, dtype=object),
             }
         )
 

@@ -119,8 +119,24 @@ def search_bm25(
 ) -> ray.data.Dataset:
     """BM25 top-k document search for a bag-of-words query.
     Output: (doc_id, score_ppm, rank), rank 1..k, ties broken on doc_id.
+    Duplicate query terms are deduplicated (each DISTINCT term scores
+    once) — declared contract, since the pats/dfs maps key by term.
     """
+    terms = tuple(dict.fromkeys(terms))
     n = table_num_rows(f"{sf_dir}/documents.parquet")
+    if n == 0:  # empty corpus → empty result, not a ZeroDivisionError
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_ppm": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     total, dfs = _corpus_stats(sf_dir, terms)
     a = max(1, total // n)  # floored avgdl (see module docstring)
     pats = {t: _token_count_pattern(t) for t in terms}

@@ -78,8 +78,11 @@ def read_pages(
     state/manifest.py (all rows of a url in one shard)."""
     validate_pages_schema(path)
     cols = list(columns)
+    # the snapshot collapse needs warc_ts (recency), url (the key) and
+    # html (the crc32 tie-break) regardless of the caller's pruning;
+    # the extra columns are dropped again after the collapse
     read_cols = cols if not latest_snapshot_only else list(
-        dict.fromkeys(["warc_ts", *cols])
+        dict.fromkeys(["warc_ts", "url", "html", *cols])
     )
     from zerox_ray.sources.tables import clean_read_schema
 
@@ -93,7 +96,6 @@ def read_pages(
 
 
 #: coarse url-hash buckets for the snapshot-dedupe groupby
-_SNAPSHOT_BUCKETS = 256
 
 
 def latest_snapshots(
@@ -101,20 +103,14 @@ def latest_snapshots(
 ) -> ray.data.Dataset:
     """Collapse multiple snapshots of a url to the newest (max warc_ts).
 
-    Shape: coarse url-hash bucket column → ONE groupby shuffle →
-    vectorized per-bucket "keep last" (sort + tail(1) per url). Ties on
-    warc_ts break deterministically on payload crc32 so the kept row is
-    identical across runs and block layouts."""
+    Shape: the canonical coarse url-hash exchange
+    (pipelines/agg.bucketed_group_map) → vectorized per-bucket "keep
+    last" (sort + tail(1) per url). Ties on warc_ts break
+    deterministically on payload crc32 so the kept row is identical
+    across runs and block layouts."""
     import zlib
 
-    import pandas as pd  # noqa: F401 — map_batches pandas format
-
-    def tag(df):
-        df = df.copy()
-        df["__bucket"] = [
-            zlib.crc32(u.encode()) % _SNAPSHOT_BUCKETS for u in df["url"]
-        ]
-        return df
+    from zerox_ray.pipelines.agg import bucketed_group_map
 
     def pick(g):
         g = g.copy()
@@ -124,8 +120,7 @@ def latest_snapshots(
         cols = keep_columns or [c for c in out.columns if not c.startswith("__")]
         return out[cols]
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
-    return tagged.groupby("__bucket").map_groups(pick, batch_format="pandas")
+    return bucketed_group_map(ds, "url", pick)
 
 
 def snapshot_churn(path: str | list[str]) -> ray.data.Dataset:

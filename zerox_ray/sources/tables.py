@@ -96,7 +96,11 @@ def table_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recursive, like every other reader here — a partitioned table
+        # with nested dirs must not silently undercount
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
     else:
         files = [path]
     return sum(pq.read_metadata(f).num_rows for f in files)
