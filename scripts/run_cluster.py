@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        if args.local_cpus:
+        if args.local_cpus is not None:
             ray.init(address="local", num_cpus=args.local_cpus,
                      include_dashboard=False)
         else:

@@ -247,3 +247,41 @@ def test_read_pages_snapshot_collapse_with_pruned_columns(sf_dir):
     df = ds.to_pandas()
     assert list(df.columns) == ["url", "text"]
     assert df.url.is_unique
+
+
+def test_html_sniff_tolerates_bom_and_whitespace():
+    """Leading BOM/whitespace must not turn valid HTML into an ERROR row."""
+    import pandas as pd
+    import ray.data
+
+    from zerox_ray import run_ocr
+
+    ds = ray.data.from_items(
+        [
+            {"url": "u1", "html": b"\xef\xbb\xbf<html><body><p>bom page</p></body></html>",
+             "text": "", "lang": "en"},
+            {"url": "u2", "html": b"\n  <html><body><p>ws page</p></body></html>",
+             "text": "", "lang": "en"},
+        ]
+    )
+    docs = run_ocr(ds).to_pandas().sort_values("url")
+    assert docs.ocr_failed.sum() == 0
+    assert docs.markdown.tolist() == ["bom page", "ws page"]
+
+
+def test_extraction_rejects_complex_property_types_at_build():
+    import pytest
+
+    from zerox_ray.pipelines.extraction import _prop_type
+
+    with pytest.raises(ValueError, match="unsupported extraction property"):
+        _prop_type({"type": "array"})
+
+
+def test_unknown_provider_fails_at_build():
+    import pytest
+
+    from zerox_ray.models.base import is_stateful_provider
+
+    with pytest.raises(ValueError, match="unknown model provider"):
+        is_stateful_provider("determinstic")

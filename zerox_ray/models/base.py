@@ -13,7 +13,7 @@ the reference's one-model-per-run lifecycle (index.ts:248-253).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from zerox_ray.functions.prompts import SYSTEM_PROMPT_BASE
 
@@ -112,4 +112,12 @@ def is_stateful_provider(provider: str) -> bool:
     import zerox_ray.models.testing  # noqa: F401
 
     cls = _REGISTRY.get(provider)
-    return bool(getattr(cls, "stateful", False)) if cls is not None else True
+    if cls is None:
+        # fail at pipeline BUILD with the same message create_model gives;
+        # returning a default here would defer a provider-name typo to an
+        # opaque actor-construction failure after cluster spin-up
+        raise ValueError(
+            f"unknown model provider {provider!r}; registered: "
+            f"{sorted(_REGISTRY)}"
+        )
+    return bool(getattr(cls, "stateful", False))

@@ -28,10 +28,7 @@ import pyarrow as pa
 from zerox_ray.config import ZeroxConfig
 from zerox_ray.functions.schema import split_schema
 from zerox_ray.models.base import create_model
-from zerox_ray.pipelines.ocr import (
-    DEFAULT_NUM_PARTITIONS,
-    scored_fragments,
-)
+from zerox_ray.pipelines.ocr import scored_fragments
 from zerox_ray.stages.reassemble import DOC_JOIN
 from zerox_ray.stages.score import STATUS_ERROR, STATUS_SUCCESS
 
@@ -44,7 +41,16 @@ _ARROW_TYPES = {
 
 
 def _prop_type(prop_schema: dict) -> pa.DataType:
-    return _ARROW_TYPES.get(prop_schema.get("type", "string"), pa.string())
+    t = prop_schema.get("type", "string")
+    if t not in _ARROW_TYPES:
+        # fail at pipeline BUILD (extract_pages validates every property
+        # through here) — a silent string fallback would instead crash
+        # inside map_batches when a model returns a list/dict value
+        raise ValueError(
+            f"unsupported extraction property type {t!r}; supported: "
+            f"{sorted(_ARROW_TYPES)} (nest complex values as JSON strings)"
+        )
+    return _ARROW_TYPES[t]
 
 
 class PageExtractor:
@@ -137,6 +143,8 @@ def extract_pages(
     schema = per_page if per_page is not None else cfg.schema
     from zerox_ray.pipelines.ocr import _stage_kwargs
 
+    for prop in schema.get("properties", {}).values():
+        _prop_type(prop)  # build-time validation (clear driver error)
     rows = _content_rows(pages, cfg, num_partitions)
     fn, kwargs = _stage_kwargs(
         cfg,
@@ -170,7 +178,8 @@ def _merge_bucket(
     df = df[df["status"] == STATUS_SUCCESS].sort_values(
         ["url", "page_index"], kind="mergesort"
     )
-    out_urls, out_json = [], []
+    out_urls: list = []
+    out_json: list = []
     # urls whose pages ALL failed still get a row with an empty
     # extraction object — mirroring run_ocr, which keeps one documents
     # row per url (empty markdown) rather than dropping the url
@@ -194,7 +203,14 @@ def _merge_bucket(
             merged.update(ex.extracted)  # shallow merge (index.ts:548-552)
         out_urls.append(url)
         out_json.append(json.dumps(merged, sort_keys=True, separators=(",", ":")))
-    return pd.DataFrame({"url": out_urls, "extracted": out_json})
+    # typed columns: an empty group block must carry (string, string),
+    # not the float64 default, for schema-stable exchange output
+    return pd.DataFrame(
+        {
+            "url": pd.Series(out_urls, dtype="string"),
+            "extracted": pd.Series(out_json, dtype="string"),
+        }
+    )
 
 
 def extract_documents(

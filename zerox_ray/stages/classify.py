@@ -98,6 +98,19 @@ class ClassifyPayload:
                 ),
             ),
         )
+        # real-world HTML often leads with a UTF-8 BOM or whitespace; the
+        # vectorized head1=='<' sniff misses it. Re-sniff only the (rare)
+        # 'unknown' rows with a lenient python pass — a valid document
+        # must not silently become an ERROR row over a leading newline.
+        kinds = kind.to_pylist()
+        if "unknown" in kinds:
+            heads = pc.binary_slice(payload, 0, 16).to_pylist()
+            for _i, _k in enumerate(kinds):
+                if _k == "unknown" and heads[_i].lstrip(
+                    b"\xef\xbb\xbf \t\r\n"
+                ).startswith(b"<"):
+                    kinds[_i] = "html"
+            kind = pa.array(kinds, pa.string())
         n = self.num_partitions
         pids = np.fromiter(
             (zlib.crc32(u) % n for u in batch["url"].cast(pa.binary()).to_pylist()),

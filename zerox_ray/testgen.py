@@ -231,13 +231,31 @@ def _atomic_write_dir(final_dir: str, writer) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+def _sf_tag(sf_dir: str) -> str:
+    """Cache-key tag for a testdata dir: leaf name + a fingerprint of the
+    source documents.parquet (abspath/size/mtime). Basename alone would
+    let two corpora that share a leaf dir name — or an edited-in-place
+    documents.parquet — silently reuse each other's cached pages."""
+    import zlib as _zlib
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        ident = f"{os.path.abspath(doc)}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = os.path.abspath(doc)
+    return f"{base}-{_zlib.crc32(ident.encode()):08x}"
+
+
 def pages_dir_for(
     sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache", repeat: int = 1
 ) -> str:
     """Directory of pages-*.parquet for a testdata sf dir; generated once,
     cached, written atomically (tmpdir + rename) so concurrent callers and
     resumed runs see either nothing or the complete corpus."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     name = "pages" if repeat == 1 else f"pages-x{repeat}"
     out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, name)
     if os.path.isdir(out):
@@ -291,7 +309,7 @@ def generate_sheet_pages_table(documents_path: str) -> pa.Table:
 
 def sheet_pages_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
     """Cached structured-data pages corpus for a testdata sf dir."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "sheet-pages")
     if os.path.isdir(out):
         return out
@@ -363,7 +381,7 @@ def snapshot_pages_dir_for(
     sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache"
 ) -> str:
     """Cached multi-snapshot pages corpus for a testdata sf dir."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "snapshot-pages")
     if os.path.isdir(out):
         return out
@@ -380,7 +398,7 @@ def snapshot_pages_dir_for(
 
 def media_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
     """Cached fake multimodal table for a sf dir (row count scales with sf)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "media")
     if os.path.isdir(out):
         return out
@@ -472,7 +490,7 @@ def generate_video_table(n_rows: int = 64) -> pa.Table:
 
 def video_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
     """Cached fake video table for a sf dir (row count scales with sf)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "video")
     if os.path.isdir(out):
         return out
