@@ -27,6 +27,7 @@ from zerox_ray.pipelines.dataops import (
     above_median_docs,
     cohort_retention,
     corpus_mix,
+    curate_corpus,
     quality_percentiles,
     decontaminate,
     dedup_exact,
@@ -311,6 +312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped-threshold filter: exact per-lang median broadcast
         # once, then a shuffle-free filter scan
         "above_median_docs": above_median_docs,
+        # the data-curation capstone: quality → decontaminate → exact
+        # dedup → per-lang quota, ONE streaming plan (each stage shrinks
+        # the stream the next one exchanges)
+        "curate_corpus": curate_corpus,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
@@ -1519,6 +1524,62 @@ SELECT event_type,
        CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
+""",
+        # the full curation chain as CTEs: quality gate (same rule as
+        # quality_filter) → decontaminate (same overlap rule) → exact
+        # dedup (min doc_id per text) → md5-ranked per-lang quota
+        "curate_corpus": """
+WITH cc_q AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '[a-z]+')) AS nt,
+         len(regexp_extract_all(text, '\\b(?:the|a|and|of|to)\\b')) AS ns
+  FROM documents
+),
+cc_f AS (
+  SELECT doc_id, lang, text FROM cc_q
+  WHERE nt >= 20
+    AND CASE WHEN nt = 0 THEN 0 ELSE (1000000 * ns) // nt END <= 500000
+),
+cc_tk AS (
+  SELECT doc_id, lang, text, regexp_extract_all(text, '[a-z]+') AS t FROM cc_f
+),
+cc_sh AS (
+  SELECT doc_id, lang, text,
+         list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM cc_tk
+),
+cc_ball AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+  WHERE doc_id % 97 = 3
+),
+cc_bsh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM cc_ball
+),
+cc_bench AS (
+  SELECT list(DISTINCT u.s) AS bs FROM cc_bsh, unnest(cc_bsh.sh) AS u(s)
+),
+cc_dc AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM cc_sh d CROSS JOIN cc_bench b
+  WHERE CASE WHEN len(d.sh) = 0 THEN 0
+        ELSE CAST(floor(CAST(len(list_intersect(d.sh, COALESCE(b.bs, []))) AS DOUBLE)
+                  / len(d.sh) * 1000000) AS BIGINT) END <= 800000
+),
+cc_keep AS (SELECT min(doc_id) AS doc_id FROM cc_dc GROUP BY text),
+cc_surv AS (SELECT d.doc_id, d.lang FROM cc_dc d JOIN cc_keep USING (doc_id)),
+cc_h AS (
+  SELECT lang, doc_id,
+         ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS hh
+  FROM cc_surv
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rank
+  FROM cc_h
+) WHERE rank <= 50
 """,
         # zero-based rank (n-1)*50//100 of the per-lang sorted multiset —
         # tie-order independent, same convention as priority_price_quantiles

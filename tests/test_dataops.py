@@ -589,3 +589,30 @@ def test_props_field_stats_matches_pandas(sf_dir):
     assert (got.n_missing == 0).all()
     for c in ("n_events", "sum_k", "min_k", "max_k"):
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_curate_corpus_composes_the_gates(sf_dir):
+    """End-to-end curation ≡ applying each oracled stage independently."""
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import (
+        curate_corpus,
+        decontaminate,
+        dedup_exact,
+        quality_filter,
+    )
+
+    got = curate_corpus(sf_dir).to_pandas()
+    q = set(quality_filter(sf_dir).to_pandas().doc_id)
+    d = set(decontaminate(sf_dir).to_pandas().doc_id)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    # keepers among quality∩decon survivors (first occurrence per text)
+    surv = docs[docs.doc_id.isin(q & d)].sort_values("doc_id")
+    keepers = set(surv.drop_duplicates("text").doc_id)
+    assert set(got.doc_id) <= keepers
+    # per-lang quota respected, ranks contiguous from 1
+    for lang, g in got.groupby("lang"):
+        assert len(g) <= 50
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))

@@ -386,6 +386,40 @@ def sample_documents(sf_dir: str, rate_ppm: int = 100_000) -> ray.data.Dataset:
 # --- benchmark decontamination ------------------------------------------------
 
 
+def _bench_shingles_ref(
+    sf_dir: str, benchmark_mod: int, benchmark_rem: int, shingle_n: int
+):
+    """Broadcast ref of the held-out benchmark's shingle set. The slice
+    is filtered ON THE CLUSTER and only its rows are collected — the
+    driver never sees the corpus text (eval sets are fixed-size while
+    the corpus grows; take_all here is bounded by the benchmark)."""
+    import ray
+
+    from zerox_ray.functions.hashing import token_shingles
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], benchmark_mod), benchmark_mod),
+            ),
+            benchmark_rem,
+        )
+        return t.filter(keep).select(["text"])
+
+    bench_rows = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    bench_shingles: set = set()
+    for r in bench_rows:
+        bench_shingles.update(
+            token_shingles(TOKEN_RE.findall(r["text"]), shingle_n)
+        )
+    return ray.put(frozenset(bench_shingles))
+
+
 def decontaminate(
     sf_dir: str,
     benchmark_mod: int = 97,
@@ -414,30 +448,9 @@ def decontaminate(
     from zerox_ray.functions.text import TOKEN_RE
     from zerox_ray.functions.hashing import token_shingles
 
-    # small side: the benchmark slice is filtered ON THE CLUSTER and only
-    # its rows are collected — the driver never sees the corpus text
-    # (eval sets are fixed-size while the corpus grows; take_all here is
-    # bounded by the benchmark, not the input)
-    def bench_filter(t: pa.Table) -> pa.Table:
-        keep = pc.equal(
-            pc.subtract(
-                t["doc_id"],
-                pc.multiply(pc.divide(t["doc_id"], benchmark_mod), benchmark_mod),
-            ),
-            benchmark_rem,
-        )
-        return t.filter(keep).select(["text"])
-
-    bench_rows = (
-        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    bench_ref = _bench_shingles_ref(
+        sf_dir, benchmark_mod, benchmark_rem, shingle_n
     )
-    bench_texts = [r["text"] for r in bench_rows]
-    bench_shingles = set()
-    for t in bench_texts:
-        bench_shingles.update(token_shingles(TOKEN_RE.findall(t), shingle_n))
-    bench_ref = ray.put(frozenset(bench_shingles))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         # ray.get of a pickled frozenset DESERIALIZES per call — cache
@@ -1330,3 +1343,122 @@ def global_rank_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return bucketed_group_map(ds, "n_chars", rank_group)
+
+
+def curate_corpus(
+    sf_dir: str,
+    k: int = 50,
+    min_tokens: int = 20,
+    max_stop_ppm: int = 500_000,
+    max_overlap_ppm: int = 800_000,
+    benchmark_mod: int = 97,
+    benchmark_rem: int = 3,
+    shingle_n: int = 3,
+) -> ray.data.Dataset:
+    """The LLM data-curation chain — quality gate → benchmark
+    decontamination → exact dedup (first-occurrence keep) → per-language
+    quota sample — composed as ONE streaming pipeline, proving the
+    operators chain in a single lazy plan instead of materializing
+    between steps.
+
+    Scale shape: the quality gate and contamination score are ONE fused
+    per-batch map (no exchange; the benchmark shingle set broadcasts
+    once, exactly like ``decontaminate``); surviving rows pay ONE
+    text-keyed exchange for the exact-dup keeper; the quota step ships
+    only per-batch top-k partials per language (the
+    ``stratified_sample`` shape). Each stage shrinks the stream before
+    the next — the pipeline's total exchange volume is bounded by the
+    SURVIVORS of the previous gates, not the corpus.
+    Output: (lang, doc_id, rank), rank 1..k per language by md5 hash."""
+    from zerox_ray.functions.hashing import md5_64_array, token_shingles
+
+    bench_ref = _bench_shingles_ref(
+        sf_dir, benchmark_mod, benchmark_rem, shingle_n
+    )
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        # quality: same counts as _quality_batch, pandas RE2 kernels
+        nt = df["text"].str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+        ns = df["text"].str.count(STOPWORD_RE).to_numpy(dtype=np.int64)
+        stop_ppm = np.where(nt > 0, (PPM * ns) // np.maximum(nt, 1), 0)
+        df = df[(nt >= min_tokens) & (stop_ppm <= max_stop_ppm)]
+        # decontamination: same per-doc overlap rule as `decontaminate`
+        bench = _cached_broadcast("decon", bench_ref)
+        keep_ids, keep_langs, keep_texts = [], [], []
+        for doc_id, lang, text in zip(df["doc_id"], df["lang"], df["text"]):
+            sh = set(token_shingles(TOKEN_RE.findall(text), shingle_n))
+            ppm = int(len(sh & bench) / len(sh) * PPM) if sh else 0
+            if ppm <= max_overlap_ppm:
+                keep_ids.append(int(doc_id))
+                keep_langs.append(lang)
+                keep_texts.append(text)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(keep_ids, dtype="int64"),
+                "lang": pd.Series(keep_langs, dtype="string"),
+                "text": pd.Series(keep_texts, dtype="string"),
+            }
+        )
+
+    survivors = ds.map_batches(gate, batch_format="pandas")
+
+    # exact dedup among survivors: per-batch first-occurrence combiner,
+    # then one text-keyed exchange picks the global min-doc_id keeper
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").drop_duplicates("text")
+
+    def dedup_keep(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").drop_duplicates("text")[
+            ["doc_id", "lang"]
+        ]
+
+    keepers = bucketed_group_map(
+        survivors.map_batches(dedup_partial, batch_format="pandas"),
+        "text",
+        dedup_keep,
+    )
+
+    # per-language quota: hash-ranked top-k (the stratified_sample shape)
+    def rank_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].astype("string"),
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": md5_64_array([str(int(d)).encode() for d in df["doc_id"]]),
+            }
+        )
+        return out.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(k)
+
+    def rank_final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, h in g.groupby("lang", sort=True):
+            top = h.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "lang": top["lang"].astype("string"),
+                        "doc_id": top["doc_id"].astype("int64"),
+                        "rank": pd.Series(
+                            range(1, len(top) + 1), dtype="int64"
+                        ),
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="string"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    return bucketed_group_map(
+        keepers.map_batches(rank_partial, batch_format="pandas"),
+        "lang",
+        rank_final,
+    )
