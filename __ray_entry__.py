@@ -941,6 +941,23 @@ SELECT vec_id, cl AS cluster FROM (
     return "".join(parts)
 
 
+#: exact cosine top-k — shared by ann_cosine_topk AND ann_ivf_full_probe
+#: (full-probe IVF is exact by construction, so one oracle serves both)
+_ANN_EXACT_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH nj_tk AS (
   SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
@@ -1323,33 +1340,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM marked GROUP BY doc_id
 """,
-        "ann_cosine_topk": """
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
-), s AS (
-  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
-  FROM q, embeddings e WHERE e.vec_id != q.qid
-)
-SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-  FROM s
-) WHERE rank <= 5
-""",
+        "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
         # full-probe IVF is exact: same oracle as the brute-force query
-        "ann_ivf_full_probe": """
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
-), s AS (
-  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
-  FROM q, embeddings e WHERE e.vec_id != q.qid
-)
-SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-  FROM s
-) WHERE rank <= 5
-""",
+        "ann_ivf_full_probe": _ANN_EXACT_TOPK_SQL,
         "orders_by_nation": """
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -1,15 +1,17 @@
 """Deterministic hashing primitives for dedup / fingerprinting stages.
 
 Everything here must be stable ACROSS PROCESSES AND RUNS — so no Python
-``hash()`` (PYTHONHASHSEED-randomized); base hashes are zlib.crc32 (C
-speed) widened to 64 bits with a salted second pass, and the minhash
-permutation family is the practical ``(a*x + b) mod 2^64`` wrap-around
-family with seeded numpy parameters.
+``hash()`` (PYTHONHASHSEED-randomized); the base hash is md5 truncated
+to 64 bits (``md5_64``), chosen because it is reproducible in ANSI SQL
+(DuckDB ``('0x'||substring(md5(s),1,16))::UBIGINT``) so the driver's
+oracle can recompute every signature exactly. The minhash permutation
+family is the practical ``(a*x + b) mod 2^64`` wrap-around family with
+seeded numpy parameters, and splitmix64 is the shared avalanche mix.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
@@ -28,27 +30,13 @@ def _splitmix64_int(x: int) -> int:
     return z ^ (z >> 31)
 
 
-def crc64(data: bytes) -> int:
-    """64-bit deterministic hash: two salted crc32 passes + splitmix64."""
-    lo = zlib.crc32(data)
-    hi = zlib.crc32(data + b"\x9e\x37\x79\xb9")
-    return _splitmix64_int((hi << 32) | lo)
-
-
-def crc64_array(items: list[bytes]) -> np.ndarray:
-    return np.fromiter((crc64(x) for x in items), dtype=np.uint64, count=len(items))
-
-
 def md5_64_array(items: list[bytes]) -> np.ndarray:
     """64-bit md5-derived hashes (uint64). The dedup family (minhash /
-    simhash / jaccard blocking) hashes shingles with THIS instead of
-    crc64 because it is reproducible in ANSI SQL — DuckDB
+    simhash / jaccard blocking) hashes shingles with THIS because it is
+    reproducible in ANSI SQL — DuckDB
     ``('0x'||substring(md5(s),1,16))::UBIGINT`` — which lets the
     driver's oracle recompute every signature exactly (the correctness
-    gate is a value-hash compare, so "close" is not enough). Speed is
-    within ~2x of the crc64 path and both are Python-loop-bound."""
-    import hashlib
-
+    gate is a value-hash compare, so "close" is not enough)."""
     return np.fromiter(
         (int(hashlib.md5(x).hexdigest()[:16], 16) for x in items),
         dtype=np.uint64,
@@ -79,8 +67,14 @@ def band_keys(signature: np.ndarray, n_bands: int) -> list[int]:
     signature values), masked to 63 bits — SQL mirror:
     ``md5(band::VARCHAR || ':' || string_agg(h::VARCHAR,':' ORDER BY k))``
     then the same substring/UBIGINT cast and ``% 2^63``."""
-    import hashlib
-
+    if n_bands <= 0 or signature.shape[0] % n_bands != 0:
+        # r=0 would give EVERY doc identical band keys (all-pairs
+        # candidate blow-up); a remainder would silently drop trailing
+        # signature values — fail loudly instead
+        raise ValueError(
+            f"signature length {signature.shape[0]} must be a positive "
+            f"multiple of n_bands={n_bands}"
+        )
     r = signature.shape[0] // n_bands
     # one tolist() up front (python ints) + map(str, ...) measures ~1.7x
     # faster than per-value str(int(v)) — band_keys was 40% of the
@@ -139,9 +133,12 @@ def rolling_fingerprint(tokens: list[str]) -> int:
     token hashes (mod 2^64). Two docs with the same tokens in the same
     order collide; any reorder/edit changes it. SQL-mirrorable: DuckDB
     ``list_reduce`` over ``regexp_extract_all`` tokens reproduces it."""
+    if not tokens:
+        return 0
+    hs = md5_64_array([t.encode() for t in tokens]).tolist()
     h = 0
-    for t in tokens:
-        h = (h * _FP_BASE + md5_64(t.encode())) & _FP_MASK
+    for th in hs:  # Horner fold over the batch-hashed tokens
+        h = (h * _FP_BASE + th) & _FP_MASK
     return h
 
 

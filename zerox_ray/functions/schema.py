@@ -20,8 +20,16 @@ DEFAULT_LLM_PARAMS: dict[str, dict] = {
 
 def validate_llm_params(params: dict, provider: str) -> dict:
     """Key/type check against per-provider defaults (model.ts:84-119):
-    unknown keys or mismatched types raise; missing keys take defaults."""
-    defaults = DEFAULT_LLM_PARAMS.get(provider, {})
+    unknown keys or mismatched types raise; missing keys take defaults.
+    An unknown provider raises too (the reference throws for providers
+    without a defaults table) — an empty-defaults fallback would reject
+    every standard param with a misleading 'invalid param' message."""
+    if provider not in DEFAULT_LLM_PARAMS:
+        raise ValueError(
+            f"no LLM-param defaults for provider {provider!r}; known: "
+            f"{sorted(DEFAULT_LLM_PARAMS)}"
+        )
+    defaults = DEFAULT_LLM_PARAMS[provider]
     out = dict(defaults)
     for key, value in params.items():
         if key not in defaults:
@@ -45,6 +53,12 @@ def validate_llm_params(params: dict, provider: str) -> dict:
 def split_schema(schema: dict, extract_per_page: list[str] | None = None) -> tuple[dict | None, dict | None]:
     """Partition a JSON Schema's properties into (full_doc_schema,
     per_page_schema) by the extract_per_page key list (common.ts:85-121).
+
+    FAITHFUL LIMITATION: like the reference, sub-schemas are rebuilt
+    from only {type, properties, required} — top-level keys such as
+    $defs/definitions/additionalProperties are dropped, so a property
+    holding a $ref would dangle in the split result (the reference does
+    the same; keep split schemas self-contained).
 
     Returns (full_doc, per_page); either may be None when empty."""
     if not extract_per_page:
