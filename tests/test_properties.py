@@ -118,3 +118,95 @@ def test_combiner_equals_single_shot_reassembly(n_pages, cuts, err_every):
     )
     got = merge_partials_bucket(partials).sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[expected.columns.tolist()], expected)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 255)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 59),
+)
+@settings(max_examples=40, deadline=None)
+def test_grouped_histogram_partials_split_invariant(rows, cut):
+    """Per-(group,bin) counts merged from any batch split equal the
+    single-shot counts — the mergeability contract of the grouped
+    histogram-quantile sketch."""
+    df = pd.DataFrame(rows, columns=["g", "v"]).astype({"v": "float64"})
+    cut = min(cut, len(df) - 1) or 1
+
+    def partial(d):
+        bins = np.clip((d["v"].to_numpy() // 16).astype(np.int64), 0, 15)
+        return (
+            pd.DataFrame({"g": d["g"].to_numpy(), "b": bins})
+            .groupby(["g", "b"], as_index=False)
+            .size()
+        )
+
+    whole = partial(df).set_index(["g", "b"])["size"]
+    parts = pd.concat([partial(df.iloc[:cut]), partial(df.iloc[cut:])])
+    merged = parts.groupby(["g", "b"])["size"].sum()
+    pd.testing.assert_series_equal(
+        whole.sort_index(), merged.sort_index(), check_names=False
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(1, 79),
+)
+@settings(max_examples=40, deadline=None)
+def test_grouped_hll_register_merge_split_invariant(rows, cut):
+    """max-merge of per-batch (group, register) partials ≡ single-shot
+    registers, for any split point — the grouped-HLL mergeability law."""
+    from zerox_ray.pipelines.sketches import _hll_reg_rank
+
+    df = pd.DataFrame(rows, columns=["g", "uid"])
+    cut = min(cut, len(df) - 1) or 1
+
+    def regs(d):
+        r, k = _hll_reg_rank(d["uid"].to_numpy(dtype=np.int64), 12)
+        return (
+            pd.DataFrame({"g": d["g"].to_numpy(), "r": r, "k": k})
+            .groupby(["g", "r"], as_index=False)["k"]
+            .max()
+        )
+
+    whole = regs(df).set_index(["g", "r"])["k"]
+    merged = (
+        pd.concat([regs(df.iloc[:cut]), regs(df.iloc[cut:])])
+        .groupby(["g", "r"])["k"]
+        .max()
+    )
+    pd.testing.assert_series_equal(
+        whole.sort_index(), merged.sort_index(), check_names=False
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 40)),  # (user, week)
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_cohort_cells_independent_of_duplicate_events(pairs):
+    """Cohort-retention cells depend only on the DISTINCT (user, week)
+    set — duplicating any event never changes a cell (the per-batch
+    drop_duplicates combiner is lossless)."""
+    uw = pd.DataFrame(pairs, columns=["u", "w"])
+
+    def cells(d):
+        d = d.drop_duplicates(["u", "w"])
+        cohort = d.groupby("u")["w"].transform("min")
+        c = pd.DataFrame({"cw": cohort, "off": d["w"] - cohort})
+        return c.groupby(["cw", "off"]).size().sort_index()
+
+    doubled = pd.concat([uw, uw.iloc[: max(1, len(uw) // 2)]])
+    pd.testing.assert_series_equal(cells(uw), cells(doubled), check_names=False)
