@@ -57,6 +57,7 @@ from zerox_ray.pipelines.dedup import (
     dedup_spans,
     doc_fingerprints,
     embedding_near_dup,
+    fuzzy_match,
     minhash_dedup_docs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -370,6 +371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 8 KiB broadcast Bloom filter over orders' buyer keys
         "bloom_semi_join": bloom_semi_join,
         "dedup_minhash_lsh": minhash_lsh_pairs,
+        # cross-set similarity search: broadcast query-side LSH index,
+        # shuffle-free corpus probe with exact-Jaccard verify in place
+        "fuzzy_match": fuzzy_match,
         "dedup_minhash_keepers": minhash_dedup_docs,
         "dedup_simhash": simhash_pairs,
         "dedup_simhash_signatures": simhash_signatures,
@@ -506,6 +510,98 @@ mh_pairs AS (
   FROM mh_ver
   WHERE CASE WHEN uni = 0 THEN 1000000 ELSE {jac} END >= {threshold_ppm}
 )"""
+
+
+def _fuzzy_match_sql(
+    query_mod: int = 50,
+    query_rem: int = 1,
+    k: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    threshold_ppm: int = 500_000,
+) -> str:
+    """Mirror of pipelines/dedup.py::fuzzy_match: the query workload is
+    rebuilt in SQL (first ceil(4n/5) tokens of every %mod==rem doc),
+    both sides minhash with the same seeded family, candidates share a
+    (band, key), verification is exact shingle Jaccard."""
+    from zerox_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(k)
+    params = ",".join(
+        f"({i},{int(a[i])}::HUGEINT,{int(b[i])}::HUGEINT)" for i in range(k)
+    )
+    r = k // n_bands
+    band_key = _sql_md5_u64(
+        f"CAST(k//{r} AS VARCHAR) || ':' || "
+        f"string_agg(CAST(CAST(h AS UBIGINT) AS VARCHAR), ':' ORDER BY k)"
+    )
+    jac = "floor((CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE))*1000000)"
+    return f"""
+WITH fm_src AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents
+),
+fm_qt AS (  -- query workload: first ceil(4n/5) tokens of each query doc
+  SELECT doc_id AS qid, t[1:(4*len(t)+4)//5] AS t
+  FROM fm_src WHERE doc_id % {query_mod} = {query_rem}
+),
+fm_qsh AS (SELECT qid, list_distinct({_sql_shingles(shingle_n)}) AS sh FROM fm_qt),
+fm_dsh AS (
+  SELECT doc_id, list_distinct({_sql_shingles(shingle_n)}) AS sh FROM fm_src
+),
+fm_params(k, a, b) AS (VALUES {params}),
+fm_qxs AS (
+  SELECT qid, CAST({_sql_md5_u64("u.s")} AS HUGEINT) AS x
+  FROM fm_qsh, unnest(fm_qsh.sh) AS u(s)
+),
+fm_dxs AS (
+  SELECT doc_id, CAST({_sql_md5_u64("u.s")} AS HUGEINT) AS x
+  FROM fm_dsh, unnest(fm_dsh.sh) AS u(s)
+),
+fm_qsig AS (
+  SELECT q.qid, p.k,
+         COALESCE(min(({_sql_mulmod64('p.a', 'xs.x')} + p.b) % {_MOD64}),
+                  18446744073709551615::HUGEINT) AS h
+  FROM (SELECT qid FROM fm_qsh) q
+  CROSS JOIN fm_params p
+  LEFT JOIN fm_qxs xs ON xs.qid = q.qid
+  GROUP BY q.qid, p.k
+),
+fm_dsig AS (
+  SELECT d.doc_id, p.k,
+         COALESCE(min(({_sql_mulmod64('p.a', 'xs.x')} + p.b) % {_MOD64}),
+                  18446744073709551615::HUGEINT) AS h
+  FROM (SELECT doc_id FROM fm_dsh) d
+  CROSS JOIN fm_params p
+  LEFT JOIN fm_dxs xs ON xs.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.k
+),
+fm_qband AS (
+  SELECT qid, k//{r} AS band_id,
+         CAST({band_key} % 9223372036854775808 AS BIGINT) AS band_key
+  FROM fm_qsig GROUP BY qid, k//{r}
+),
+fm_dband AS (
+  SELECT doc_id, k//{r} AS band_id,
+         CAST({band_key} % 9223372036854775808 AS BIGINT) AS band_key
+  FROM fm_dsig GROUP BY doc_id, k//{r}
+),
+fm_cand AS (
+  SELECT DISTINCT q.qid, d.doc_id
+  FROM fm_qband q JOIN fm_dband d
+    ON q.band_id = d.band_id AND q.band_key = d.band_key
+),
+fm_ver AS (
+  SELECT c.qid, c.doc_id,
+         len(list_intersect(ds.sh, qs.sh)) AS inter,
+         len(ds.sh) + len(qs.sh) - len(list_intersect(ds.sh, qs.sh)) AS uni
+  FROM fm_cand c
+  JOIN fm_qsh qs ON qs.qid = c.qid
+  JOIN fm_dsh ds ON ds.doc_id = c.doc_id
+)
+SELECT qid AS query_id, doc_id,
+       CAST(CASE WHEN uni = 0 THEN 1000000 ELSE {jac} END AS BIGINT) AS jaccard_ppm
+FROM fm_ver
+WHERE CASE WHEN uni = 0 THEN 1000000 ELSE {jac} END >= {threshold_ppm}"""
 
 
 def _simhash_ctes(shingle_n: int = 3) -> str:
@@ -1717,6 +1813,7 @@ FROM f
         "dedup_minhash_lsh": "WITH "
         + _minhash_pairs_ctes()
         + "\nSELECT doc_a, doc_b, jaccard_ppm FROM mh_pairs",
+        "fuzzy_match": _fuzzy_match_sql(),
         # connected components over the verified pairs via recursive
         # min-label closure; survivors = docs that are not a non-min
         # member of any component (dedup.minhash_dedup_docs semantics:

@@ -442,3 +442,48 @@ class TestDedupEdgeFixes:
         jp = ngram_jaccard_pairs(sf_dir).to_pandas()
         assert (sp.doc_a >= 0).all() and (sp.doc_b >= 0).all()
         assert (jp.doc_a >= 0).all() and (jp.doc_b >= 0).all()
+
+
+class TestFuzzyMatch:
+    def test_every_query_finds_its_source(self, sf_dir):
+        """A query is a 4/5-token prefix of its source doc — the source
+        must always be among its matches (high prefix Jaccard)."""
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dedup import fuzzy_match
+
+        got = fuzzy_match(sf_dir).to_pandas()
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).to_pandas()
+        qids = set(docs.doc_id[docs.doc_id % 50 == 1])
+        assert qids  # the workload slice exists at every sf
+        matched = set(got.query_id)
+        # self-match guaranteed: prefix shingles ⊂ source shingles
+        self_rows = got[got.query_id == got.doc_id]
+        assert set(self_rows.query_id) == qids == matched | qids
+        assert (got.jaccard_ppm >= 500_000).all()
+        assert (got.jaccard_ppm <= 1_000_000).all()
+
+    def test_matches_exact_jaccard(self, sf_dir):
+        """Every emitted pair's ppm equals the exact prefix-vs-doc
+        Jaccard (the probe's verify is exact, not approximate)."""
+        import pyarrow.parquet as pq
+
+        from zerox_ray.functions.hashing import jaccard, token_shingles
+        from zerox_ray.functions.text import TOKEN_RE
+        from zerox_ray.pipelines.dedup import fuzzy_match
+
+        got = fuzzy_match(sf_dir).to_pandas()
+        d = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().set_index("doc_id")["text"]
+
+        def sh(tokens):
+            return set(token_shingles(tokens, 3))
+
+        for _, row in got.iterrows():
+            qt = TOKEN_RE.findall(d[row.query_id])
+            qs = sh(qt[: (4 * len(qt) + 4) // 5])
+            ds_ = sh(TOKEN_RE.findall(d[row.doc_id]))
+            assert row.jaccard_ppm == int(jaccard(ds_, qs) * 1_000_000)

@@ -1017,3 +1017,109 @@ def dedup_spans(sf_dir: str, window: int = 4) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- cross-set fuzzy match (LSH similarity search) ----------------------------
+
+
+def fuzzy_match(
+    sf_dir: str,
+    query_mod: int = 50,
+    query_rem: int = 1,
+    k: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    threshold_ppm: int = 500_000,
+) -> ray.data.Dataset:
+    """Cross-set fuzzy matching: find corpus documents similar to a QUERY
+    workload — the similarity-search shape, distinct from within-corpus
+    dedup. Queries here are deterministic stand-ins for a user workload:
+    the first ceil(4n/5) tokens of every ``doc_id % query_mod ==
+    query_rem`` document (a truncated near-dup of its source, so every
+    query has at least one true match and the oracle can rebuild the
+    workload in SQL).
+
+    Scale shape — NO shuffle at all: the query side is the broadcastable
+    small side (a workload, not the corpus); its LSH band index + shingle
+    sets are built once on the driver and ``ray.put`` once; the corpus
+    scan minhashes each doc, probes the index for shared (band, key)
+    entries, and exact-Jaccard-verifies candidates in place. Matching the
+    full corpus costs one streaming pass regardless of corpus size.
+    Output: (query_id, doc_id, jaccard_ppm) for pairs ≥ threshold."""
+    from zerox_ray.functions.hashing import (
+        band_keys,
+        jaccard,
+        md5_64_array,
+        minhash_params,
+        minhash_signature,
+        token_shingles,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    a, b = minhash_params(k)
+
+    # query side: filtered ON the cluster, collected bounded (the slice
+    # is the workload; take_all is bounded by it, never the corpus)
+    def q_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.equal(
+            _pc.subtract(
+                t["doc_id"],
+                _pc.multiply(_pc.divide(t["doc_id"], query_mod), query_mod),
+            ),
+            query_rem,
+        )
+        return t.filter(keep)
+
+    qrows = (
+        read_table(path, columns=["doc_id", "text"])
+        .map_batches(q_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    index: dict[tuple[int, int], list[int]] = {}
+    qshingles: dict[int, set] = {}
+    for r in qrows:
+        toks = TOKEN_RE.findall(r["text"])
+        toks = toks[: (4 * len(toks) + 4) // 5]  # ceil(4n/5), int math
+        sh = token_shingles(toks, shingle_n)
+        qid = int(r["doc_id"])
+        qshingles[qid] = set(sh)
+        sig = minhash_signature(md5_64_array(sh), a, b)
+        for band_id, key in enumerate(band_keys(sig, n_bands)):
+            index.setdefault((band_id, key), []).append(qid)
+    state_ref = ray.put((index, qshingles))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        idx, qsh = _cached_state(
+            ("fuzzy", state_ref.hex()), lambda: ray.get(state_ref)
+        )
+        qids_out, dids_out, ppms = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh_list = token_shingles(TOKEN_RE.findall(text), shingle_n)
+            sig = minhash_signature(md5_64_array(sh_list), a, b)
+            cand: set[int] = set()
+            for band_id, key in enumerate(band_keys(sig, n_bands)):
+                hit = idx.get((band_id, key))
+                if hit:
+                    cand.update(hit)
+            if not cand:
+                continue
+            s = set(sh_list)
+            for qid in sorted(cand):
+                jp = int(jaccard(s, qsh[qid]) * PPM)
+                if jp >= threshold_ppm:
+                    qids_out.append(qid)
+                    dids_out.append(int(doc_id))
+                    ppms.append(jp)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(qids_out, dtype="int64"),
+                "doc_id": pd.Series(dids_out, dtype="int64"),
+                "jaccard_ppm": pd.Series(ppms, dtype="int64"),
+            }
+        )
+
+    return read_table(path, columns=["doc_id", "text"]).map_batches(
+        probe, batch_format="pandas"
+    )
