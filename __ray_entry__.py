@@ -2240,7 +2240,7 @@ pq_bins AS (
   FROM (SELECT unnest(range(0,256)) AS bin_id) b LEFT JOIN pq_h h USING (bin_id)
 ),
 pq_total AS (SELECT max(cum) AS total FROM pq_bins),
-pq_qs(q_ppm, q) AS (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)),
+pq_qs(q_ppm, q) AS (VALUES (500000, 0.5::DOUBLE), (900000, 0.9::DOUBLE), (990000, 0.99::DOUBLE)),
 pq_pick AS (
   SELECT q_ppm, q, min(bin_id) AS b
   FROM pq_qs, pq_bins, pq_total
@@ -2276,7 +2276,7 @@ gq_bins AS (
   LEFT JOIN gq_h h ON h.l_returnflag = g.l_returnflag AND h.bin_id = b.bin_id
 ),
 gq_tot AS (SELECT l_returnflag, max(cum) AS total FROM gq_bins GROUP BY 1),
-gq_qs(q_ppm, q) AS (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)),
+gq_qs(q_ppm, q) AS (VALUES (500000, 0.5::DOUBLE), (900000, 0.9::DOUBLE), (990000, 0.99::DOUBLE)),
 gq_pick AS (
   SELECT bn.l_returnflag, q_ppm, q, min(bn.bin_id) AS b
   FROM gq_qs, gq_bins bn JOIN gq_tot t USING (l_returnflag)
