@@ -246,6 +246,42 @@ class TestKeeperSelection:
         assert got == want
         assert got[9] == 0 and got[22] == 20
 
+    def test_minlabel_distributed_convergence_sum(self, monkeypatch):
+        """Above DRIVER_SUM_MAX_NODES the per-round convergence scalar must
+        come from the distributed Sum aggregate, never from streaming the
+        label table through the driver (O(corpus)/round at web scale)."""
+        import ray.data
+
+        from zerox_ray.pipelines import dedup as dd
+
+        # force the distributed path for any non-empty label table
+        monkeypatch.setattr(dd, "DRIVER_SUM_MAX_NODES", 0)
+        calls = {"iter": 0}
+        orig = ray.data.Dataset.iter_batches
+
+        def counting_iter(self, *a, **k):
+            calls["iter"] += 1
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(ray.data.Dataset, "iter_batches", counting_iter)
+        # chain of diameter 12 → needs >3 propagation rounds to converge
+        pairs = pd.DataFrame(
+            {
+                "doc_a": list(range(12)),
+                "doc_b": list(range(1, 13)),
+                "jaccard_ppm": 999_999,
+            }
+        )
+        labels = dd.minlabel_components(ray.data.from_pandas(pairs))
+        # ds.sum() must not have fallen back to driver-side block streaming
+        # (the to_pandas below legitimately iterates — count only the run)
+        in_run = calls["iter"]
+        got = labels.to_pandas().set_index("node")["label"].to_dict()
+        want = dd._union_find_components(pairs)
+        assert got == want
+        assert all(v == 0 for v in got.values())
+        assert in_run == 0
+
 
 def test_minhash_join_verify_equals_broadcast(sf_dir):
     bc = minhash_lsh_pairs(sf_dir).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -210,3 +210,46 @@ def test_cohort_cells_independent_of_duplicate_events(pairs):
 
     doubled = pd.concat([uw, uw.iloc[: max(1, len(uw) // 2)]])
     pd.testing.assert_series_equal(cells(uw), cells(doubled), check_names=False)
+
+
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=300),
+        min_size=0,
+        max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_crc32_array_matches_zlib(values):
+    """The vectorized table-driven crc32 must be BIT-IDENTICAL to
+    zlib.crc32 for every input — pid layout and resume manifests key on
+    it, so "close" would corrupt partition assignment silently."""
+    import zlib
+
+    import pyarrow as pa
+
+    from zerox_ray.functions.hashing import crc32_array
+
+    arr = pa.array(values, pa.binary())
+    got = crc32_array(arr)
+    want = np.array([zlib.crc32(v) for v in values], dtype=np.uint32)
+    assert got.dtype == np.uint32
+    np.testing.assert_array_equal(got, want)
+    # chunked + sliced layouts hit the offset arithmetic
+    if len(values) >= 2:
+        ch = pa.chunked_array([arr.slice(0, 1), arr.slice(1)])
+        np.testing.assert_array_equal(crc32_array(ch), want)
+
+
+def test_crc32_array_long_and_empty_values():
+    import zlib
+
+    import pyarrow as pa
+
+    from zerox_ray.functions.hashing import crc32_array
+
+    vals = [b"x" * 100_003, b"", b"abc"]
+    got = crc32_array(pa.array(vals, pa.binary()))
+    np.testing.assert_array_equal(
+        got, np.array([zlib.crc32(v) for v in vals], dtype=np.uint32)
+    )

@@ -61,6 +61,9 @@ MAX_BUCKET_DOCS = 512
 #: candidate pairs to the corpus instead (shuffles O(pairs), never
 #: broadcasts the big side)
 BROADCAST_VERIFY_MAX_BYTES = 1 << 30
+# minlabel_components: above this many label rows the per-round convergence
+# sum runs as a distributed aggregate instead of a driver-side block stream.
+DRIVER_SUM_MAX_NODES = 1_000_000
 
 
 def _resolve_verify(verify: str, path: str) -> str:
@@ -834,10 +837,18 @@ def minlabel_components(
     if labels.count() == 0:
         return labels
 
+    n_nodes = labels.count()
+
     def label_sum(ds: ray.data.Dataset) -> int:
-        # convergence scalar: the label table is materialized and
-        # O(pair-nodes) small, so a driver-side block sum skips a whole
-        # Aggregate operator per round
+        # Convergence scalar. Labels are O(nodes-in-pairs): usually tiny,
+        # but on a high-dup-rate web corpus nodes-in-pairs ~ O(corpus), so
+        # streaming the table through the driver every round is an
+        # O(corpus)-per-round driver network tax. Above a size threshold
+        # use the distributed Sum aggregate (the driver sees one scalar);
+        # below it, a driver-side block sum skips a whole Aggregate
+        # operator per round — the right micro-optimization at small scale.
+        if n_nodes > DRIVER_SUM_MAX_NODES:
+            return int(ds.sum("label"))
         return sum(
             int(b["label"].sum())
             for b in ds.iter_batches(batch_format="pandas", batch_size=None)

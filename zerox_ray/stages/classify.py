@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from zerox_ray.functions.hashing import crc32_array
+
 #: fallback partition count when Ray is not initialised at plan time
 #: (resume granularity × shuffle width)
 DEFAULT_NUM_PARTITIONS = 64
@@ -100,22 +102,29 @@ class ClassifyPayload:
         )
         # real-world HTML often leads with a UTF-8 BOM or whitespace; the
         # vectorized head1=='<' sniff misses it. Re-sniff only the (rare)
-        # 'unknown' rows with a lenient python pass — a valid document
+        # 'unknown' SLICE with a lenient python pass — a valid document
         # must not silently become an ERROR row over a leading newline.
-        kinds = kind.to_pylist()
-        if "unknown" in kinds:
-            heads = pc.binary_slice(payload, 0, 16).to_pylist()
-            for _i, _k in enumerate(kinds):
-                if _k == "unknown" and heads[_i].lstrip(
-                    b"\xef\xbb\xbf \t\r\n"
-                ).startswith(b"<"):
-                    kinds[_i] = "html"
-            kind = pa.array(kinds, pa.string())
+        unknown = pc.equal(kind, pa.scalar("unknown"))
+        if pc.any(unknown).as_py():
+            uidx = np.flatnonzero(unknown.to_numpy(zero_copy_only=False))
+            heads = pc.binary_slice(
+                payload.take(pa.array(uidx)), 0, 16
+            ).to_pylist()
+            fixed = [
+                i
+                for i, h in zip(uidx, heads)
+                if h.lstrip(b"\xef\xbb\xbf \t\r\n").startswith(b"<")
+            ]
+            if fixed:
+                fmask = np.zeros(batch.num_rows, dtype=bool)
+                fmask[fixed] = True
+                kind = pc.if_else(pa.array(fmask), pa.scalar("html"), kind)
         n = self.num_partitions
-        pids = np.fromiter(
-            (zlib.crc32(u) % n for u in batch["url"].cast(pa.binary()).to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
+        # vectorized table-driven crc32 (bit-identical to zlib.crc32, so
+        # pid layout / manifests are unchanged) — the last Python per-row
+        # loop in the flagship's hottest stage
+        pids = (crc32_array(batch["url"].cast(pa.binary())) % np.uint32(n)).astype(
+            np.int64
         )
         # M8 parity (getNumberOfPagesFromPdf, file.ts:332-340): cheap
         # vectorized page-count estimate from payload structure markers —
