@@ -74,7 +74,7 @@ from zerox_ray.pipelines.media import (
     media_thumbnail_features,
     media_thumbnails,
 )
-from zerox_ray.pipelines.ocr import extracted_pages
+from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
@@ -186,6 +186,15 @@ def _q_ocr_select_pages(sf_dir: str):
     )
 
 
+def _q_ocr_logprobs(sf_dir: str):
+    """Logprobs end-to-end (reference types.ts:234-242): the optional
+    list<struct<token,logprob>> column requested via llm_params, rolled
+    up per page — lp_chars is recovered FROM the logprob floats, so the
+    oracle value-checks the payload, not just its presence."""
+    cfg = ZeroxConfig(model_kwargs={"logprobs": True})
+    return logprob_stats(extracted_pages(pages_dir_for(sf_dir), cfg))
+
+
 def _q_extract_structured(sf_dir: str):
     cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA)
     return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
@@ -278,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_totals": _q_ocr_totals,
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
+        "ocr_logprobs": _q_ocr_logprobs,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1192,6 +1202,22 @@ FROM mf GROUP BY url
         + """
 SELECT url, CAST(page_index AS BIGINT) AS page_index, content, status
 FROM pages WHERE page_index IN (1, 3)
+""",
+        # the mock scores each content token -len(token)/10, so the SQL
+        # token lengths must equal rint(-10*logprob) — wrong logprob
+        # values (not just a missing column) fail this oracle
+        "ocr_logprobs": _PAGES_CTE
+        + """
+, lp_tk AS (
+  SELECT url, page_index, regexp_extract_all(content, '[a-z]+') AS t
+  FROM pages
+)
+SELECT url, CAST(page_index AS BIGINT) AS page_index,
+       CAST(len(t) AS BIGINT) AS lp_tokens,
+       CAST(COALESCE(list_aggregate(list_transform(t, s -> length(s)), 'sum'), 0)
+            AS BIGINT) AS lp_chars,
+       COALESCE(t[1], '') AS first_lp_token
+FROM lp_tk
 """,
         "extract_structured": _PAGES_CTE
         + """

@@ -442,6 +442,24 @@ class TestLogprobs:
         pages = extracted_pages(ds).to_pandas()
         assert "logprobs" not in pages.columns
 
+    def test_logprob_stats_rollup(self):
+        from zerox_ray.pipelines.ocr import logprob_stats
+
+        ds = _pages_table(
+            [("u1", build_html(0, ["alpha be c"], False)), ("u2", b"\x00garbage")]
+        )
+        cfg = ZeroxConfig(model_kwargs={"logprobs": True})
+        got = _sorted(
+            logprob_stats(extracted_pages(ds, cfg)).to_pandas(), "url"
+        )
+        ok = got[got.url == "u1"].iloc[0]
+        # lp_chars comes from rint(-10*logprob): wrong FLOATS break this
+        assert ok.lp_tokens >= 3
+        assert ok.first_lp_token == "alpha"
+        assert ok.lp_chars >= len("alphabec")
+        err = got[got.url == "u2"].iloc[0]
+        assert (err.lp_tokens, err.lp_chars, err.first_lp_token) == (0, 0, "")
+
 
 class TestCfbRouting:
     """M2→M3: CFB payloads route through the office→pdf convert seam; in

@@ -375,6 +375,50 @@ def extracted_pages(
     return scored_fragments(pages, cfg, num_partitions)
 
 
+def logprob_stats(pages_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-page rollup of the optional ``logprobs`` column
+    (list<struct<token,logprob>>, reference types.ts:234-242 — emitted by
+    extracted_pages when ``model_kwargs={"logprobs": True}``).
+
+    Value-checks the PAYLOAD, not just its shape: ``lp_chars`` is derived
+    from the logprob FLOATS (the deterministic model scores each token
+    ``-len(token)/10``, so ``rint(-10·logprob)`` recovers the token
+    length — any wrong logprob value breaks the oracle), while
+    ``lp_tokens``/``first_lp_token`` check the token list itself.
+    Vectorized flatten: list offsets → prefix-sum segment sums, no Python
+    loop over rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flatten(t: pa.Table) -> pa.Table:
+        col = t["logprobs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.list_value_length(col).fill_null(0).to_numpy(zero_copy_only=False)
+        n = n.astype(np.int64)
+        flat = pc.list_flatten(col)
+        lpv = flat.field("logprob").to_numpy(zero_copy_only=False)
+        chars = np.rint(-10.0 * lpv).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(chars)])
+        offsets = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=offsets[1:])
+        lp_chars = csum[offsets[1:]] - csum[offsets[:-1]]
+        toks = flat.field("token").to_pylist()
+        first = [toks[offsets[i]] if n[i] > 0 else "" for i in range(len(n))]
+        return pa.table(
+            {
+                "url": t["url"],
+                "page_index": t["page_index"],
+                "lp_tokens": pa.array(n, pa.int64()),
+                "lp_chars": pa.array(lp_chars, pa.int64()),
+                "first_lp_token": pa.array(first, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def run_ocr(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None = None,
