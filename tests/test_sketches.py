@@ -97,11 +97,13 @@ class TestBloomProbe:
 
         from zerox_ray.pipelines.sketches import _bloom_partial, _or_merge
 
-        a = _bloom_partial(pd.DataFrame({"doc_id": [1, 2, 3]}))
-        b = _bloom_partial(pd.DataFrame({"doc_id": [4, 5]}))
+        import pyarrow as pa
+
+        a = _bloom_partial(pa.table({"doc_id": [1, 2, 3]})).to_pandas()
+        b = _bloom_partial(pa.table({"doc_id": [4, 5]})).to_pandas()
         ab = _or_merge(pd.concat([a, b]))
         ba = _or_merge(pd.concat([b, a]))
-        whole = _bloom_partial(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5]}))
+        whole = _bloom_partial(pa.table({"doc_id": [1, 2, 3, 4, 5]})).to_pandas()
         assert np.array_equal(ab, ba)
         assert np.array_equal(ab, np.frombuffer(whole["bitmap"].iloc[0], dtype=np.uint8))
 
@@ -196,12 +198,14 @@ class TestCountMin:
 
         from zerox_ray.pipelines.sketches import _cms_merge, _cms_partial
 
+        import pyarrow as pa
+
         ids = np.arange(1000, dtype=np.int64) % 37
-        whole = _cms_partial(pd.DataFrame({"user_id": ids}))
+        whole = _cms_partial(pa.table({"user_id": ids})).to_pandas()
         parts = pd.concat(
             [
-                _cms_partial(pd.DataFrame({"user_id": ids[:300]})),
-                _cms_partial(pd.DataFrame({"user_id": ids[300:]})),
+                _cms_partial(pa.table({"user_id": ids[:300]})).to_pandas(),
+                _cms_partial(pa.table({"user_id": ids[300:]})).to_pandas(),
             ]
         )
         assert (_cms_merge(whole) == _cms_merge(parts)).all()
@@ -238,10 +242,12 @@ class TestBloomSemiJoin:
             _or_merge,
         )
 
+        import pyarrow as pa
+
         parts = pd.concat(
             [
-                _bloom_partial(pd.DataFrame({"o_custkey": np.arange(0, 50)}), "o_custkey"),
-                _bloom_partial(pd.DataFrame({"o_custkey": np.arange(50, 100)}), "o_custkey"),
+                _bloom_partial(pa.table({"o_custkey": np.arange(0, 50)}), "o_custkey").to_pandas(),
+                _bloom_partial(pa.table({"o_custkey": np.arange(50, 100)}), "o_custkey").to_pandas(),
             ]
         )
         bitmap = _or_merge(parts)

@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -84,35 +85,42 @@ def _resolve_verify(verify: str, path: str) -> str:
 
 class MinHashBander:
     """map_batches: documents → (band_id, band_key, bucket, doc_id) LSH
-    rows. Permutation params are built once per actor/worker (seeded)."""
+    rows. Permutation params are built once per actor/worker (seeded).
+
+    Arrow-native: the batch arrives zero-copy from the object store and
+    the output is assembled with numpy (every doc emits exactly n_bands
+    rows, so repeat/tile build the fan-out without per-row appends); the
+    remaining per-doc Python (regex, md5 shingle hashing) is the part the
+    SQL-parity hash demands."""
 
     def __init__(self, k: int = 64, n_bands: int = 16, shingle_n: int = 3):
         self.a, self.b = minhash_params(k)
         self.n_bands = n_bands
         self.shingle_n = shingle_n
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bands, keys = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_vals = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(doc_vals)
+        nb = self.n_bands
+        keys = np.empty(n_docs * nb, dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        for i, text in enumerate(texts):
             toks = TOKEN_RE.findall(text)
             sig = minhash_signature(
                 md5_64_array(token_shingles(toks, self.shingle_n)), self.a, self.b
             )
-            for band_id, key in enumerate(band_keys(sig, self.n_bands)):
-                doc_ids.append(doc_id)
-                bands.append(band_id)
-                keys.append(key)
-        out = pd.DataFrame(
+            keys[i * nb : (i + 1) * nb] = band_keys(sig, nb)
+        doc_ids = np.repeat(doc_vals, nb)
+        band_ids = np.tile(np.arange(nb, dtype=np.int64), n_docs)
+        bucket = (keys * 1_000_003 + band_ids) % N_COARSE
+        return pa.table(
             {
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "band_id": pd.Series(bands, dtype="int64"),
-                "band_key": pd.Series(keys, dtype="int64"),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
             }
         )
-        out["bucket"] = (
-            (out["band_key"] * 1_000_003 + out["band_id"]) % N_COARSE
-        ).astype("int64")
-        return out
 
 
 def _coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -279,7 +287,7 @@ def minhash_lsh_pairs(
     verify = _resolve_verify(verify, path)
     ds = read_table(path, columns=["doc_id", "text"])
     bands = ds.map_batches(
-        MinHashBander(k, n_bands, shingle_n), batch_format="pandas"
+        MinHashBander(k, n_bands, shingle_n), batch_format="pyarrow"
     )
     cands = bands.groupby("bucket").map_groups(
         _coarse_bucket_pairs, batch_format="pandas"

@@ -181,28 +181,35 @@ def hash_join(
             out[c] = out[c].astype("Int64" if out[c].isna().any() else want)
         return out
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        base = (out[on].astype("int64") % num_buckets).astype("int64")
-        sub = np.arange(len(out), dtype=np.int64) % salt
-        out["__bucket"] = base * salt + sub
-        out["__side"] = "L"
-        return out
+    # Arrow-native tag stages: these run over the FULL table on both
+    # sides, so forcing a pandas conversion here was the join's biggest
+    # per-batch tax (strings/lists objectify). The batch stays zero-copy;
+    # only the int key column is touched (numpy), plus two appended
+    # columns. The per-bucket merge below stays pandas — pd.merge IS the
+    # kernel there.
+    def tag_left(t: _pa.Table) -> _pa.Table:
+        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = np.arange(len(keys), dtype=np.int64) % salt
+        bucket = (keys % num_buckets) * salt + sub
+        return t.append_column(
+            "__bucket", _pa.array(bucket, _pa.int64())
+        ).append_column("__side", _pa.array(["L"] * len(keys), _pa.string()))
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
+    def tag_right(t: _pa.Table) -> _pa.Table:
+        n = t.num_rows
         if salt > 1:  # replicate into every sub-bucket
-            out = out.loc[out.index.repeat(salt)].reset_index(drop=True)
-            sub = np.tile(np.arange(salt, dtype=np.int64), len(df))
+            t = t.take(_pa.array(np.repeat(np.arange(n, dtype=np.int64), salt)))
+            sub = np.tile(np.arange(salt, dtype=np.int64), n)
         else:
-            sub = np.zeros(len(out), dtype=np.int64)
-        base = (out[on].astype("int64") % num_buckets).astype("int64")
-        out["__bucket"] = base * salt + sub
-        out["__side"] = "R"
-        return out
+            sub = np.zeros(n, dtype=np.int64)
+        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (keys % num_buckets) * salt + sub
+        return t.append_column(
+            "__bucket", _pa.array(bucket, _pa.int64())
+        ).append_column("__side", _pa.array(["R"] * t.num_rows, _pa.string()))
 
-    lt = left.map_batches(tag_left, batch_format="pandas")
-    rt = right.map_batches(tag_right, batch_format="pandas")
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from zerox_ray.pipelines.agg import bucketed_group_agg
@@ -34,16 +35,32 @@ PRICE_HI = 200_000.0
 N_BINS = 256
 
 
-def _hist_partial(df: pd.DataFrame, n_bins: int, lo: float, hi: float) -> pd.DataFrame:
-    x = df["l_extendedprice"].to_numpy()
+def _group_indices(col) -> tuple[np.ndarray, pa.Array]:
+    """Per-batch group factorization: dictionary-encode the group column
+    (C kernel) instead of a pandas groupby — returns (int64 codes,
+    dictionary values)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = arr.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return idx, enc.dictionary
+
+
+#: dense (group x cell) partial planes are only safe while the per-batch
+#: group cardinality is modest; past this many cells fall back to pandas
+_DENSE_PLANE_MAX_CELLS = 1 << 24
+
+
+def _hist_partial(t: pa.Table, n_bins: int, lo: float, hi: float) -> pa.Table:
+    # Arrow-native: the price column leaves the object store zero-copy
+    x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
     width = (hi - lo) / n_bins
     bins = np.clip(((x - lo) // width).astype(np.int64), 0, n_bins - 1)
     counts = np.bincount(bins, minlength=n_bins)
     nz = np.nonzero(counts)[0]
-    return pd.DataFrame(
+    return pa.table(
         {
-            "bin_id": nz.astype(np.int64),
-            "n_items": counts[nz].astype(np.int64),
+            "bin_id": pa.array(nz.astype(np.int64), pa.int64()),
+            "n_items": pa.array(counts[nz].astype(np.int64), pa.int64()),
         }
     )
 
@@ -57,7 +74,7 @@ def price_histogram(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
     partials = ds.map_batches(
-        lambda df: _hist_partial(df, n_bins, lo, hi), batch_format="pandas"
+        lambda t: _hist_partial(t, n_bins, lo, hi), batch_format="pyarrow"
     )
     return bucketed_group_agg(
         partials, ["bin_id"], {"n_items": ("n_items", "sum")}
@@ -123,18 +140,32 @@ def grouped_price_quantiles(
     )
     width = (hi - lo) / n_bins
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["l_extendedprice"].to_numpy()
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         bins = np.clip(((x - lo) // width).astype(np.int64), 0, n_bins - 1)
-        out = (
-            pd.DataFrame({group: df[group].to_numpy(), "bin_id": bins})
-            .groupby([group, "bin_id"], sort=False, as_index=False)
-            .size()
-            .rename(columns={"size": "n_items"})
+        idx, dic = _group_indices(t[group])
+        if len(dic) * n_bins > _DENSE_PLANE_MAX_CELLS:
+            # high-cardinality batch: sparse pandas fold instead of a
+            # dense bincount plane
+            out = (
+                pd.DataFrame({group: t[group].to_pandas(), "bin_id": bins})
+                .groupby([group, "bin_id"], sort=False, as_index=False)
+                .size()
+                .rename(columns={"size": "n_items"})
+                .astype({"bin_id": "int64", "n_items": "int64"})
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+        counts = np.bincount(idx * n_bins + bins, minlength=len(dic) * n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                group: dic.take(pa.array(nz // n_bins)),
+                "bin_id": pa.array((nz % n_bins).astype(np.int64), pa.int64()),
+                "n_items": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
         )
-        return out.astype({"bin_id": "int64", "n_items": "int64"})
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     hist = bucketed_group_agg(
         partials, [group, "bin_id"], {"n_items": ("n_items", "sum")}
     )
@@ -187,12 +218,18 @@ def _hll_reg_rank(ids: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     return reg, rank
 
 
-def _hll_partial(df: pd.DataFrame, column: str, p: int) -> pd.DataFrame:
-    reg, rank = _hll_reg_rank(df[column].to_numpy(dtype=np.int64), p)
-    out = pd.DataFrame({"register": reg, "rank": rank})
-    return (
-        out.groupby("register", sort=False)["rank"].max().reset_index()
-        .astype({"register": "int64", "rank": "int64"})
+def _hll_partial(t: pa.Table, column: str, p: int) -> pa.Table:
+    ids = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+    reg, rank = _hll_reg_rank(ids, p)
+    # dense register-max fold (2^p is small) — no pandas groupby needed
+    regs = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(regs, reg, rank)
+    nz = np.nonzero(regs)[0]  # rank >= 1 for every touched register
+    return pa.table(
+        {
+            "register": pa.array(nz.astype(np.int64), pa.int64()),
+            "rank": pa.array(regs[nz], pa.int64()),
+        }
     )
 
 
@@ -215,7 +252,7 @@ def distinct_users_hll(sf_dir: str, p: int = HLL_P) -> pd.DataFrame:
     cluster shapes (hash-based, order-free register max-merge)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
     partials = ds.map_batches(
-        lambda df: _hll_partial(df, "user_id", p), batch_format="pandas"
+        lambda t: _hll_partial(t, "user_id", p), batch_format="pyarrow"
     )
     regs = bucketed_group_agg(
         partials, ["register"], {"rank": ("rank", "max")}
@@ -249,18 +286,33 @@ def grouped_distinct_hll(
     Output: (group, n_users_estimate)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=[group, column])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        reg, rank = _hll_reg_rank(df[column].to_numpy(dtype=np.int64), p)
-        out = pd.DataFrame(
-            {group: df[group].to_numpy(), "register": reg, "rank": rank}
-        )
-        return (
-            out.groupby([group, "register"], sort=False, as_index=False)["rank"]
-            .max()
-            .astype({"register": "int64", "rank": "int64"})
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        reg, rank = _hll_reg_rank(ids, p)
+        idx, dic = _group_indices(t[group])
+        m = 1 << p
+        if len(dic) * m > _DENSE_PLANE_MAX_CELLS:
+            out = (
+                pd.DataFrame(
+                    {group: t[group].to_pandas(), "register": reg, "rank": rank}
+                )
+                .groupby([group, "register"], sort=False, as_index=False)["rank"]
+                .max()
+                .astype({"register": "int64", "rank": "int64"})
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+        dense = np.zeros(len(dic) * m, dtype=np.int64)
+        np.maximum.at(dense, idx * m + reg, rank)
+        nz = np.nonzero(dense)[0]
+        return pa.table(
+            {
+                group: dic.take(pa.array(nz // m)),
+                "register": pa.array((nz % m).astype(np.int64), pa.int64()),
+                "rank": pa.array(dense[nz], pa.int64()),
+            }
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         # the ONE group-keyed exchange lands every partial of a group
@@ -312,20 +364,26 @@ def _bloom_key_hash(ids: np.ndarray) -> np.ndarray:
     return md5_64_array([str(int(d)).encode() for d in ids])
 
 
-def _bloom_partial(df: pd.DataFrame, column: str = "doc_id") -> pd.DataFrame:
+def _bloom_partial(t: pa.Table, column: str = "doc_id") -> pa.Table:
     """One batch → ONE (bucket, bitmap) row: the batch's keys OR-ed into
     a local 8 KiB bitmap. The sketch — not the keys — is what shuffles."""
-    if len(df) == 0:  # empty block → empty partial, not IndexError
-        return pd.DataFrame(
-            {"bucket": pd.Series([], dtype="int64"), "bitmap": pd.Series([], dtype=object)}
+    if t.num_rows == 0:  # empty block → empty partial, not IndexError
+        return pa.table(
+            {"bucket": pa.array([], pa.int64()), "bitmap": pa.array([], pa.binary())}
         )
-    pos = _bloom_positions(_bloom_key_hash(df[column].to_numpy()))
+    ids = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = _bloom_positions(_bloom_key_hash(ids))
     bitmap = np.zeros(BLOOM_M // 8, dtype=np.uint8)
     np.bitwise_or.at(
         bitmap, pos.ravel() // 8, np.uint8(1) << (pos.ravel() % 8).astype(np.uint8)
     )
-    bucket = int(df[column].iloc[0]) % _N_BLOOM_MERGE_BUCKETS
-    return pd.DataFrame({"bucket": [bucket], "bitmap": [bitmap.tobytes()]})
+    bucket = int(ids[0]) % _N_BLOOM_MERGE_BUCKETS
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "bitmap": pa.array([bitmap.tobytes()], pa.binary()),
+        }
+    )
 
 
 def _or_merge(g: pd.DataFrame) -> np.ndarray:
@@ -353,7 +411,7 @@ def bloom_probe(sf_dir: str) -> ray.data.Dataset:
     emits the probe rows. Keys never shuffle; the driver never holds the
     corpus. Output: (probe_id, present, n_set_bits)."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    partials = ds.map_batches(_bloom_partial, batch_format="pandas")
+    partials = ds.map_batches(_bloom_partial, batch_format="pyarrow")
 
     merged = partials.groupby("bucket").map_groups(
         _merge_bitmap_bucket, batch_format="pandas"
@@ -392,7 +450,7 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     Output: (c_custkey,) for rows passing the filter."""
     orders = read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     partials = orders.map_batches(
-        lambda df: _bloom_partial(df, "o_custkey"), batch_format="pandas"
+        lambda t: _bloom_partial(t, "o_custkey"), batch_format="pyarrow"
     )
 
     merged = partials.groupby("bucket").map_groups(
@@ -402,15 +460,15 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     # the N every idf needs; broadcast once to the probe stage
     bitmap_ref = ray.put(_or_merge(merged.to_pandas()))
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
+    def probe(t: pa.Table) -> pa.Table:
         bitmap = ray.get(bitmap_ref)
-        keys = df["c_custkey"].to_numpy(dtype=np.int64)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = _bloom_positions(_bloom_key_hash(keys))
         bits = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
-        return pd.DataFrame({"c_custkey": keys[bits.all(axis=1)]})
+        return pa.table({"c_custkey": pa.array(keys[bits.all(axis=1)], pa.int64())})
 
     customers = read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    return customers.map_batches(probe, batch_format="pandas")
+    return customers.map_batches(probe, batch_format="pyarrow")
 
 
 # --- Count-Min sketch (heavy-hitter frequency estimates) ----------------------
@@ -431,20 +489,25 @@ def _cms_positions(h1: np.ndarray) -> np.ndarray:
     )
 
 
-def _cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+def _cms_partial(t: pa.Table) -> pa.Table:
     """One batch → ONE (bucket, sketch) row: a local D×W counter plane.
     32 KiB of int64 shuffles per batch — never the keys."""
-    if len(df) == 0:  # empty block → empty partial, not IndexError
-        return pd.DataFrame(
-            {"bucket": pd.Series([], dtype="int64"), "sketch": pd.Series([], dtype=object)}
+    if t.num_rows == 0:  # empty block → empty partial, not IndexError
+        return pa.table(
+            {"bucket": pa.array([], pa.int64()), "sketch": pa.array([], pa.binary())}
         )
-    ids = df["user_id"].to_numpy(dtype=np.int64)
+    ids = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     pos = _cms_positions(_bloom_key_hash(ids))
     sketch = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     for j in range(CMS_D):
         np.add.at(sketch[j], pos[:, j], 1)
     bucket = int(ids[0]) % _N_CMS_MERGE_BUCKETS
-    return pd.DataFrame({"bucket": [bucket], "sketch": [sketch.tobytes()]})
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "sketch": pa.array([sketch.tobytes()], pa.binary()),
+        }
+    )
 
 
 def _cms_merge(g: pd.DataFrame) -> np.ndarray:
@@ -657,7 +720,7 @@ def cms_probe(sf_dir: str) -> ray.data.Dataset:
     plane. Keys never shuffle. Output: (probe_id, est_count,
     total_events)."""
     ds = read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
-    partials = ds.map_batches(_cms_partial, batch_format="pandas")
+    partials = ds.map_batches(_cms_partial, batch_format="pyarrow")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"g": [0], "sketch": [_cms_merge(g).tobytes()]})
