@@ -155,9 +155,23 @@ class MediaCleanup:
         correct_orientation: bool = True,
         trim: bool = True,
     ):
+        from zerox_ray.stages.image_ops import (
+            detect_rotation,
+            detect_rotation_osd,
+            osd_available,
+        )
+
         self.max_bytes = max_bytes
         self.correct_orientation = correct_orientation
         self.trim = trim
+        # I2 seam, resolved ONCE per actor (A1 pool-management parity:
+        # the reference holds a warm Tesseract scheduler per worker,
+        # tesseract.ts:5-75): real OSD when the node ships
+        # pytesseract + the tesseract binary, else the deterministic
+        # variance heuristic — same call shape, same actor slot.
+        self.rotation_fn = (
+            detect_rotation_osd if osd_available() else detect_rotation
+        )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from zerox_ray.stages.image_ops import cleanup_image, compress_image
@@ -174,7 +188,12 @@ class MediaCleanup:
                 continue
             d = decode_payload(payload)
             for fi, section in enumerate(
-                cleanup_image(d["data"], self.correct_orientation, self.trim)
+                cleanup_image(
+                    d["data"],
+                    self.correct_orientation,
+                    self.trim,
+                    rotation_fn=self.rotation_fn,
+                )
             ):
                 enc = compress_image(
                     np.ascontiguousarray(section),

@@ -60,6 +60,41 @@ def detect_rotation(data: np.ndarray) -> int:
     return 90 if col_var > row_var * 1.5 else 0
 
 
+def osd_available() -> bool:
+    """True iff the real Tesseract OSD path is usable on this node
+    (pytesseract + PIL importable AND the tesseract binary on PATH) —
+    probed ONCE per actor in the cleanup pool's __init__, never per
+    batch."""
+    try:
+        import pytesseract  # noqa: F401
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return False
+    import shutil
+
+    return shutil.which("tesseract") is not None
+
+
+def detect_rotation_osd(data: np.ndarray) -> int:
+    """I2 real path (determineOptimalRotation, image.ts:51-70, backed by
+    the Tesseract OSD scheduler of tesseract.ts:5-75): pytesseract's
+    orientation-and-script detection when the cluster ships it, else the
+    deterministic variance heuristic — the same actor slot either way.
+    Returns counter-clockwise degrees, like ``detect_rotation``."""
+    if not osd_available():
+        return detect_rotation(data)
+    import pytesseract
+    from PIL import Image
+
+    osd = pytesseract.image_to_osd(
+        Image.fromarray(data.astype(np.uint8)),
+        output_type=pytesseract.Output.DICT,
+    )
+    # OSD reports the clockwise rotation NEEDED to upright the page
+    # (tesseract.ts:52-61 applies it directly); normalize to ccw
+    return (360 - int(osd.get("rotate", 0))) % 360
+
+
 def rotate(data: np.ndarray, degrees: int) -> np.ndarray:
     """Rotate counter-clockwise by a multiple of 90°."""
     k = (degrees // 90) % 4
@@ -134,10 +169,14 @@ def cleanup_image(
     data: np.ndarray,
     correct_orientation: bool = True,
     trim: bool = True,
+    rotation_fn=detect_rotation,
 ) -> list[np.ndarray]:
-    """cleanupImage composition (image.ts:17-47): trim → rotate → split."""
+    """cleanupImage composition (image.ts:17-47): trim → rotate → split.
+    ``rotation_fn`` is the I2 seam: the media actor pool passes
+    ``detect_rotation_osd`` when the node has real Tesseract OSD, else
+    the default variance heuristic (identical call shape)."""
     if trim:
         data = trim_edges(data)
     if correct_orientation:
-        data = rotate(data, detect_rotation(data))
+        data = rotate(data, rotation_fn(data))
     return split_tall_image(data)
