@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Sum
 from zerox_ray import ZeroxConfig, run_ocr
 from zerox_ray.pipelines.dataops import (
     above_median_docs,
+    importance_sample,
     cohort_retention,
     corpus_mix,
     curate_corpus,
@@ -97,6 +98,7 @@ from zerox_ray.pipelines.similarity import (
     ann_ivf_topk,
     ann_radius_search,
     kmeans_clusters,
+    semantic_dedup,
 )
 from zerox_ray.pipelines.sketches import (
     bloom_probe,
@@ -400,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the k×dim int centroid plane, ≤k partial rows per batch on the
         # wire, bit-exact via quantized integer arithmetic
         "kmeans_clusters": kmeans_clusters,
+        "semantic_dedup": semantic_dedup,
+        "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
         # force — so the full IVF machinery (centroid assignment, probe
         # masking, partial top-k, merge) gets a value-hash oracle too
@@ -991,7 +995,7 @@ SELECT event_type,
 FROM ghl_est"""
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 3, final_as_cte: bool = False) -> str:
     """Mirror of pipelines/similarity.py::kmeans_clusters — the fixed
     ``iters`` Lloyd rounds unrolled as CTE chains. Micro-unit int
     centroids make every distance/sum exact in DOUBLE; centroid updates
@@ -1035,7 +1039,7 @@ km_c{i} AS (
          CAST(list(v ORDER BY dim) AS DOUBLE[]) AS qd
   FROM km_s{i} GROUP BY cl
 )""")
-    parts.append(f"""
+    assign = f"""
 SELECT vec_id, cl AS cluster FROM (
   SELECT e.vec_id, c.cl,
          row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1043,7 +1047,13 @@ SELECT vec_id, cl AS cluster FROM (
            - 2 * list_dot_product(e.qd, c.qd)
            + list_dot_product(c.qd, c.qd), c.cl) AS rn
   FROM km_qd e CROSS JOIN km_c{iters} c
-) WHERE rn = 1""")
+) WHERE rn = 1"""
+    if final_as_cte:
+        # composition form: callers append their own CTEs + final SELECT
+        parts.append(f""",
+km_assign AS ({assign})""")
+    else:
+        parts.append(assign)
     return "".join(parts)
 
 
@@ -1964,6 +1974,73 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        # SemDeDup: kmeans assignment CTEs + within-cluster exact-integer
+        # cosine threshold (dot**2 * 1e12 >= t**2 * |a|**2 * |b|**2 in HUGEINT,
+        # embeddings floor-quantized at 1e4 so dots are exact in DOUBLE)
+        "semantic_dedup": _kmeans_sql(final_as_cte=True)
+        + """,
+sd_q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 10000)) AS q
+  FROM embeddings
+),
+sd_n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM sd_q),
+sd_j AS (
+  SELECT a.vec_id AS va, a.q AS qa, a.n2 AS na,
+         b.vec_id AS vb, b.q AS qb, b.n2 AS nb
+  FROM (SELECT s.*, k.cluster FROM sd_n s JOIN km_assign k USING (vec_id)) a
+  JOIN (SELECT s.*, k.cluster FROM sd_n s JOIN km_assign k USING (vec_id)) b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+sd_p AS (
+  SELECT va, vb FROM (
+    SELECT va, vb, list_dot_product(qa, qb) AS dot, na, nb FROM sd_j
+  ) WHERE dot >= 0
+    AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000000000
+        >= CAST(400000 AS HUGEINT) * CAST(400000 AS HUGEINT)
+          * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+),
+sd_d AS (SELECT vb, MIN(va) AS m FROM sd_p GROUP BY vb)
+SELECT k.vec_id, k.cluster,
+       CAST(CASE WHEN d.m IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(COALESCE(d.m, -1) AS BIGINT) AS dup_of
+FROM km_assign k LEFT JOIN sd_d d ON k.vec_id = d.vb
+""",
+        # DSIR: hashed-feature rarity weights + global top-10% selection
+        "dsir_sample": """
+WITH ds_tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS t
+  FROM documents
+),
+ds_b AS (
+  SELECT doc_id,
+         CAST(('0x'||substring(md5(t),1,16))::UBIGINT % 256 AS BIGINT) AS bucket
+  FROM ds_tok
+),
+ds_g AS (SELECT bucket, count(*) AS c FROM ds_b GROUP BY bucket),
+ds_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ds_g),
+ds_rare AS (SELECT bucket FROM ds_g, ds_tot WHERE c * 256 < n),
+ds_d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN bucket IN (SELECT bucket FROM ds_rare)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM ds_b GROUP BY doc_id
+),
+ds_k AS (
+  SELECT CAST((count(*) * 100000 + 999999) // 1000000 AS BIGINT) AS k
+  FROM documents
+),
+ds_w AS (
+  SELECT doc_id, n_tok, n_rare,
+         CAST((n_rare * 1000000) // n_tok AS BIGINT) AS weight_ppm
+  FROM ds_d
+)
+SELECT doc_id, n_tok, n_rare, weight_ppm, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY weight_ppm DESC, doc_id) AS rank
+  FROM ds_w
+), ds_k WHERE rank <= greatest(k, 1)
+""",
         # exact-regime MG: the grouped summary equals the grouped count
         "lang_top_sources": """
 SELECT lang, source AS key,

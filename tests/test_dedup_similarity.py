@@ -523,3 +523,111 @@ class TestFuzzyMatch:
             qs = sh(qt[: (4 * len(qt) + 4) // 5])
             ds_ = sh(TOKEN_RE.findall(d[row.doc_id]))
             assert row.jaccard_ppm == int(jaccard(ds_, qs) * 1_000_000)
+
+
+class TestSemanticDedup:
+    def test_matches_bruteforce_cosine_rule(self, sf_dir):
+        """Independent replay: cluster with the engine's own kmeans
+        output (pinned by its bit-exact SQL oracle), then check the
+        keep/drop rule against brute-force float cosine — the band-exact
+        integer compare must agree with plain float64 cosine except
+        exactly AT the threshold (none of the synthetic pairs sit
+        there)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.similarity import (
+            SEM_THRESHOLD_PPM,
+            kmeans_clusters,
+            semantic_dedup,
+        )
+
+        got = semantic_dedup(sf_dir).to_pandas().set_index("vec_id")
+        cl = kmeans_clusters(sf_dir).to_pandas().set_index("vec_id")["cluster"]
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        q = np.floor(
+            np.array(t["embedding"].to_pylist(), dtype=np.float64) * 10_000
+        )
+        n = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = n @ n.T
+        thr = SEM_THRESHOLD_PPM / 1e6
+        for j, vid in enumerate(ids):
+            lower = [
+                i
+                for i, vid2 in enumerate(ids)
+                if vid2 < vid and cl[vid2] == cl[vid] and sims[i, j] >= thr
+            ]
+            want_kept = 0 if lower else 1
+            assert got.loc[vid, "kept"] == want_kept, vid
+            if lower:
+                assert got.loc[vid, "dup_of"] == min(ids[i] for i in lower)
+            else:
+                assert got.loc[vid, "dup_of"] == -1
+        assert (got["kept"] == 0).sum() > 0  # the threshold actually fires
+
+    def test_dup_of_same_cluster_and_lower_id(self, sf_dir):
+        from zerox_ray.pipelines.similarity import semantic_dedup
+
+        got = semantic_dedup(sf_dir).to_pandas()
+        dropped = got[got.kept == 0]
+        cl = got.set_index("vec_id")["cluster"]
+        assert (dropped.dup_of < dropped.vec_id).all()
+        assert all(cl[d] == c for d, c in zip(dropped.dup_of, dropped.cluster))
+
+
+class TestImportanceSample:
+    def test_matches_pure_python_replay(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.functions.hashing import md5_64
+        from zerox_ray.functions.text import TOKEN_RE
+        from zerox_ray.pipelines.dataops import importance_sample
+
+        got = importance_sample(sf_dir).to_pandas()
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        buckets: dict[int, int] = {}
+        docs = {}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            bs = [md5_64(x.encode()) % 256 for x in TOKEN_RE.findall(text)]
+            docs[did] = bs
+            for b in bs:
+                buckets[b] = buckets.get(b, 0) + 1
+        total = sum(buckets.values())
+        rare = {b for b, c in buckets.items() if c * 256 < total}
+        rows = [
+            (did, len(bs), sum(1 for b in bs if b in rare))
+            for did, bs in sorted(docs.items())
+            if bs
+        ]
+        k = max(1, (len(docs) * 100_000 + 999_999) // 1_000_000)
+        ranked = sorted(
+            ((nr * 1_000_000) // nt, -did) for did, nt, nr in rows
+        )
+        want = [(-d, w) for w, d in sorted(ranked, reverse=True)[:k]]
+        assert len(got) == k
+        assert list(zip(got.doc_id, got.weight_ppm)) == want
+        assert list(got["rank"]) == list(range(1, k + 1))
+
+    def test_local_topk_partials_lossless_under_any_blocking(self, sf_dir):
+        """The per-batch top-k combiner must be invariant to block
+        layout: global top-k of local top-ks = global top-k."""
+        import ray.data
+
+        from zerox_ray.pipelines.dataops import importance_sample
+
+        a = importance_sample(sf_dir).to_pandas()
+        # force a different blocking by overriding parallelism upstream
+        import zerox_ray.pipelines.dataops as dd
+
+        orig = dd.read_table
+        try:
+            dd.read_table = lambda path, columns=None: orig(
+                path, columns=columns
+            ).repartition(7)
+            b = importance_sample(sf_dir).to_pandas()
+        finally:
+            dd.read_table = orig
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)

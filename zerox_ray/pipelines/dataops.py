@@ -1462,3 +1462,122 @@ def curate_corpus(
         "lang",
         rank_final,
     )
+
+
+# --- importance resampling (DSIR) ---------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_KEEP_PPM = 100_000  # keep the top 10% by importance weight
+
+
+def importance_sample(
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    keep_ppm: int = DSIR_KEEP_PPM,
+) -> ray.data.Dataset:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by hashed-feature importance
+    against the corpus feature distribution, keep the top fraction.
+
+    Deterministic integer form (so the oracle value-checks it): features
+    are md5-64 token hashes bucketed mod ``n_buckets``; a token is RARE
+    iff its bucket's corpus count is below the uniform mean
+    (count·n_buckets < total) — the integer surrogate for a low
+    source-probability feature, whose importance the sampler up-weights;
+    weight_ppm = (n_rare·1e6) // n_tok; selection is the global
+    top-⌈n_docs·keep_ppm/1e6⌉ by (weight desc, doc_id asc).
+
+    Scale shape: pass 1 ships ≤ n_buckets partial rows per batch into one
+    tiny groupby (the n_buckets-row histogram is a scalar-sized driver
+    artifact, broadcast back via ``ray.put``); pass 2 re-scans, scores,
+    and keeps a LOCAL top-k per batch, so the final exchange moves
+    O(k × batches) rows — never the corpus. Zero-token docs are excluded
+    (no features → no importance estimate).
+    Output: (doc_id, n_tok, n_rare, weight_ppm, rank)."""
+    import ray
+
+    from zerox_ray.functions.hashing import md5_64_array
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _bucket_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """per-doc (n_tok, n_rare-compatible bucket lists) helper is not
+        needed — this returns the flat bucket histogram for pass 1."""
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for text in texts:
+            toks = TOKEN_RE.findall(text)
+            if toks:
+                b = (
+                    md5_64_array([x.encode() for x in toks]) % n_buckets
+                ).astype(np.int64)
+                counts += np.bincount(b, minlength=n_buckets)
+        return counts
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        counts = _bucket_counts(t["text"].to_pylist())
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    hist = bucketed_group_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["bucket"],
+        {"c": ("c", "sum")},
+    ).to_pandas()  # ≤ n_buckets rows — scalar-sized, like the Bloom bitmap
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    counts[hist["bucket"].to_numpy()] = hist["c"].to_numpy()
+    total = int(counts.sum())
+    rare_ref = ray.put(counts * n_buckets < total)
+
+    n_docs = ds.count()
+    k = max(1, (n_docs * keep_ppm + PPM - 1) // PPM)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        rare = ray.get(rare_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.zeros(len(ids), dtype=np.int64)
+        n_rare = np.zeros(len(ids), dtype=np.int64)
+        for i, text in enumerate(t["text"].to_pylist()):
+            toks = TOKEN_RE.findall(text)
+            if toks:
+                b = (
+                    md5_64_array([x.encode() for x in toks]) % n_buckets
+                ).astype(np.int64)
+                n_tok[i] = len(toks)
+                n_rare[i] = int(rare[b].sum())
+        m = n_tok > 0
+        ids, n_tok, n_rare = ids[m], n_tok[m], n_rare[m]
+        w = (n_rare * PPM) // np.maximum(n_tok, 1)
+        top = np.lexsort((ids, -w))[:k]  # local top-k partial
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(top), np.int64), pa.int64()),
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "n_tok": pa.array(n_tok[top], pa.int64()),
+                "n_rare": pa.array(n_rare[top], pa.int64()),
+                "weight_ppm": pa.array(w[top], pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            g.sort_values(["weight_ppm", "doc_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].astype("int64"),
+                "n_tok": top["n_tok"].astype("int64"),
+                "n_rare": top["n_rare"].astype("int64"),
+                "weight_ppm": top["weight_ppm"].astype("int64"),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(score_partial, batch_format="pyarrow")
+    return partials.groupby("g").map_groups(final, batch_format="pandas")

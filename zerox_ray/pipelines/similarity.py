@@ -455,3 +455,110 @@ def kmeans_clusters(
         )
 
     return ds.map_batches(final_assign, batch_format="pandas")
+
+
+# --- semantic dedup (SemDeDup) ------------------------------------------------
+
+#: coarser quantization for the cosine stage: |q| ≤ 1e4 keeps integer
+#: dots ≤ dim·1e8 = 6.4e9 — exact in DOUBLE whatever the summation
+#: order, so the DuckDB oracle's list_dot_product reproduces them
+_SEM_Q_SCALE = 10_000
+#: the synthetic embeddings top out near cos ≈ 0.51, so the default sits
+#: where real drops happen at every sf (the operator's semantics are
+#: threshold-independent; production SemDeDup uses ~0.95+)
+SEM_THRESHOLD_PPM = 400_000
+
+
+def _semantic_group(g: pd.DataFrame, threshold_ppm: int) -> pd.DataFrame:
+    """One k-means cluster → (vec_id, cluster, kept, dup_of): a vector is
+    a duplicate iff some LOWER-id vector in the same cluster has cosine
+    ≥ threshold (deterministic, order-free — unlike the paper's greedy
+    keep-one-per-component sweep, every (a,b) decision depends only on
+    that pair, which is what makes the rule SQL-mirrorable).
+
+    Exactness: cos(a,b) ≥ t/1e6 ⟺ dot ≥ 0 ∧ dot²·1e12 ≥ t²·|a|²·|b|².
+    Both sides reach ~4e31 — beyond float64 — so the compare runs in
+    float64 with a relative guard band and only band-straddling pairs
+    re-check in exact (unbounded) Python ints; the oracle's HUGEINT
+    arithmetic (≤ 2^126) is exact outright."""
+    ids = g["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    qb = g["q4b"].to_numpy()[order]
+    q = np.frombuffer(b"".join(qb), dtype=np.int64).reshape(len(ids), -1)
+    dots = q @ q.T
+    n2 = np.einsum("ij,ij->i", q, q)
+    tp = int(threshold_ppm)
+    lhs = dots.astype(np.float64) ** 2 * 1e12
+    rhs = float(tp) ** 2 * np.outer(
+        n2.astype(np.float64), n2.astype(np.float64)
+    )
+    ge = (dots >= 0) & (lhs >= rhs)
+    band = (dots >= 0) & (
+        np.abs(lhs - rhs) <= 1e-6 * np.maximum(np.abs(lhs), np.abs(rhs))
+    )
+    for i, j in zip(*np.nonzero(band)):
+        d = int(dots[i, j])
+        ge[i, j] = d >= 0 and d * d * 10**12 >= tp * tp * int(n2[i]) * int(n2[j])
+    # ids are sorted ascending, so "lower-id dup source" = strict upper
+    # triangle rows
+    sim = ge & np.triu(np.ones_like(ge, dtype=bool), k=1)
+    has = sim.any(axis=0)
+    dup_of = np.full(len(ids), -1, dtype=np.int64)
+    if has.any():
+        first = sim.argmax(axis=0)  # lowest row index = lowest vec_id
+        dup_of[has] = ids[first[has]]
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": np.full(len(ids), int(g["cluster"].iloc[0]), np.int64),
+            "kept": (~has).astype(np.int64),
+            "dup_of": dup_of,
+        }
+    )
+
+
+def semantic_dedup(
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold_ppm: int = SEM_THRESHOLD_PPM,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning at corpus scale — k-means partitions the
+    embedding space so the O(n²) cosine comparison runs WITHIN clusters
+    only, never across the corpus.
+
+    Scale shape: the distributed Lloyd's rounds come from
+    ``kmeans_clusters`` (≤k partial rows per batch per round); the
+    (vec_id, cluster) assignment joins back to the 1e-4-quantized
+    vectors with a partitioned hash join; ONE groupby(cluster) co-locates
+    each cluster, and the pairwise check is a vectorized integer matmul
+    per cluster. Cluster size bounds the quadratic term — at 10^12 docs
+    pick k ~ n/5k like the paper so a cluster's vectors fit one task.
+    Output: (vec_id, cluster, kept, dup_of) — dup_of = lowest-id
+    same-cluster vector with cosine ≥ threshold, else -1."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    clusters = kmeans_clusters(sf_dir, k, iters)
+
+    def quantize4(df: pd.DataFrame) -> pd.DataFrame:
+        qm = np.floor(
+            np.array(df["embedding"].to_list(), dtype=np.float64) * _SEM_Q_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "q4b": [row.tobytes() for row in qm],
+            }
+        )
+
+    qemb = read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize4, batch_format="pandas")
+    joined = hash_join(clusters, qemb, on="vec_id")
+    return joined.groupby("cluster").map_groups(
+        _semantic_group,
+        batch_format="pandas",
+        fn_kwargs={"threshold_ppm": threshold_ppm},
+    )
