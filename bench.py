@@ -158,6 +158,13 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         # the iterative-algorithm shape: 3 synchronous Lloyd rounds, each
         # a broadcast + one ≤k-rows-per-batch exchange
         timed("kmeans_clusters", lambda: kmeans_clusters(sf_dir).to_pandas())
+        from zerox_ray.pipelines.dataops import importance_sample
+        from zerox_ray.pipelines.similarity import semantic_dedup
+
+        # r3 additions: clustered O(n²)-bounded cosine dedup and the
+        # two-pass hashed-feature importance sampler
+        timed("semantic_dedup", lambda: semantic_dedup(sf_dir).to_pandas())
+        timed("dsir_sample", lambda: importance_sample(sf_dir).to_pandas())
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",

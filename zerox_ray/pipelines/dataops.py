@@ -1469,6 +1469,29 @@ def curate_corpus(
 DSIR_BUCKETS = 256
 DSIR_KEEP_PPM = 100_000  # keep the top 10% by importance weight
 
+#: worker-global token → md5-64 memo: natural-language vocabulary is
+#: heavy-tailed, so most tokens repeat across documents — hashing each
+#: DISTINCT token once per worker cuts the md5 bill by the repeat factor.
+#: Capped so a long-lived worker on an open-vocab corpus can't grow it
+#: unboundedly (cleared wholesale — the common tokens re-enter at once).
+_DSIR_MEMO: dict[str, int] = {}
+_DSIR_MEMO_MAX = 1_000_000
+
+
+def _dsir_buckets(toks: list[str], n_buckets: int) -> np.ndarray:
+    from zerox_ray.functions.hashing import md5_64_array
+
+    memo = _DSIR_MEMO
+    new = [t for t in set(toks) if t not in memo]
+    if new:
+        if len(memo) + len(new) > _DSIR_MEMO_MAX:
+            memo.clear()
+        for t, h in zip(new, md5_64_array([t.encode() for t in new])):
+            memo[t] = int(h)
+    return np.fromiter(
+        (memo[t] % n_buckets for t in toks), dtype=np.int64, count=len(toks)
+    )
+
 
 def importance_sample(
     sf_dir: str,
@@ -1496,8 +1519,6 @@ def importance_sample(
     Output: (doc_id, n_tok, n_rare, weight_ppm, rank)."""
     import ray
 
-    from zerox_ray.functions.hashing import md5_64_array
-
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _bucket_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -1507,10 +1528,9 @@ def importance_sample(
         for text in texts:
             toks = TOKEN_RE.findall(text)
             if toks:
-                b = (
-                    md5_64_array([x.encode() for x in toks]) % n_buckets
-                ).astype(np.int64)
-                counts += np.bincount(b, minlength=n_buckets)
+                counts += np.bincount(
+                    _dsir_buckets(toks, n_buckets), minlength=n_buckets
+                )
         return counts
 
     def hist_partial(t: pa.Table) -> pa.Table:
@@ -1544,9 +1564,7 @@ def importance_sample(
         for i, text in enumerate(t["text"].to_pylist()):
             toks = TOKEN_RE.findall(text)
             if toks:
-                b = (
-                    md5_64_array([x.encode() for x in toks]) % n_buckets
-                ).astype(np.int64)
+                b = _dsir_buckets(toks, n_buckets)
                 n_tok[i] = len(toks)
                 n_rare[i] = int(rare[b].sum())
         m = n_tok > 0
