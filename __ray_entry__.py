@@ -76,6 +76,7 @@ from zerox_ray.pipelines.media import (
     media_thumbnails,
 )
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
+from zerox_ray.pipelines.web import web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
@@ -197,6 +198,12 @@ def _q_ocr_logprobs(sf_dir: str):
     return logprob_stats(extracted_pages(pages_dir_for(sf_dir), cfg))
 
 
+def _q_web_curate(sf_dir: str):
+    """North-star capstone: raw html pages -> OCR -> quality gate ->
+    exact dedup -> token-budget training shards, one streaming plan."""
+    return web_curate(pages_dir_for(sf_dir))
+
+
 def _q_extract_structured(sf_dir: str):
     cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA)
     return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
@@ -290,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_maintain_format": _q_ocr_maintain_format,
         "ocr_select_pages": _q_ocr_select_pages,
         "ocr_logprobs": _q_ocr_logprobs,
+        "web_curate": _q_web_curate,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1974,6 +1982,41 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
+        # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
+        "web_curate": _PAGES_CTE
+        + """
+, wd AS (
+  SELECT url,
+         COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                             e'\n\n' ORDER BY page_index), '') AS markdown,
+         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
+  FROM pages GROUP BY url
+),
+wg AS (
+  SELECT url, markdown,
+         CAST(len(regexp_extract_all(markdown, '[a-z]+')) AS BIGINT) AS n_tok
+  FROM wd
+  WHERE ocr_failed = 0 AND len(regexp_extract_all(markdown, '[a-z]+')) >= 5
+),
+wk AS (
+  SELECT url, n_tok FROM (
+    SELECT url, n_tok,
+           row_number() OVER (PARTITION BY markdown ORDER BY url) AS rn
+    FROM wg
+  ) WHERE rn = 1
+),
+wh AS (
+  SELECT url, n_tok, ('0x'||substring(md5(url),1,16))::UBIGINT AS h FROM wk
+),
+wcum AS (
+  SELECT url, n_tok,
+         COALESCE(sum(n_tok) OVER (ORDER BY h, url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM wh
+)
+SELECT url, n_tok, CAST(excl // 20000 AS BIGINT) AS shard_id FROM wcum
+""",
         # SemDeDup: kmeans assignment CTEs + within-cluster exact-integer
         # cosine threshold (dot**2 * 1e12 >= t**2 * |a|**2 * |b|**2 in HUGEINT,
         # embeddings floor-quantized at 1e4 so dots are exact in DOUBLE)

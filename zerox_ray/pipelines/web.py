@@ -1,0 +1,148 @@
+"""End-to-end web-corpus curation capstone: raw Common-Crawl-style pages
+→ zerox OCR extraction → quality gate → exact dedup → token-budget
+training shards, composed as ONE lazy streaming plan.
+
+This is the north-star composition (BASELINE.json north_rule: html in,
+training-ready corpus out) built from stages that each carry their own
+oracle elsewhere: the flagship OCR reassembly (pipelines/ocr.py), the
+curate_corpus gate/dedup idioms (pipelines/dataops.py), and the
+token_shards distributed prefix sum — re-keyed here for STRING urls via
+the md5-64 hash order, which doubles as a deterministic training-order
+shuffle (same trick as shuffled_shards).
+
+Exchanges in the whole plan: the OCR pid reassembly, ONE markdown-keyed
+dedup exchange (shrunk first by the gate and per-batch combiners), and
+the ≤65,536-range grouped sum of the prefix pass — never an all-to-all
+over raw pages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from zerox_ray.config import ZeroxConfig
+from zerox_ray.functions.text import TOKEN_RE
+from zerox_ray.pipelines.agg import bucketed_group_map
+from zerox_ray.pipelines.ocr import run_ocr
+
+#: coarse prefix-sum ranges: rng = md5_64(url) >> 48 → ≤65,536 ranges,
+#: so the driver-side offset table stays scalar-sized at any corpus size
+_HASH_RANGE_SHIFT = 48
+
+WEB_TOKENS_PER_SHARD = 20_000
+WEB_MIN_TOKENS = 5
+
+
+def web_curate(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    tokens_per_shard: int = WEB_TOKENS_PER_SHARD,
+    min_tokens: int = WEB_MIN_TOKENS,
+) -> ray.data.Dataset:
+    """pages(html) → (url, n_tok, shard_id) for the curated corpus.
+
+    1. OCR: the flagship extraction pipeline (byte-identical markdown).
+    2. Gate: drop documents with any failed page or < min_tokens tokens
+       (vectorized Arrow regex count — the same kernel token_stats pins).
+    3. Exact dedup: keep the lexicographically-lowest url per markdown
+       (per-batch first-occurrence combiner, then one text-keyed
+       exchange — the curate_corpus idiom).
+    4. Shard packing: exclusive prefix token count in (md5_64(url), url)
+       order // tokens_per_shard — the token_shards two-pass distributed
+       prefix sum, hash order doubling as the training shuffle.
+    """
+    docs = run_ocr(pages, cfg)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["markdown"], TOKEN_RE.pattern), pa.int64()
+        )
+        keep = pc.and_(
+            pc.equal(t["ocr_failed"], pa.scalar(0, pa.int64())),
+            pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int64())),
+        )
+        out = pa.table(
+            {"url": t["url"], "markdown": t["markdown"], "n_tok": n_tok}
+        )
+        return out.filter(keep)
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    def dd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("url").drop_duplicates("markdown")
+
+    def dd_keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url").drop_duplicates("markdown")
+        return pd.DataFrame(
+            {
+                "url": g["url"].astype("string"),
+                "n_tok": g["n_tok"].astype("int64"),
+            }
+        )
+
+    keepers = bucketed_group_map(
+        gated.map_batches(dd_partial, batch_format="pandas"),
+        "markdown",
+        dd_keep,
+    )
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from zerox_ray.functions.hashing import md5_64_array
+
+        h = md5_64_array([u.encode() for u in df["url"]])
+        return pd.DataFrame(
+            {
+                "url": df["url"].astype("string"),
+                "n_tok": df["n_tok"].astype("int64"),
+                "h": pd.Series(h, dtype="uint64"),
+                "rng": pd.Series(
+                    (h >> np.uint64(_HASH_RANGE_SHIFT)).astype(np.int64),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    hashed = keepers.map_batches(hash_batch, batch_format="pandas").materialize()
+
+    # pass 1: per-range token sums → driver prefix scan (≤65,536 rows)
+    range_sums = (
+        hashed.map_batches(
+            lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("rng", as_index=False)["n_tok"]
+        .sum()
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            range_sums["rng"].to_numpy(),
+            np.concatenate(
+                [[0], np.cumsum(range_sums["n_tok"].to_numpy())[:-1]]
+            ),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 2: within-range exclusive cumsum in (h, url) order + offset
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["h", "url"], kind="mergesort")
+        tok = g["n_tok"].to_numpy(dtype=np.int64)
+        excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        excl += int(off[int(g["rng"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "url": g["url"].astype("string"),
+                "n_tok": tok,
+                "shard_id": (excl // tokens_per_shard).astype(np.int64),
+            }
+        )
+
+    return hashed.groupby("rng").map_groups(assign, batch_format="pandas")
