@@ -76,6 +76,7 @@ from zerox_ray.pipelines.media import (
     media_thumbnails,
 )
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
+from zerox_ray.pipelines.graph import inlink_counts, link_graph, pagerank
 from zerox_ray.pipelines.web import web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
@@ -198,6 +199,18 @@ def _q_ocr_logprobs(sf_dir: str):
     return logprob_stats(extracted_pages(pages_dir_for(sf_dir), cfg))
 
 
+def _q_link_graph(sf_dir: str):
+    return link_graph(pages_dir_for(sf_dir))
+
+
+def _q_page_inlinks(sf_dir: str):
+    return inlink_counts(pages_dir_for(sf_dir))
+
+
+def _q_pagerank(sf_dir: str):
+    return pagerank(pages_dir_for(sf_dir))
+
+
 def _q_web_curate(sf_dir: str):
     """North-star capstone: raw html pages -> OCR -> quality gate ->
     exact dedup -> token-budget training shards, one streaming plan."""
@@ -298,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_select_pages": _q_ocr_select_pages,
         "ocr_logprobs": _q_ocr_logprobs,
         "web_curate": _q_web_curate,
+        "link_graph": _q_link_graph,
+        "page_inlinks": _q_page_inlinks,
+        "pagerank": _q_pagerank,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1001,6 +1017,48 @@ SELECT event_type,
                        THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
                        ELSE raw END) AS BIGINT) AS n_users_estimate
 FROM ghl_est"""
+
+
+#: the synthetic web graph's closed form (testgen.related_links): html
+#: docs (not corrupt, not pdf) emit 3 footer links to
+#: (doc_id*31 + 7j + 3) mod n_docs, j = 0..2
+_PR_EDGES_CTE = """
+WITH pr_n AS (SELECT count(*) AS n FROM documents),
+pr_edges AS (
+  SELECT d.doc_id AS src,
+         CAST((d.doc_id * 31 + 7 * j.j + 3) % pr_n.n AS BIGINT) AS dst
+  FROM documents d, pr_n, (SELECT unnest(range(3)) AS j) j
+  WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
+)"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Mirror of pipelines/graph.py::pagerank — fixed rounds unrolled;
+    integer floor arithmetic end-to-end (DuckDB // truncates, every
+    operand is non-negative, so it equals numpy's floor division)."""
+    parts = [
+        _PR_EDGES_CTE,
+        """,
+pr_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pr_edges GROUP BY src),
+pr_r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+pr_c{i} AS (
+  SELECT e.dst AS doc_id, CAST(sum(r.r // g.outdeg) AS BIGINT) AS s
+  FROM pr_edges e
+  JOIN pr_deg g ON e.src = g.src
+  JOIN pr_r{i - 1} r ON e.src = r.doc_id
+  GROUP BY e.dst
+),
+pr_r{i} AS (
+  SELECT n.doc_id,
+         CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM documents n LEFT JOIN pr_c{i} c USING (doc_id)
+)""")
+    parts.append(f"""
+SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}""")
+    return "".join(parts)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, final_as_cte: bool = False) -> str:
@@ -1779,11 +1837,13 @@ WITH p AS (
          'https://example.org/doc/' || doc_id AS url,
          (doc_id % 10 = 7) AS is_pdf,
          CASE WHEN doc_id % 50 = 0 THEN 24
-              ELSE 1 + (doc_id % 4) END AS np
-  FROM documents WHERE doc_id % 101 != 13
+              ELSE 1 + (doc_id % 4) END AS np,
+         n.n AS n_docs
+  FROM documents, (SELECT count(*) AS n FROM documents) n
+  WHERE doc_id % 101 != 13
 ),
 pg AS (
-  SELECT url, is_pdf, text,
+  SELECT url, is_pdf, text, doc_id, n_docs,
          unnest(generate_series(1, np)) AS page_index,
          CAST(ceil(CAST(length(text) AS DOUBLE) / np) AS BIGINT) AS L
   FROM p
@@ -1797,6 +1857,12 @@ fr AS (
                           '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
                    || '</p></div>' || chr(10)
                    || '<footer><p><a href="/terms">terms of service</a> <a href="/privacy">privacy policy</a> <a href="/sitemap">site map</a> (c) example</p></footer>'
+                   || chr(10)
+                   || '<footer class="related">'
+                   || '<a href="https://example.org/doc/' || ((doc_id * 31 + 3) % n_docs) || '">related 0</a> '
+                   || '<a href="https://example.org/doc/' || ((doc_id * 31 + 10) % n_docs) || '">related 1</a> '
+                   || '<a href="https://example.org/doc/' || ((doc_id * 31 + 17) % n_docs) || '">related 2</a> '
+                   || '</footer>'
          END AS frag
   FROM pg
 )
@@ -1982,6 +2048,21 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        # synthetic web graph: engine extracts hrefs from the real html
+        # bytes; the oracle replays the generator closed form
+        "link_graph": _PR_EDGES_CTE
+        + """
+SELECT 'https://example.org/doc/' || src AS src,
+       'https://example.org/doc/' || dst AS dst
+FROM pr_edges
+""",
+        "page_inlinks": _PR_EDGES_CTE
+        + """
+SELECT 'https://example.org/doc/' || dst AS dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks
+FROM pr_edges GROUP BY dst
+""",
+        "pagerank": _pagerank_sql(),
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _PAGES_CTE

@@ -552,7 +552,7 @@ class TestSnapshotChurn:
             n_snap = 1 + d % 3
             n_ver = 1 if d % 101 == 13 else n_snap
             if d % 7 == 0:  # replay the generator's crc32 decoy search
-                real = build_payload(d, t)
+                real = build_payload(d, t, len(docs))
                 decoy = build_payload(d, f"TIED STALE {t}")
                 for _ in range(64):
                     if zlib.crc32(decoy) < zlib.crc32(real):

@@ -67,3 +67,78 @@ def test_web_curate_invariant_to_blocking(sf_dir):
     ds = read_pages(pages_dir_for(sf_dir)).repartition(13)
     b = web_curate(ds).to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestGraphOps:
+    def test_link_graph_matches_generator(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import link_graph
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        want = set()
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] == "html":
+                for tgt in related_links(d, n):
+                    want.add((f"{URL_PREFIX}{d}", f"{URL_PREFIX}{tgt}"))
+        got = link_graph(pages_dir_for(sf_dir)).to_pandas()
+        assert set(zip(got.src, got.dst)) == want
+        assert len(got) == len(want)  # no duplicate edges in this corpus
+
+    def test_pagerank_matches_pure_python(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import (
+            PR_DAMP_DEN,
+            PR_DAMP_NUM,
+            PR_ITERS,
+            PR_SCALE,
+            pagerank,
+        )
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        edges = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] == "html":
+                edges += [(d, tgt) for tgt in related_links(d, n)]
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {d: PR_SCALE for d in t["doc_id"].to_pylist()}
+        base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+        for _ in range(PR_ITERS):
+            s = {d: 0 for d in r}
+            for u, v in edges:
+                s[v] += r[u] // outdeg[u]
+            r = {d: base + PR_DAMP_NUM * s[d] // PR_DAMP_DEN for d in r}
+        got = pagerank(pages_dir_for(sf_dir)).to_pandas()
+        assert len(got) == n
+        for url, rank in zip(got.url, got["rank"]):
+            assert r[int(url.rsplit("/", 1)[1])] == rank, url
+        # rank discriminates: the graph isn't degenerate
+        assert got["rank"].nunique() > 10
+
+    def test_extract_links_generic_hrefs(self):
+        import pyarrow as pa
+        import ray.data
+
+        from zerox_ray.pipelines.graph import extract_links
+
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": ["u1", "u2"],
+                    "html": [
+                        b'<a href="/x">x</a><a href="https://e.org/y">y</a>',
+                        b"no links here",
+                    ],
+                }
+            )
+        )
+        got = extract_links(pages).to_pandas()
+        assert list(got.href) == ["/x", "https://e.org/y"]
+        assert list(got.src) == ["u1", "u1"]

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 URL_PREFIX = "https://example.org/doc/"
-GEN_VERSION = 3  # v3: length-prefixed ZXSHEET headers (sheetx.py)
+GEN_VERSION = 4  # v4: deterministic inter-doc related links in the footer
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 ROWS_PER_FILE = 4096
 
@@ -79,7 +79,16 @@ def plan_doc(doc_id: int, text: str) -> dict:
     }
 
 
-def build_html(doc_id: int, chunks: list[str], filler: bool) -> bytes:
+def related_links(doc_id: int, n_docs: int) -> list[int]:
+    """Deterministic inter-doc link targets: the synthetic web graph.
+    Closed form so the SQL oracle reproduces every edge from doc_id
+    alone: target_j = (doc_id*31 + 7j + 3) mod n_docs, j = 0..2."""
+    return [(doc_id * 31 + 7 * j + 3) % n_docs for j in range(3)]
+
+
+def build_html(
+    doc_id: int, chunks: list[str], filler: bool, n_docs: int = 0
+) -> bytes:
     parts = [
         b"<html><head><title>doc %d</title></head><body>\n" % doc_id,
         _NAV,
@@ -90,7 +99,18 @@ def build_html(doc_id: int, chunks: list[str], filler: bool) -> bytes:
         parts.append(b'<div class="page" data-page="%d"><p>%s</p></div>\n' % (i, esc.encode()))
         if filler:
             parts.append(_FILLER * 8)
-    parts += [b"</article>\n", _FOOTER, b"\n</body></html>\n"]
+    parts += [b"</article>\n", _FOOTER]
+    if n_docs > 0:
+        # inter-doc links live INSIDE a footer element, so the
+        # boilerplate strip removes them and every extracted-markdown
+        # oracle is unaffected — they exist only for the link-graph
+        # operators (pipelines/graph.py)
+        rel = "".join(
+            f'<a href="{URL_PREFIX}{t}">related {j}</a> '
+            for j, t in enumerate(related_links(doc_id, n_docs))
+        )
+        parts.append(b'<footer class="related">%s</footer>' % rel.encode())
+    parts += [b"\n</body></html>\n"]
     return b"".join(parts)
 
 
@@ -106,13 +126,13 @@ def build_corrupt(doc_id: int) -> bytes:
     return b"\x00\x01ZXCORRUPT" + str(doc_id).encode() * 4
 
 
-def build_payload(doc_id: int, text: str) -> bytes:
+def build_payload(doc_id: int, text: str, n_docs: int = 0) -> bytes:
     p = plan_doc(doc_id, text)
     if p["kind"] == "corrupt":
         return build_corrupt(doc_id)
     if p["kind"] == "pdf":
         return build_pdf(p["chunks"])
-    return build_html(doc_id, p["chunks"], p["filler"])
+    return build_html(doc_id, p["chunks"], p["filler"], n_docs)
 
 
 def generate_pages_table(documents_path: str, repeat: int = 1) -> pa.Table:
@@ -126,7 +146,10 @@ def generate_pages_table(documents_path: str, repeat: int = 1) -> pa.Table:
     texts = docs["text"].to_pylist()
     langs = docs["lang"].to_pylist()
     urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
-    payload_cache = [build_payload(d, t) for d, t in zip(doc_ids, texts)]
+    n_docs = len(doc_ids)
+    payload_cache = [
+        build_payload(d, t, n_docs) for d, t in zip(doc_ids, texts)
+    ]
     for r in range(repeat):
         prefix = URL_PREFIX if r == 0 else f"https://example.org/r{r}/doc/"
         for d, t, lg, pl in zip(doc_ids, texts, langs, payload_cache):
@@ -336,6 +359,7 @@ def generate_snapshot_pages_table(documents_path: str) -> pa.Table:
     import zlib
 
     docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    n_docs = docs.num_rows
     urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
 
     def add(d: int, ts: int, pl: bytes, t: str, lg: str) -> None:
@@ -348,7 +372,7 @@ def generate_snapshot_pages_table(documents_path: str) -> pa.Table:
     for d, t, lg in zip(
         docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
     ):
-        real = build_payload(d, t)
+        real = build_payload(d, t, n_docs)
         n_snap = 1 + d % 3
         newest_ts = EPOCH_US + d * 1_000_000 + (n_snap - 1)
         for s in range(n_snap - 1):
