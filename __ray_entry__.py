@@ -76,7 +76,12 @@ from zerox_ray.pipelines.media import (
     media_thumbnails,
 )
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
-from zerox_ray.pipelines.graph import inlink_counts, link_graph, pagerank
+from zerox_ray.pipelines.graph import (
+    inlink_counts,
+    link_components,
+    link_graph,
+    pagerank,
+)
 from zerox_ray.pipelines.web import web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
@@ -211,6 +216,10 @@ def _q_pagerank(sf_dir: str):
     return pagerank(pages_dir_for(sf_dir))
 
 
+def _q_link_components(sf_dir: str):
+    return link_components(pages_dir_for(sf_dir))
+
+
 def _q_web_curate(sf_dir: str):
     """North-star capstone: raw html pages -> OCR -> quality gate ->
     exact dedup -> token-budget training shards, one streaming plan."""
@@ -314,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
+        "link_components": _q_link_components,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1059,6 +1069,45 @@ pr_r{i} AS (
     parts.append(f"""
 SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}""")
     return "".join(parts)
+
+
+#: mirror of pipelines/graph.py::link_components — same-language edges,
+#: recursive reachability closure, representative = arg_min by the
+#: 63-bit md5 key (UBIGINT // 2 ≡ the engine's non-negative int64 key)
+_LINK_COMPONENTS_SQL = (
+    _PR_EDGES_CTE.replace("WITH pr_n", "WITH RECURSIVE pr_n")
+    + """,
+lc_el AS (
+  SELECT e.src, e.dst FROM pr_edges e
+  JOIN documents a ON a.doc_id = e.src
+  JOIN documents b ON b.doc_id = e.dst
+  WHERE a.lang = b.lang
+),
+lc_und AS (
+  SELECT src, dst FROM lc_el
+  UNION
+  SELECT dst AS src, src AS dst FROM lc_el
+),
+lc_cl AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT c.a, u.dst AS b FROM lc_cl c JOIN lc_und u ON c.b = u.src
+),
+lc_h AS (
+  SELECT doc_id,
+         'https://example.org/doc/' || doc_id AS url,
+         ('0x'||substring(md5('https://example.org/doc/' || doc_id),1,16))::UBIGINT // 2 AS h63
+  FROM documents
+),
+lc_rep AS (
+  SELECT c.a AS doc_id, arg_min(h.url, h.h63) AS component
+  FROM lc_cl c JOIN lc_h h ON h.doc_id = c.b
+  GROUP BY c.a
+)
+SELECT h2.url AS url, r.component AS component
+FROM lc_rep r JOIN lc_h h2 USING (doc_id)
+"""
+)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, final_as_cte: bool = False) -> str:
@@ -2063,6 +2112,7 @@ SELECT 'https://example.org/doc/' || dst AS dst,
 FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
+        "link_components": _LINK_COMPONENTS_SQL,
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _PAGES_CTE

@@ -165,6 +165,18 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         # two-pass hashed-feature importance sampler
         timed("semantic_dedup", lambda: semantic_dedup(sf_dir).to_pandas())
         timed("dsir_sample", lambda: importance_sample(sf_dir).to_pandas())
+        from zerox_ray.pipelines.graph import pagerank
+        from zerox_ray.pipelines.web import web_curate
+
+        # r3 additions: the raw-pages->training-shards capstone chain and
+        # the iterative link-graph shape (per-round join + grouped sum)
+        timed(
+            "web_curate",
+            lambda: web_curate(pages).write_parquet(
+                os.path.join(out_root, "web_curate")
+            ),
+        )
+        timed("pagerank", lambda: pagerank(pages).to_pandas())
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",

@@ -233,6 +233,51 @@ def test_hash_join_salted_equals_unsalted(sf_dir):
     pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
 
 
+def test_hash_join_preserves_int64_above_2_53(sf_dir):
+    """Regression: pass-through int64 columns above 2^53 must survive the
+    join exactly. The tagged union used to null-fill each side's missing
+    columns; blocks mixing sides then upcast those ints to float64 in
+    pandas, rounding the low bits (graph.link_components lost 1327 of
+    1338 edges to this). Covers both the inner pass-through case and the
+    left-join NaN-upcast-inside-pd.merge case."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    # keys/payloads drawn from [2^62, 2^63): none representable in float64
+    big = lambda n: rng.integers(1 << 62, 1 << 63, size=n, dtype=np.int64)
+    keys = big(500)
+    payload = big(500)
+    left = pd.DataFrame({"k": keys, "big_l": payload})
+    # right covers only half the keys → left join exercises NaN upcast
+    right = pd.DataFrame({"k": keys[:250], "big_r": big(250)})
+    for how in ("inner", "left"):
+        got = (
+            hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="k",
+                how=how,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # reference merge in nullable Int64 end-to-end: a plain pd.merge
+        # with how='left' suffers the very float64 upcast under test
+        want = (
+            left.astype("Int64")
+            .merge(right.astype("Int64"), on="k", how=how)
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert [int(v) for v in got["k"]] == [int(v) for v in want["k"]]
+        assert [int(v) for v in got["big_l"]] == [int(v) for v in want["big_l"]]
+        assert set(int(v) for v in got["big_r"].dropna()) == set(
+            int(v) for v in want["big_r"].dropna()
+        )
+        assert int(got["big_r"].isna().sum()) == int(want["big_r"].isna().sum())
+
+
 class TestEventsFunnel:
     def test_matches_sequential_scan(self, sf_dir):
         import pyarrow.parquet as pq

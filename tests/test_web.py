@@ -122,6 +122,52 @@ class TestGraphOps:
         # rank discriminates: the graph isn't degenerate
         assert got["rank"].nunique() > 10
 
+    def test_link_components_matches_union_find(self, sf_dir):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import link_components
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        n = t.num_rows
+        langs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] != "html":
+                continue
+            for tgt in related_links(d, n):
+                if langs[d] == langs[tgt]:
+                    ra, rb = find(d), find(tgt)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+        def h63(d):
+            u = f"{URL_PREFIX}{d}"
+            return int(hashlib.md5(u.encode()).hexdigest()[:16], 16) >> 1
+
+        rep = {}  # root -> min-h63 member url
+        for d in range(n):
+            r = find(d)
+            if r not in rep or h63(d) < h63(rep[r]):
+                rep[r] = d
+        want = {f"{URL_PREFIX}{d}": f"{URL_PREFIX}{rep[find(d)]}" for d in range(n)}
+        got = link_components(pages_dir_for(sf_dir)).to_pandas()
+        assert len(got) == n
+        assert dict(zip(got.url, got.component)) == want
+        # discriminating: many components of varied size
+        assert got.component.nunique() > 10
+
     def test_extract_links_generic_hrefs(self):
         import pyarrow as pa
         import ray.data

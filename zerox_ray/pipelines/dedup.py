@@ -878,16 +878,41 @@ def minlabel_components(
             ),
             batch_format="pandas",
         )
-        mixed = tagged_lab.union(tagged_edg).map_batches(
+        # pointer-jumping: also treat the current label mapping as edges
+        # label(x) → x, so each node receives label(label(x)) too and a
+        # path of length D collapses in O(log D) rounds instead of D
+        # (one-hop-only propagation stalled ~6 min on a 500-node chain
+        # graph; web-graph components are long-chain-prone). Labels stay
+        # mins over real node ids, so the fixpoint is unchanged.
+        tagged_ptr = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["label"].astype("int64"),
+                    "dst": df["node"].astype("int64"),
+                    "label": np.int64(-1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        mixed = tagged_lab.union(tagged_edg).union(tagged_ptr).map_batches(
             lambda df: df.assign(bucket=(df["node"] % N_COARSE).astype("int64")),
             batch_format="pandas",
         )
         msgs = mixed.groupby("bucket").map_groups(
             _propagate_bucket, batch_format="pandas"
         )
-        labels = bucketed_group_agg(
-            msgs, ["node"], {"label": ("label", "min")}
-        ).materialize()
+        # coalesce before materializing: the round's shuffle emits as
+        # many blocks as it receives, and labels feeds the next round
+        # TWICE (tagged_lab + tagged_ptr) — without the coalesce the
+        # block count doubles every round (observed 2→1024 blocks for
+        # 500 rows, per-round wall time doubling with it). ~250k rows
+        # per block keeps task overhead flat at any corpus size.
+        n_parts = max(8, min(1024, n_nodes // 250_000 + 8))
+        labels = (
+            bucketed_group_agg(msgs, ["node"], {"label": ("label", "min")})
+            .repartition(n_parts)
+            .materialize()
+        )
         new_total = label_sum(labels)
         if new_total == total:
             return labels

@@ -102,6 +102,137 @@ def inlink_counts(
     )
 
 
+def _h63(urls: list[str]) -> np.ndarray:
+    """63-bit md5-derived url keys (int64, always ≥ 0). Non-negative so
+    they compose with ``minlabel_components`` (whose tagged unions use
+    negative sentinels), and SQL-replayable as
+    ``('0x'||substring(md5(u),1,16))::UBIGINT // 2`` — UBIGINT // 2 and
+    signed int64 order agree below 2^63."""
+    from zerox_ray.functions.hashing import md5_64_array
+
+    return (md5_64_array([u.encode() for u in urls]) >> np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def link_components(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    lang_col: str = "lang",
+) -> ray.data.Dataset:
+    """Same-language web communities: connected components of the link
+    graph restricted to edges whose endpoints share ``lang_col``
+    (cross-language links are usually translation/boilerplate navigation,
+    so within-language connectivity is the community signal).
+
+    Output: (url, component) for EVERY page; component = the member url
+    with the smallest 63-bit md5 key — a deterministic hash-order
+    representative (skew-free, unlike "lowest url") that the DuckDB
+    oracle replays with a recursive-closure ``arg_min``.
+
+    Scale shape: href regex scan → two partitioned hash joins to
+    annotate endpoint languages (the node-attribute table is O(corpus),
+    so broadcast is NOT an option) → ``minlabel_components`` rounds in
+    the object store → two back-joins label→url. Everything after
+    extraction is O(edges + nodes) rows, tiny next to the payload bytes."""
+    from zerox_ray.pipelines.dedup import minlabel_components
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = (
+        read_pages(pages, columns=["url", lang_col, "html"])
+        if isinstance(pages, str)
+        else pages
+    )
+    nodes = ds.select_columns(["url", lang_col]).map_batches(
+        lambda t: pa.table(
+            {
+                "nk": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                "url": t["url"],
+                "nlang": t[lang_col],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ekeys = link_graph(ds, prefix).map_batches(
+        lambda t: pa.table(
+            {
+                "sk": pa.array(_h63(t["src"].to_pylist()), pa.int64()),
+                "dk": pa.array(_h63(t["dst"].to_pylist()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    src_lang = nodes.map_batches(
+        lambda t: pa.table({"sk": t["nk"], "slang": t["nlang"]}),
+        batch_format="pyarrow",
+    )
+    dst_lang = nodes.map_batches(
+        lambda t: pa.table({"dk": t["nk"], "dlang": t["nlang"]}),
+        batch_format="pyarrow",
+    )
+    with_src = hash_join(ekeys, src_lang, on="sk")
+    with_both = hash_join(with_src, dst_lang, on="dk")
+    pairs = with_both.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_a": df.loc[df["slang"] == df["dlang"], "sk"].astype("int64"),
+                "doc_b": df.loc[df["slang"] == df["dlang"], "dk"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    comp = minlabel_components(pairs)  # (node, label) — already materialized
+    slim = nodes.map_batches(
+        lambda t: pa.table({"nk": t["nk"], "url": t["url"]}),
+        batch_format="pyarrow",
+    )
+    if comp.count() == 0:  # no same-language edges at all
+        return slim.map_batches(
+            lambda df: pd.DataFrame(
+                {"url": df["url"].astype(object), "component": df["url"].astype(object)}
+            ),
+            batch_format="pandas",
+        )
+    lab = comp.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "nk": df["node"].astype("int64"),
+                "label": df["label"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    # nodes ⟕ labels: isolated pages (no same-language edge) label
+    # themselves; the Int64-nullable column from the left join is
+    # filled with the node's own key before the representative lookup
+    labeled = hash_join(slim, lab, on="nk", how="left").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "label": df["label"]
+                .fillna(df["nk"])
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    rep = slim.map_batches(
+        lambda t: pa.table({"label": t["nk"], "component": t["url"]}),
+        batch_format="pyarrow",
+    )
+    return hash_join(labeled, rep, on="label").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "component": df["component"].astype(object),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def pagerank(
     pages: ray.data.Dataset | str,
     iters: int = PR_ITERS,

@@ -187,13 +187,50 @@ def hash_join(
     # only the int key column is touched (numpy), plus two appended
     # columns. The per-bucket merge below stays pandas — pd.merge IS the
     # kernel there.
+    #
+    # INT64-PRECISION GUARD: each side is padded with the OTHER side's
+    # missing columns at tag time, integers as typed ZEROS (never
+    # nulls). Without the padding the shuffle null-fills them, and a
+    # pandas block mixing null-filled and real rows upcasts the whole
+    # int column to float64 — silently rounding values above 2^53
+    # (observed: 63-bit md5 url keys in graph.link_components losing
+    # low bits, 11 of 1338 edges surviving a chained join). The padded
+    # values are never read — merge() re-selects each side's own
+    # columns — so zeros are safe; non-integer pads stay null.
+    def _pad_missing(t: _pa.Table, missing: list[tuple[str, object]]) -> _pa.Table:
+        n = t.num_rows
+        for name, typ in missing:
+            if _is_int(typ):
+                try:
+                    arr = _pa.array(np.zeros(n, dtype=str(typ)))
+                except TypeError:
+                    arr = _pa.array(np.zeros(n, dtype=np.int64))
+            else:
+                try:
+                    at = typ if isinstance(typ, _pa.DataType) else _pa.from_numpy_dtype(typ)
+                    arr = _pa.nulls(n, at)
+                except (TypeError, _pa.ArrowNotImplementedError):
+                    arr = _pa.nulls(n)
+            t = t.append_column(name, arr)
+        return t
+
+    l_missing = [
+        (c, t) for c, t in zip(rschema.names, rschema.types) if c not in lcols
+    ]
+    r_missing = [
+        (c, t) for c, t in zip(lschema.names, lschema.types) if c not in rcols
+    ]
+    #: one canonical column order so every tagged block shares a schema
+    _order = list(dict.fromkeys(lcols + rcols)) + ["__bucket", "__side"]
+
     def tag_left(t: _pa.Table) -> _pa.Table:
         keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = np.arange(len(keys), dtype=np.int64) % salt
         bucket = (keys % num_buckets) * salt + sub
-        return t.append_column(
+        t = t.append_column(
             "__bucket", _pa.array(bucket, _pa.int64())
         ).append_column("__side", _pa.array(["L"] * len(keys), _pa.string()))
+        return _pad_missing(t, l_missing).select(_order)
 
     def tag_right(t: _pa.Table) -> _pa.Table:
         n = t.num_rows
@@ -204,9 +241,10 @@ def hash_join(
             sub = np.zeros(n, dtype=np.int64)
         keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = (keys % num_buckets) * salt + sub
-        return t.append_column(
+        t = t.append_column(
             "__bucket", _pa.array(bucket, _pa.int64())
         ).append_column("__side", _pa.array(["R"] * t.num_rows, _pa.string()))
+        return _pad_missing(t, r_missing).select(_order)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
@@ -229,6 +267,14 @@ def hash_join(
             )
             out = l.loc[present if how == "semi" else ~present]
             return _restore_int_dtypes(out.reset_index(drop=True))
+        # same 2^53 guard INSIDE pd.merge: a left/outer merge introduces
+        # NaN into the nullable side's int columns, upcasting them to
+        # float64 mid-merge (before _restore_int_dtypes can help). A
+        # pre-cast to pandas nullable Int64 keeps the merge exact.
+        if how in ("left", "outer"):
+            r = r.astype({c: "Int64" for c in rints if c in r.columns and c != on})
+        if how in ("right", "outer"):
+            l = l.astype({c: "Int64" for c in lints if c in l.columns and c != on})
         out = l.merge(r, on=on, how=how)
         return _restore_int_dtypes(out)
 
