@@ -77,7 +77,10 @@ from zerox_ray.pipelines.media import (
 )
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.graph import (
+    anchor_texts,
+    crawl_depth,
     inlink_counts,
+    leaf_pages,
     link_components,
     link_graph,
     pagerank,
@@ -220,6 +223,28 @@ def _q_link_components(sf_dir: str):
     return link_components(pages_dir_for(sf_dir))
 
 
+def _q_anchor_texts(sf_dir: str):
+    return anchor_texts(pages_dir_for(sf_dir))
+
+
+def _q_leaf_pages(sf_dir: str):
+    return leaf_pages(pages_dir_for(sf_dir))
+
+
+def _crawl_seeds(sf_dir: str) -> list[str]:
+    """The crawl-depth workload: every 50th doc url is a trusted seed.
+    Derived from the documents table's row count only (closed form, like
+    every other workload constant here)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return [f"https://example.org/doc/{d}" for d in range(0, n, 50)]
+
+
+def _q_crawl_depth(sf_dir: str):
+    return crawl_depth(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
+
+
 def _q_web_curate(sf_dir: str):
     """North-star capstone: raw html pages -> OCR -> quality gate ->
     exact dedup -> token-budget training shards, one streaming plan."""
@@ -324,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
         "link_components": _q_link_components,
+        "anchor_texts": _q_anchor_texts,
+        "leaf_pages": _q_leaf_pages,
+        "crawl_depth": _q_crawl_depth,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1108,6 +1136,61 @@ SELECT h2.url AS url, r.component AS component
 FROM lc_rep r JOIN lc_h h2 USING (doc_id)
 """
 )
+
+
+#: mirror of pipelines/graph.py::anchor_texts — the testgen footer emits
+#: anchor text 'related {j}' for link slot j (testgen.build_html), so the
+#: edge CTE re-derives j alongside src/dst
+_ANCHOR_TEXTS_SQL = """
+WITH an_n AS (SELECT count(*) AS n FROM documents),
+an_e AS (
+  SELECT d.doc_id AS src,
+         CAST((d.doc_id * 31 + 7 * j.j + 3) % an_n.n AS BIGINT) AS dst,
+         j.j AS j
+  FROM documents d, an_n, (SELECT unnest(range(3)) AS j) j
+  WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
+)
+SELECT 'https://example.org/doc/' || src AS src,
+       'https://example.org/doc/' || dst AS dst,
+       'related ' || j AS anchor
+FROM an_e
+"""
+
+#: mirror of pipelines/graph.py::leaf_pages — pages absent from the edge
+#: srcs (pdf/corrupt payloads carry no hrefs)
+_LEAF_PAGES_SQL = (
+    _PR_EDGES_CTE
+    + """
+SELECT 'https://example.org/doc/' || doc_id AS url FROM documents
+WHERE doc_id NOT IN (SELECT src FROM pr_edges)
+"""
+)
+
+
+def _crawl_depth_sql(max_hops: int = 4) -> str:
+    """Mirror of pipelines/graph.py::crawl_depth — K BFS rounds unrolled
+    (frontier ∪ one-hop expansion, grouped min), seeds = every 50th doc
+    (matches _crawl_seeds)."""
+    parts = [
+        _PR_EDGES_CTE,
+        """,
+cd_d0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM documents WHERE doc_id % 50 = 0
+)""",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(f""",
+cd_d{i} AS (
+  SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth FROM (
+    SELECT doc_id, depth FROM cd_d{i - 1}
+    UNION ALL
+    SELECT e.dst AS doc_id, d.depth + 1 AS depth
+    FROM cd_d{i - 1} d JOIN pr_edges e ON e.src = d.doc_id
+  ) GROUP BY doc_id
+)""")
+    parts.append(f"""
+SELECT 'https://example.org/doc/' || doc_id AS url, depth FROM cd_d{max_hops}""")
+    return "".join(parts)
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, final_as_cte: bool = False) -> str:
@@ -2113,6 +2196,9 @@ FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
         "link_components": _LINK_COMPONENTS_SQL,
+        "anchor_texts": _ANCHOR_TEXTS_SQL,
+        "leaf_pages": _LEAF_PAGES_SQL,
+        "crawl_depth": _crawl_depth_sql(),
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _PAGES_CTE

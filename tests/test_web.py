@@ -168,6 +168,74 @@ class TestGraphOps:
         # discriminating: many components of varied size
         assert got.component.nunique() > 10
 
+    def test_anchor_texts_carry_link_slots(self, sf_dir):
+        from zerox_ray.pipelines.graph import anchor_texts
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        want = set()
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] != "html":
+                continue
+            for j, tgt in enumerate(related_links(d, n)):
+                want.add((f"{URL_PREFIX}{d}", f"{URL_PREFIX}{tgt}", f"related {j}"))
+        got = anchor_texts(pages_dir_for(sf_dir)).to_pandas()
+        assert set(zip(got.src, got.dst, got.anchor)) == want
+        assert len(got) == len(want)
+
+    def test_leaf_pages_are_linkless_payloads(self, sf_dir):
+        from zerox_ray.pipelines.graph import leaf_pages
+        from zerox_ray.testgen import URL_PREFIX, plan_doc
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        want = {
+            f"{URL_PREFIX}{d}"
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+            if plan_doc(d, txt)["kind"] != "html"
+        }
+        got = leaf_pages(pages_dir_for(sf_dir)).to_pandas()
+        assert set(got.url) == want
+        assert len(got) == len(want)  # no duplicate leaf rows
+
+    def test_crawl_depth_matches_python_bfs(self, sf_dir):
+        from collections import deque
+
+        from zerox_ray.pipelines.graph import crawl_depth
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        adj = {
+            d: related_links(d, n)
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+            if plan_doc(d, txt)["kind"] == "html"
+        }
+        K = 4
+        dist = {d: 0 for d in range(0, n, 50)}
+        frontier = deque(dist)
+        for hop in range(1, K + 1):
+            nxt = deque()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        want = {f"{URL_PREFIX}{d}": h for d, h in dist.items()}
+        seeds = [f"{URL_PREFIX}{d}" for d in range(0, n, 50)]
+        got = crawl_depth(pages_dir_for(sf_dir), seeds=seeds, max_hops=K).to_pandas()
+        assert dict(zip(got.url, got.depth)) == want
+        assert len(got) == len(want)
+        # every hop level populated: the graph expansion isn't degenerate
+        assert set(got.depth) == set(range(K + 1))
+
     def test_extract_links_generic_hrefs(self):
         import pyarrow as pa
         import ray.data

@@ -39,6 +39,10 @@ from zerox_ray.sources.pages import read_pages
 #: happens downstream (link_graph), keeping extraction generic
 _HREF_RE = re.compile(rb'href="([^"]+)"')
 
+#: href + its visible anchor text (flat <a> bodies; nested markup stops
+#: at the first tag, the usual anchor-table convention)
+_ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
 PR_SCALE = 1_000_000  # rank quantization (micro-units)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 PR_ITERS = 3
@@ -99,6 +103,149 @@ def inlink_counts(
     partials = edges.map_batches(partial, batch_format="pandas")
     return bucketed_group_agg(
         partials, ["dst"], {"n_inlinks": ("n_inlinks", "sum")}
+    )
+
+
+def anchor_texts(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """The anchor-text table every web pipeline derives from raw crawl:
+    (src, dst, anchor) — one row per in-corpus link occurrence, carrying
+    the link's visible text (the classic relevance/label signal for the
+    dst page; reference zerox has no link layer — this is engine-native
+    web-corpus functionality).
+
+    Scale shape: identical to ``extract_links`` — a per-batch compiled
+    regex scan over the payload bytes, no shuffle at all; the output is
+    O(links) rows of short strings."""
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    pfx = prefix.encode()
+
+    def anchors(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        texts: list[str] = []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for href, anc in _ANCHOR_RE.findall(payload):
+                if href.startswith(pfx):
+                    srcs.append(url)
+                    dsts.append(href.decode("utf-8", errors="replace"))
+                    texts.append(anc.decode("utf-8", errors="replace"))
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "anchor": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(anchors, batch_format="pyarrow")
+
+
+def leaf_pages(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Pages with NO outgoing in-corpus links — the crawl frontier's
+    dead ends (binary payloads, corrupt fetches, genuine leaf content).
+    Output: (url), one row per leaf page.
+
+    Scale shape: an anti hash-join of the node table against the edge
+    srcs — both sides keyed on the 63-bit url hash, so the exchange
+    moves int64 keys + urls, never payloads. Duplicate srcs on the
+    probe side are free (anti-join semantics ignore multiplicity)."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    nodes = ds.select_columns(["url"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                "url": t["url"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    srcs = link_graph(ds, prefix).map_batches(
+        lambda t: pa.table({"k": pa.array(_h63(t["src"].to_pylist()), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return hash_join(nodes, srcs, on="k", how="anti").map_batches(
+        lambda df: pd.DataFrame({"url": df["url"].astype(object)}),
+        batch_format="pandas",
+    )
+
+
+def crawl_depth(
+    pages: ray.data.Dataset | str,
+    seeds: list[str],
+    max_hops: int = 4,
+    prefix: str = "https://example.org/doc/",
+) -> ray.data.Dataset:
+    """K-hop BFS over the directed link graph from a seed url set — the
+    crawl-frontier distance a prioritizer ranks by ("how many hops from
+    trusted seeds is this page?"). Output: (url, depth) for every page
+    reachable within ``max_hops``; unreached pages are absent.
+
+    Scale shape: the seed list is a workload input (trusted seed lists
+    are small), shipped once into the object store; each of the K fixed
+    rounds is ONE partitioned hash join (frontier ⋈ edges on src-key) +
+    one grouped min — the same per-round shape as PageRank, distances
+    staying in the object store between rounds. Depths are exact small
+    ints, so a K-round unrolled SQL oracle replays them bit-for-bit."""
+    from zerox_ray.pipelines.agg import bucketed_group_agg
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    ekeys = link_graph(ds, prefix).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(_h63(t["src"].to_pylist()), pa.int64()),
+                "dst": t["dst"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    seed_df = pd.DataFrame({"url": pd.Series(seeds, dtype=object)})
+    seed_df["k"] = _h63(seed_df["url"].tolist()) if len(seed_df) else np.array([], dtype=np.int64)
+    seed_df["depth"] = np.int64(0)
+    dist = ray.data.from_pandas(seed_df[["k", "url", "depth"]]).materialize()
+
+    for _ in range(max_hops):
+        hops = hash_join(ekeys, dist.select_columns(["k", "depth"]), on="k").map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "k": pd.Series(_h63(df["dst"].tolist()), dtype="int64")
+                    if len(df)
+                    else pd.Series([], dtype="int64"),
+                    "url": df["dst"].astype(object),
+                    "depth": df["depth"].to_numpy(np.int64) + 1,
+                }
+            ),
+            batch_format="pandas",
+        )
+        # coalesce like minlabel_components: the per-round shuffle emits
+        # as many blocks as it receives and dist feeds the next round's
+        # union — without a bound the block count compounds per round.
+        # Sizing off last round's count is safe (frontier grows ≤ 3×
+        # per hop here; the formula has 12× headroom per step).
+        n_parts = max(8, min(1024, dist.count() // 250_000 + 8))
+        dist = (
+            bucketed_group_agg(
+                dist.union(hops), ["k", "url"], {"depth": ("depth", "min")}
+            )
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    return dist.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "depth": df["depth"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
     )
 
 
