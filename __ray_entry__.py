@@ -85,7 +85,7 @@ from zerox_ray.pipelines.graph import (
     link_graph,
     pagerank,
 )
-from zerox_ray.pipelines.web import web_curate
+from zerox_ray.pipelines.web import rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
@@ -251,6 +251,12 @@ def _q_web_curate(sf_dir: str):
     return web_curate(pages_dir_for(sf_dir))
 
 
+def _q_rank_curate(sf_dir: str):
+    """Authority-ordered curation: web_curate's keepers packed in global
+    PageRank-descending order (crawl signal feeding data selection)."""
+    return rank_curate(pages_dir_for(sf_dir))
+
+
 def _q_extract_structured(sf_dir: str):
     cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA)
     return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
@@ -345,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_select_pages": _q_ocr_select_pages,
         "ocr_logprobs": _q_ocr_logprobs,
         "web_curate": _q_web_curate,
+        "rank_curate": _q_rank_curate,
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
@@ -1070,12 +1077,11 @@ pr_edges AS (
 )"""
 
 
-def _pagerank_sql(iters: int = 3) -> str:
-    """Mirror of pipelines/graph.py::pagerank — fixed rounds unrolled;
-    integer floor arithmetic end-to-end (DuckDB // truncates, every
-    operand is non-negative, so it equals numpy's floor division)."""
+def _pagerank_round_ctes(iters: int = 3) -> str:
+    """The fixed-rounds pagerank CTE chain (pr_deg, pr_r0..pr_r{iters})
+    — appended after pr_edges; shared by the pagerank and rank_curate
+    oracles."""
     parts = [
-        _PR_EDGES_CTE,
         """,
 pr_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pr_edges GROUP BY src),
 pr_r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)""",
@@ -1094,9 +1100,19 @@ pr_r{i} AS (
          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
   FROM documents n LEFT JOIN pr_c{i} c USING (doc_id)
 )""")
-    parts.append(f"""
-SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}""")
     return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Mirror of pipelines/graph.py::pagerank — fixed rounds unrolled;
+    integer floor arithmetic end-to-end (DuckDB // truncates, every
+    operand is non-negative, so it equals numpy's floor division)."""
+    return (
+        _PR_EDGES_CTE
+        + _pagerank_round_ctes(iters)
+        + f"""
+SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}"""
+    )
 
 
 #: mirror of pipelines/graph.py::link_components — same-language edges,
@@ -1191,6 +1207,32 @@ cd_d{i} AS (
     parts.append(f"""
 SELECT 'https://example.org/doc/' || doc_id AS url, depth FROM cd_d{max_hops}""")
     return "".join(parts)
+
+
+#: shared curation-keeper chain (appended after _PAGES_CTE): flagship
+#: markdown reassembly -> quality gate -> min-url-per-markdown dedup —
+#: mirrors pipelines/web.py::_curated_keepers
+_WEB_KEEPER_CTES = """
+, wd AS (
+  SELECT url,
+         COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                             e'\n\n' ORDER BY page_index), '') AS markdown,
+         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
+  FROM pages GROUP BY url
+),
+wg AS (
+  SELECT url, markdown,
+         CAST(len(regexp_extract_all(markdown, '[a-z]+')) AS BIGINT) AS n_tok
+  FROM wd
+  WHERE ocr_failed = 0 AND len(regexp_extract_all(markdown, '[a-z]+')) >= 5
+),
+wk AS (
+  SELECT url, n_tok FROM (
+    SELECT url, n_tok,
+           row_number() OVER (PARTITION BY markdown ORDER BY url) AS rn
+    FROM wg
+  ) WHERE rn = 1
+)"""
 
 
 def _kmeans_sql(k: int = 8, iters: int = 3, final_as_cte: bool = False) -> str:
@@ -2202,27 +2244,8 @@ FROM pr_edges GROUP BY dst
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _PAGES_CTE
-        + """
-, wd AS (
-  SELECT url,
-         COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
-                             e'\n\n' ORDER BY page_index), '') AS markdown,
-         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
-  FROM pages GROUP BY url
-),
-wg AS (
-  SELECT url, markdown,
-         CAST(len(regexp_extract_all(markdown, '[a-z]+')) AS BIGINT) AS n_tok
-  FROM wd
-  WHERE ocr_failed = 0 AND len(regexp_extract_all(markdown, '[a-z]+')) >= 5
-),
-wk AS (
-  SELECT url, n_tok FROM (
-    SELECT url, n_tok,
-           row_number() OVER (PARTITION BY markdown ORDER BY url) AS rn
-    FROM wg
-  ) WHERE rn = 1
-),
+        + _WEB_KEEPER_CTES
+        + """,
 wh AS (
   SELECT url, n_tok, ('0x'||substring(md5(url),1,16))::UBIGINT AS h FROM wk
 ),
@@ -2233,6 +2256,30 @@ wcum AS (
   FROM wh
 )
 SELECT url, n_tok, CAST(excl // 20000 AS BIGINT) AS shard_id FROM wcum
+""",
+        # rank_curate: same keepers, shard packing in global
+        # (pagerank DESC, md5-64(url), url) order (mirrors
+        # pipelines/web.py::rank_curate)
+        "rank_curate": _PAGES_CTE
+        + _PR_EDGES_CTE.replace("WITH pr_n", ", pr_n")
+        + _pagerank_round_ctes()
+        + _WEB_KEEPER_CTES
+        + """,
+rcr AS (
+  SELECT k.url, k.n_tok,
+         ('0x'||substring(md5(k.url),1,16))::UBIGINT AS h,
+         p.r AS rank
+  FROM wk k
+  JOIN (SELECT 'https://example.org/doc/' || doc_id AS url, r FROM pr_r3) p
+    USING (url)
+),
+rcum AS (
+  SELECT url, n_tok, rank,
+         COALESCE(sum(n_tok) OVER (ORDER BY rank DESC, h, url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM rcr
+)
+SELECT url, n_tok, rank, CAST(excl // 20000 AS BIGINT) AS shard_id FROM rcum
 """,
         # SemDeDup: kmeans assignment CTEs + within-cluster exact-integer
         # cosine threshold (dot**2 * 1e12 >= t**2 * |a|**2 * |b|**2 in HUGEINT,

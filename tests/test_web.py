@@ -69,6 +69,34 @@ def test_web_curate_invariant_to_blocking(sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_rank_curate_orders_by_authority(sf_dir):
+    """rank_curate = web_curate's keepers packed in (rank desc, h, url)
+    order; replay the packing from the engine's own pagerank output +
+    the pure-python keeper replay."""
+    from zerox_ray.pipelines.graph import pagerank
+    from zerox_ray.pipelines.web import rank_curate
+
+    ranks = pagerank(pages_dir_for(sf_dir)).to_pandas()
+    rank_of = dict(zip(ranks.url, ranks["rank"]))
+    keepers = _replay(sf_dir)  # url -> (n_tok, md5-order shard)
+    order = sorted(
+        keepers.items(),
+        key=lambda kv: (-rank_of[kv[0]], md5_64(kv[0].encode()), kv[0]),
+    )
+    want, excl = {}, 0
+    for url, (n_tok, _) in order:
+        want[url] = (n_tok, rank_of[url], excl // WEB_TOKENS_PER_SHARD)
+        excl += n_tok
+    got = rank_curate(pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(want)
+    for url, n_tok, rank, shard in zip(got.url, got.n_tok, got["rank"], got.shard_id):
+        assert want[url] == (n_tok, rank, shard), url
+    # authority ordering is real: shard 0's mean rank exceeds the last
+    # shard's mean rank
+    by_shard = got.groupby("shard_id")["rank"].mean()
+    assert by_shard.iloc[0] > by_shard.iloc[-1]
+
+
 class TestGraphOps:
     def test_link_graph_matches_generator(self, sf_dir):
         import pyarrow.parquet as pq

@@ -862,6 +862,11 @@ def minlabel_components(
             for b in ds.iter_batches(batch_format="pandas", batch_size=None)
         )
 
+    # size-aware exchange width for the per-round shuffles (same
+    # rationale as pagerank's loop: K rounds × 2 exchanges must not fan
+    # a small label table into N_COARSE buckets of a few rows each)
+    n_buckets = max(8, min(N_COARSE, n_nodes // 10_000 + 8))
+
     total = label_sum(labels)
     for _ in range(max_rounds):
         tagged_lab = labels.map_batches(
@@ -895,7 +900,7 @@ def minlabel_components(
             batch_format="pandas",
         )
         mixed = tagged_lab.union(tagged_edg).union(tagged_ptr).map_batches(
-            lambda df: df.assign(bucket=(df["node"] % N_COARSE).astype("int64")),
+            lambda df: df.assign(bucket=(df["node"] % n_buckets).astype("int64")),
             batch_format="pandas",
         )
         msgs = mixed.groupby("bucket").map_groups(
@@ -909,7 +914,9 @@ def minlabel_components(
         # per block keeps task overhead flat at any corpus size.
         n_parts = max(8, min(1024, n_nodes // 250_000 + 8))
         labels = (
-            bucketed_group_agg(msgs, ["node"], {"label": ("label", "min")})
+            bucketed_group_agg(
+                msgs, ["node"], {"label": ("label", "min")}, num_buckets=n_buckets
+            )
             .repartition(n_parts)
             .materialize()
         )

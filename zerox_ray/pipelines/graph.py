@@ -211,8 +211,17 @@ def crawl_depth(
     seed_df["depth"] = np.int64(0)
     dist = ray.data.from_pandas(seed_df[["k", "url", "depth"]]).materialize()
 
+    # size-aware exchange width, same rationale as pagerank: K rounds ×
+    # 2 shuffles each must not fan tiny frontiers into cluster-width
+    # bucket counts
+    from zerox_ray.stages.classify import default_num_partitions
+
+    n_buckets = max(8, min(default_num_partitions(), ekeys.count() // 10_000 + 8))
+
     for _ in range(max_hops):
-        hops = hash_join(ekeys, dist.select_columns(["k", "depth"]), on="k").map_batches(
+        hops = hash_join(
+            ekeys, dist.select_columns(["k", "depth"]), on="k", num_buckets=n_buckets
+        ).map_batches(
             lambda df: pd.DataFrame(
                 {
                     "k": pd.Series(_h63(df["dst"].tolist()), dtype="int64")
@@ -232,7 +241,8 @@ def crawl_depth(
         n_parts = max(8, min(1024, dist.count() // 250_000 + 8))
         dist = (
             bucketed_group_agg(
-                dist.union(hops), ["k", "url"], {"depth": ("depth", "min")}
+                dist.union(hops), ["k", "url"], {"depth": ("depth", "min")},
+                num_buckets=n_buckets,
             )
             .repartition(n_parts)
             .materialize()
@@ -395,68 +405,86 @@ def pagerank(
     from zerox_ray.pipelines.relational import hash_join
 
     ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
-    edges = link_graph(ds, prefix).materialize()
-    nodes = ds.select_columns(["url"]).materialize()
 
-    # (src, outdeg) — per-batch combiner then one grouped sum
+    # Everything iterative runs on int64 url-keys: urls are hashed ONCE
+    # at the edges (63-bit md5), shuffled as 8-byte ints through every
+    # round, and joined back to strings once at the end. The first
+    # version carried url strings through each round and re-md5'd them
+    # per round; worse, each round's output block count compounded
+    # (64→640 blocks over 3 rounds at 5k nodes) so round wall time grew
+    # 10→57 s. Int keys + a per-round coalesce hold it flat.
+    nodes = ds.select_columns(["url"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                "url": t["url"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    ekeys = link_graph(ds, prefix).map_batches(
+        lambda t: pa.table(
+            {
+                "sk": pa.array(_h63(t["src"].to_pylist()), pa.int64()),
+                "dk": pa.array(_h63(t["dst"].to_pylist()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # (sk, outdeg) — per-batch combiner then one grouped sum
     outdeg = bucketed_group_agg(
-        edges.map_batches(
-            lambda df: df.groupby("src", as_index=False)
+        ekeys.map_batches(
+            lambda df: df.groupby("sk", as_index=False)
             .size()
             .rename(columns={"size": "outdeg"})
             .astype({"outdeg": "int64"}),
             batch_format="pandas",
         ),
-        ["src"],
+        ["sk"],
         {"outdeg": ("outdeg", "sum")},
     )
-    # edges annotated with src outdeg, keyed for the per-round join.
-    # str keys: hash_join needs int64 — key on md5-64 of the url (the
-    # url column rides along for the final output)
-    from zerox_ray.functions.hashing import md5_64_array
+    edges_deg = hash_join(ekeys, outdeg, on="sk").materialize()
 
-    def key_of(col: pd.Series) -> pd.Series:
-        return pd.Series(
-            md5_64_array([u.encode() for u in col]).astype(np.int64),
-            index=col.index,
-        )
+    # size-aware exchange widths: the iterative loop pays 2 shuffles per
+    # round, so tiny inputs must not fan out into cluster-width bucket
+    # counts (64 buckets × ~200 rows each is pure task overhead; measured
+    # 6 s/round → ~2.5 s/round at 5k nodes). Large inputs still reach the
+    # CPU-scaled default.
+    from zerox_ray.stages.classify import default_num_partitions
 
-    ekey = edges.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "k": key_of(df["src"]),
-                "dst": df["dst"].astype(object),
-            }
-        ),
-        batch_format="pandas",
-    )
-    okey = outdeg.map_batches(
-        lambda df: pd.DataFrame(
-            {"k": key_of(df["src"]), "outdeg": df["outdeg"].astype("int64")}
-        ),
-        batch_format="pandas",
-    )
-    edges_deg = hash_join(ekey, okey, on="k").materialize()
-
+    n_nodes = nodes.count()
+    n_edges = edges_deg.count()
+    n_parts = max(8, min(1024, n_nodes // 250_000 + 8))
+    n_buckets = max(8, min(default_num_partitions(), n_edges // 10_000 + 8))
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·S
 
-    ranks = nodes.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "k": key_of(df["url"]),
-                "url": df["url"].astype(object),
-                "r": np.int64(PR_SCALE),
-            }
-        ),
-        batch_format="pandas",
+    edges_deg = edges_deg.repartition(
+        max(8, min(1024, n_edges // 250_000 + 8))
     ).materialize()
+    ranks = (
+        nodes.map_batches(
+            lambda t: pa.table({"sk": t["k"], "r": pa.array([PR_SCALE] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
+    zeros = (
+        nodes.map_batches(
+            lambda t: pa.table({"k": t["k"], "c": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
 
     for _ in range(iters):
-        joined = hash_join(edges_deg, ranks.select_columns(["k", "r"]), on="k")
+        joined = hash_join(edges_deg, ranks, on="sk", num_buckets=n_buckets)
         contribs = joined.map_batches(
             lambda df: pd.DataFrame(
                 {
-                    "dst": df["dst"].astype(object),
+                    "k": df["dk"].astype("int64"),
                     "c": (
                         df["r"].to_numpy(np.int64)
                         // df["outdeg"].to_numpy(np.int64)
@@ -465,32 +493,39 @@ def pagerank(
             ),
             batch_format="pandas",
         )
-        sums = bucketed_group_agg(contribs, ["dst"], {"c": ("c", "sum")})
-        # dangling receivers: union in a zero row per node, sum again
-        zeros = nodes.map_batches(
-            lambda df: pd.DataFrame(
-                {"dst": df["url"].astype(object), "c": np.int64(0)}
-            ),
-            batch_format="pandas",
-        )
+        # one exchange: dangling receivers ride in as zero rows so the
+        # grouped sum emits every node (the old two-agg version paid a
+        # second full shuffle just to union the zeros)
         total = bucketed_group_agg(
-            sums.union(zeros), ["dst"], {"c": ("c", "sum")}
+            contribs.union(zeros), ["k"], {"c": ("c", "sum")},
+            num_buckets=n_buckets,
         )
-        ranks = total.map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "k": key_of(df["dst"]),
-                    "url": df["dst"].astype(object),
-                    "r": (
-                        base
-                        + PR_DAMP_NUM * df["c"].to_numpy(np.int64) // PR_DAMP_DEN
-                    ).astype(np.int64),
-                }
-            ),
-            batch_format="pandas",
-        ).materialize()
+        ranks = (
+            total.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "sk": df["k"].astype("int64"),
+                        "r": (
+                            base
+                            + PR_DAMP_NUM * df["c"].to_numpy(np.int64) // PR_DAMP_DEN
+                        ).astype(np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .repartition(n_parts)
+            .materialize()
+        )
 
-    return ranks.map_batches(
+    final = hash_join(
+        ranks.map_batches(
+            lambda t: pa.table({"k": t["sk"], "r": t["r"]}),
+            batch_format="pyarrow",
+        ),
+        nodes,
+        on="k",
+    )
+    return final.map_batches(
         lambda df: pd.DataFrame(
             {"url": df["url"].astype(object), "rank": df["r"].astype("int64")}
         ),

@@ -38,24 +38,13 @@ WEB_TOKENS_PER_SHARD = 20_000
 WEB_MIN_TOKENS = 5
 
 
-def web_curate(
+def _curated_keepers(
     pages: ray.data.Dataset | str,
-    cfg: ZeroxConfig | None = None,
-    tokens_per_shard: int = WEB_TOKENS_PER_SHARD,
-    min_tokens: int = WEB_MIN_TOKENS,
+    cfg: ZeroxConfig | None,
+    min_tokens: int,
 ) -> ray.data.Dataset:
-    """pages(html) → (url, n_tok, shard_id) for the curated corpus.
-
-    1. OCR: the flagship extraction pipeline (byte-identical markdown).
-    2. Gate: drop documents with any failed page or < min_tokens tokens
-       (vectorized Arrow regex count — the same kernel token_stats pins).
-    3. Exact dedup: keep the lexicographically-lowest url per markdown
-       (per-batch first-occurrence combiner, then one text-keyed
-       exchange — the curate_corpus idiom).
-    4. Shard packing: exclusive prefix token count in (md5_64(url), url)
-       order // tokens_per_shard — the token_shards two-pass distributed
-       prefix sum, hash order doubling as the training shuffle.
-    """
+    """Shared front of the curation capstones: OCR → quality gate →
+    exact dedup. Returns (url, n_tok) keeper rows."""
     docs = run_ocr(pages, cfg)
 
     def gate(t: pa.Table) -> pa.Table:
@@ -85,11 +74,32 @@ def web_curate(
             }
         )
 
-    keepers = bucketed_group_map(
+    return bucketed_group_map(
         gated.map_batches(dd_partial, batch_format="pandas"),
         "markdown",
         dd_keep,
     )
+
+
+def web_curate(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    tokens_per_shard: int = WEB_TOKENS_PER_SHARD,
+    min_tokens: int = WEB_MIN_TOKENS,
+) -> ray.data.Dataset:
+    """pages(html) → (url, n_tok, shard_id) for the curated corpus.
+
+    1. OCR: the flagship extraction pipeline (byte-identical markdown).
+    2. Gate: drop documents with any failed page or < min_tokens tokens
+       (vectorized Arrow regex count — the same kernel token_stats pins).
+    3. Exact dedup: keep the lexicographically-lowest url per markdown
+       (per-batch first-occurrence combiner, then one text-keyed
+       exchange — the curate_corpus idiom).
+    4. Shard packing: exclusive prefix token count in (md5_64(url), url)
+       order // tokens_per_shard — the token_shards two-pass distributed
+       prefix sum, hash order doubling as the training shuffle.
+    """
+    keepers = _curated_keepers(pages, cfg, min_tokens)
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         from zerox_ray.functions.hashing import md5_64_array
@@ -146,3 +156,121 @@ def web_curate(
         )
 
     return hashed.groupby("rng").map_groups(assign, batch_format="pandas")
+
+
+#: rank-range granularity for rank_curate's prefix pass: 256 micro-units
+#: of PageRank per range keeps the driver-side offset table bounded by
+#: max_rank/256 ENTRIES (a property of the rank VALUE range, not the
+#: corpus size)
+_RANK_RANGE_SHIFT = 8
+
+
+def rank_curate(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    tokens_per_shard: int = WEB_TOKENS_PER_SHARD,
+    min_tokens: int = WEB_MIN_TOKENS,
+) -> ray.data.Dataset:
+    """Authority-ordered curation: the web_curate composition, but shard
+    packing follows GLOBAL PageRank-descending order instead of hash
+    order — crawl-graph signals feeding training-data selection. The
+    highest-authority content lands in the earliest shards, so "spend a
+    token budget B on the best pages" is the post-filter
+    ``shard_id < B // tokens_per_shard`` with no further shuffle.
+
+    Output: (url, n_tok, rank, shard_id); order key is
+    (rank DESC, md5_64(url) ASC, url ASC) — hash tie-break keeps equal
+    ranks deterministic and skew-spread.
+
+    Scale shape: the same two-pass distributed prefix sum as web_curate,
+    but ranged on the rank VALUE (``-(rank >> 8)``) so range order IS
+    rank order; the driver-side offset table is bounded by max_rank/256
+    entries regardless of corpus size. Two payload scans total (one OCR,
+    one link extraction — pagerank needs the full graph either way).
+    Honest cap: all rows tied at one exact rank land in one range group;
+    the in-group sort is vectorized but per-group memory is the bound —
+    the refinement path at extreme tie mass is a secondary h-range split
+    of the modal rank value."""
+    from zerox_ray.pipelines.graph import pagerank
+    from zerox_ray.pipelines.relational import hash_join
+
+    keepers = _curated_keepers(pages, cfg, min_tokens)
+    ranks = pagerank(pages)
+
+    def key_keep(df: pd.DataFrame) -> pd.DataFrame:
+        from zerox_ray.functions.hashing import md5_64_array
+
+        h = md5_64_array([u.encode() for u in df["url"]])
+        return pd.DataFrame(
+            {
+                "k": pd.Series((h >> np.uint64(1)).astype(np.int64), dtype="int64"),
+                "url": df["url"].astype(object),
+                "n_tok": df["n_tok"].astype("int64"),
+                "h": pd.Series(h, dtype="uint64"),
+            }
+        )
+
+    def key_rank(df: pd.DataFrame) -> pd.DataFrame:
+        from zerox_ray.functions.hashing import md5_64_array
+
+        h = md5_64_array([u.encode() for u in df["url"]])
+        return pd.DataFrame(
+            {
+                "k": pd.Series((h >> np.uint64(1)).astype(np.int64), dtype="int64"),
+                "rank": df["rank"].astype("int64"),
+            }
+        )
+
+    joined = hash_join(
+        keepers.map_batches(key_keep, batch_format="pandas"),
+        ranks.map_batches(key_rank, batch_format="pandas"),
+        on="k",
+    )
+    ranged = joined.map_batches(
+        lambda df: df.assign(
+            rng=-(df["rank"].to_numpy(np.int64) >> _RANK_RANGE_SHIFT)
+        )[["url", "n_tok", "h", "rank", "rng"]],
+        batch_format="pandas",
+    ).materialize()
+
+    # pass 1: per-range token sums → driver prefix scan over ascending
+    # rng (= descending rank)
+    range_sums = (
+        ranged.map_batches(
+            lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("rng", as_index=False)["n_tok"]
+        .sum()
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            range_sums["rng"].to_numpy(),
+            np.concatenate(
+                [[0], np.cumsum(range_sums["n_tok"].to_numpy())[:-1]]
+            ),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 2: within-range exclusive cumsum in (rank desc, h, url) order
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.copy()
+        g["__nr"] = -g["rank"].to_numpy(np.int64)
+        g = g.sort_values(["__nr", "h", "url"], kind="mergesort")
+        tok = g["n_tok"].to_numpy(dtype=np.int64)
+        excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        excl += int(off[int(g["rng"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "url": g["url"].astype("string"),
+                "n_tok": tok,
+                "rank": g["rank"].astype("int64"),
+                "shard_id": (excl // tokens_per_shard).astype(np.int64),
+            }
+        )
+
+    return ranged.groupby("rng").map_groups(assign, batch_format="pandas")
