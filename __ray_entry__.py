@@ -80,9 +80,11 @@ from zerox_ray.pipelines.graph import (
     anchor_texts,
     crawl_depth,
     inlink_counts,
+    inlink_summaries,
     leaf_pages,
     link_components,
     link_graph,
+    page_metadata,
     pagerank,
 )
 from zerox_ray.pipelines.web import rank_curate, web_curate
@@ -231,6 +233,29 @@ def _q_leaf_pages(sf_dir: str):
     return leaf_pages(pages_dir_for(sf_dir))
 
 
+def _q_inlink_summaries(sf_dir: str):
+    return inlink_summaries(pages_dir_for(sf_dir))
+
+
+def _q_page_metadata(sf_dir: str):
+    return page_metadata(pages_dir_for(sf_dir))
+
+
+def _q_snapshot_curate(sf_dir: str):
+    """Incremental-corpus curation: the multi-snapshot pages table is
+    collapsed to the newest snapshot per url at the read, then fed
+    through the full web_curate chain — same output as curating the
+    deduplicated corpus directly (the oracle reuses web_curate's SQL)."""
+    from zerox_ray.sources.pages import read_pages
+
+    pages = read_pages(
+        snapshot_pages_dir_for(sf_dir),
+        columns=("url", "html"),
+        latest_snapshot_only=True,
+    )
+    return web_curate(pages)
+
+
 def _crawl_seeds(sf_dir: str) -> list[str]:
     """The crawl-depth workload: every 50th doc url is a trusted seed.
     Derived from the documents table's row count only (closed form, like
@@ -358,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
         "leaf_pages": _q_leaf_pages,
+        "inlink_summaries": _q_inlink_summaries,
+        "page_metadata": _q_page_metadata,
+        "snapshot_curate": _q_snapshot_curate,
         "crawl_depth": _q_crawl_depth,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
@@ -1157,7 +1185,7 @@ FROM lc_rep r JOIN lc_h h2 USING (doc_id)
 #: mirror of pipelines/graph.py::anchor_texts — the testgen footer emits
 #: anchor text 'related {j}' for link slot j (testgen.build_html), so the
 #: edge CTE re-derives j alongside src/dst
-_ANCHOR_TEXTS_SQL = """
+_ANCHOR_CTES = """
 WITH an_n AS (SELECT count(*) AS n FROM documents),
 an_e AS (
   SELECT d.doc_id AS src,
@@ -1165,11 +1193,43 @@ an_e AS (
          j.j AS j
   FROM documents d, an_n, (SELECT unnest(range(3)) AS j) j
   WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
-)
-SELECT 'https://example.org/doc/' || src AS src,
-       'https://example.org/doc/' || dst AS dst,
-       'related ' || j AS anchor
-FROM an_e
+),
+an_t AS (
+  SELECT 'https://example.org/doc/' || src AS src,
+         'https://example.org/doc/' || dst AS dst,
+         'related ' || j AS anchor
+  FROM an_e
+)"""
+
+_ANCHOR_TEXTS_SQL = _ANCHOR_CTES + """
+SELECT src, dst, anchor FROM an_t
+"""
+
+#: mirror of pipelines/graph.py::inlink_summaries — per-dst anchor
+#: rollup in (anchor, src) order
+_INLINK_SUMMARIES_SQL = _ANCHOR_CTES + """
+SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+       string_agg(anchor, '|' ORDER BY anchor, src) AS anchors
+FROM an_t GROUP BY dst
+"""
+
+#: mirror of pipelines/graph.py::page_metadata — kind/title/link-count/
+#: page_count are all closed-form per doc_id (testgen plan_doc +
+#: build_html/build_pdf structure markers; Classifier sniffs the corrupt
+#: payload as 'unknown' and floors page_count at 1)
+_PAGE_METADATA_SQL = """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       CASE WHEN doc_id % 101 = 13 THEN 'unknown'
+            WHEN doc_id % 10 = 7 THEN 'pdf'
+            ELSE 'html' END AS kind,
+       CASE WHEN doc_id % 101 <> 13 AND doc_id % 10 <> 7
+            THEN 'doc ' || doc_id ELSE '' END AS title,
+       CAST(CASE WHEN doc_id % 101 <> 13 AND doc_id % 10 <> 7
+            THEN 3 ELSE 0 END AS BIGINT) AS n_links,
+       CAST(CASE WHEN doc_id % 101 = 13 THEN 1
+            WHEN doc_id % 50 = 0 THEN 24
+            ELSE 1 + (doc_id % 4) END AS BIGINT) AS page_count
+FROM documents
 """
 
 #: mirror of pipelines/graph.py::leaf_pages — pages absent from the edge
@@ -1370,6 +1430,26 @@ pages AS (
   FROM pg
 )
 """
+
+#: full web_curate oracle: keepers + md5-hash-ordered prefix-sum packing
+_WEB_CURATE_SQL = (
+    _PAGES_CTE
+    + _WEB_KEEPER_CTES
+    + """,
+wh AS (
+  SELECT url, n_tok, ('0x'||substring(md5(url),1,16))::UBIGINT AS h FROM wk
+),
+wcum AS (
+  SELECT url, n_tok,
+         COALESCE(sum(n_tok) OVER (ORDER BY h, url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM wh
+)
+SELECT url, n_tok, CAST(excl // 20000 AS BIGINT) AS shard_id FROM wcum
+"""
+)
+
+
 
 
 _OCR_DOCUMENTS_SQL = (
@@ -2240,23 +2320,16 @@ FROM pr_edges GROUP BY dst
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,
+        "inlink_summaries": _INLINK_SUMMARIES_SQL,
+        "page_metadata": _PAGE_METADATA_SQL,
         "crawl_depth": _crawl_depth_sql(),
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
-        "web_curate": _PAGES_CTE
-        + _WEB_KEEPER_CTES
-        + """,
-wh AS (
-  SELECT url, n_tok, ('0x'||substring(md5(url),1,16))::UBIGINT AS h FROM wk
-),
-wcum AS (
-  SELECT url, n_tok,
-         COALESCE(sum(n_tok) OVER (ORDER BY h, url
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
-  FROM wh
-)
-SELECT url, n_tok, CAST(excl // 20000 AS BIGINT) AS shard_id FROM wcum
-""",
+        "web_curate": _WEB_CURATE_SQL,
+        # the multi-snapshot corpus collapses (newest per url) to exactly
+        # the base corpus, so the curation oracle is web_curate's —
+        # the same identity ocr_snapshot_ingest relies on
+        "snapshot_curate": _WEB_CURATE_SQL,
         # rank_curate: same keepers, shard packing in global
         # (pagerank DESC, md5-64(url), url) order (mirrors
         # pipelines/web.py::rank_curate)

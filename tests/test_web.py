@@ -69,6 +69,75 @@ def test_web_curate_invariant_to_blocking(sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_snapshot_curate_equals_base_curate(sf_dir):
+    """Collapsing the multi-snapshot corpus to newest-per-url then
+    curating must equal curating the base corpus directly."""
+    import pandas as pd
+
+    from zerox_ray.pipelines.web import web_curate
+    from zerox_ray.sources.pages import read_pages
+    from zerox_ray.testgen import snapshot_pages_dir_for
+
+    base = (
+        web_curate(pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    snap = (
+        web_curate(
+            read_pages(
+                snapshot_pages_dir_for(sf_dir),
+                columns=("url", "html"),
+                latest_snapshot_only=True,
+            )
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, snap)
+
+
+def test_page_metadata_matches_plan(sf_dir):
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.graph import page_metadata
+    from zerox_ray.testgen import URL_PREFIX, plan_doc
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        p = plan_doc(d, txt)
+        if p["kind"] == "html":
+            want[p["url"]] = ("html", f"doc {d}", 3, p["n_pages"])
+        elif p["kind"] == "pdf":
+            want[p["url"]] = ("pdf", "", 0, p["n_pages"])
+        else:  # corrupt → sniffed unknown, page_count floored at 1
+            want[p["url"]] = ("unknown", "", 0, 1)
+    got = page_metadata(pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(want)
+    for url, kind, title, n_links, pc_ in zip(
+        got.url, got.kind, got.title, got.n_links, got.page_count
+    ):
+        assert want[url] == (kind, title, n_links, pc_), url
+
+
+def test_inlink_summaries_aggregate_anchor_table(sf_dir):
+    from zerox_ray.pipelines.graph import anchor_texts, inlink_summaries
+
+    a = anchor_texts(pages_dir_for(sf_dir)).to_pandas()
+    want = {
+        dst: "|".join(g.sort_values(["anchor", "src"]).anchor)
+        for dst, g in a.groupby("dst")
+    }
+    got = inlink_summaries(pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(want)
+    for dst, n, anchors in zip(got.dst, got.n_inlinks, got.anchors):
+        assert anchors == want[dst], dst
+        assert n == anchors.count("|") + 1
+
+
 def test_rank_curate_orders_by_authority(sf_dir):
     """rank_curate = web_curate's keepers packed in (rank desc, h, url)
     order; replay the packing from the engine's own pagerank output +

@@ -142,6 +142,72 @@ def anchor_texts(
     return ds.map_batches(anchors, batch_format="pyarrow")
 
 
+#: flat <title> bodies, same convention as the anchor regex
+_TITLE_RE = re.compile(rb"<title>([^<]*)</title>")
+
+
+def page_metadata(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Per-page DOM/payload metadata sheet: (url, kind, title, n_links,
+    page_count) — the profiling table a crawl operator derives before
+    routing (payload mix, title coverage, out-degree, size skew).
+
+    Scale shape: one shuffle-free pass — the flagship's vectorized
+    ``Classifier`` sniff (kind + structural page_count, classify.py)
+    plus a per-batch title/href regex scan. No exchange at all."""
+    from zerox_ray.stages.classify import ClassifyPayload, default_num_partitions
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    classified = ds.map_batches(
+        ClassifyPayload(default_num_partitions()), batch_format="pyarrow"
+    )
+    pfx = prefix.encode()
+
+    def meta(t: pa.Table) -> pa.Table:
+        titles: list[str] = []
+        n_links: list[int] = []
+        for payload in t["html"].to_pylist():
+            m = _TITLE_RE.search(payload)
+            titles.append(m.group(1).decode("utf-8", errors="replace") if m else "")
+            n_links.append(sum(1 for h in _HREF_RE.findall(payload) if h.startswith(pfx)))
+        return pa.table(
+            {
+                "url": t["url"],
+                "kind": t["kind"],
+                "title": pa.array(titles, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "page_count": t["page_count"],
+            }
+        )
+
+    return classified.map_batches(meta, batch_format="pyarrow")
+
+
+def inlink_summaries(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Anchor-context rollup per target page: (dst, n_inlinks, anchors)
+    where ``anchors`` is the '|'-joined anchor texts in (anchor, src)
+    order — the inlink-derived page description classic retrieval
+    pipelines index alongside body text.
+
+    Scale shape: the anchor scan (shuffle-free) then ONE dst-keyed
+    coarse-bucket exchange; per-bucket work is a vectorized sort +
+    grouped join over short strings."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dst", "anchor", "src"], kind="mergesort")
+        out = g.groupby("dst", sort=False).agg(
+            n_inlinks=("src", "size"),
+            anchors=("anchor", "|".join),
+        )
+        return out.reset_index().astype({"n_inlinks": "int64"})
+
+    return bucketed_group_map(anchor_texts(pages, prefix), "dst", summarize)
+
+
 def leaf_pages(
     pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
 ) -> ray.data.Dataset:
