@@ -88,3 +88,132 @@ def test_prior_tail_zero_disables_conditioning():
     m = DeterministicExtractorModel(prior_tail_chars=0)
     c = m.complete(b"<p>hello</p>", "sheet")
     assert c.tail == ""
+
+
+def _pages_ds(rows):
+    """In-memory pages table from (url, html) pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([u for u, _ in rows], pa.string()),
+                "html": pa.array([h for _, h in rows], pa.binary()),
+            }
+        )
+    )
+
+
+def _link_html(targets):
+    return b"".join(b'<a href="%s">x</a>' % t.encode() for t in targets) or b"<p>leaf</p>"
+
+
+def test_pagerank_linkless_corpus_all_base_rank():
+    """No edges at all: every node's rank is the (1-d) base after any
+    number of rounds."""
+    from zerox_ray.pipelines.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE, pagerank
+
+    ds = _pages_ds([(f"u{i}", b"<p>no links</p>") for i in range(5)])
+    got = pagerank(ds, prefix="u").to_pandas()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    assert len(got) == 5
+    assert (got["rank"] == base).all()
+
+
+def test_pagerank_self_loop_and_multi_edge():
+    """Self-links and duplicate hrefs count as ordinary (multi-)edges —
+    replay the exact integer recurrence in python."""
+    from zerox_ray.pipelines.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    #  a -> a, a -> b, a -> b (dup), b -> a
+    ds = _pages_ds(
+        [("a", _link_html(["a", "b", "b"])), ("b", _link_html(["a"]))]
+    )
+    got = dict(zip(*(lambda d: (d.url, d["rank"]))(pagerank(ds, prefix="").to_pandas())))
+    edges = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")]
+    outdeg = {"a": 3, "b": 1}
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    r = {"a": PR_SCALE, "b": PR_SCALE}
+    for _ in range(PR_ITERS):
+        acc = {"a": 0, "b": 0}
+        for s, d in edges:
+            acc[d] += r[s] // outdeg[s]
+        r = {v: base + PR_DAMP_NUM * acc[v] // PR_DAMP_DEN for v in r}
+    assert got == r
+
+
+def test_link_components_no_same_lang_edges_selfs():
+    """Every page its own component when no same-language edge exists
+    (exercises the comp.count()==0 fallback path)."""
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import link_components
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b"], pa.string()),
+                "lang": pa.array(["en", "fr"], pa.string()),
+                "html": pa.array(
+                    [b'<a href="b">x</a>', b'<a href="a">x</a>'], pa.binary()
+                ),
+            }
+        )
+    )
+    got = link_components(ds, prefix="").to_pandas()
+    assert dict(zip(got.url, got.component)) == {"a": "a", "b": "b"}
+
+
+def test_crawl_depth_no_seeds_empty():
+    from zerox_ray.pipelines.graph import crawl_depth
+
+    ds = _pages_ds([("a", _link_html(["b"])), ("b", b"<p>x</p>")])
+    got = crawl_depth(ds, seeds=[], prefix="").to_pandas()
+    assert len(got) == 0
+
+
+def test_crawl_depth_unreachable_absent():
+    from zerox_ray.pipelines.graph import crawl_depth
+
+    # a -> b; c is disconnected
+    ds = _pages_ds(
+        [("a", _link_html(["b"])), ("b", b"<p>x</p>"), ("c", b"<p>x</p>")]
+    )
+    got = crawl_depth(ds, seeds=["a"], prefix="").to_pandas()
+    assert dict(zip(got.url, got.depth)) == {"a": 0, "b": 1}
+
+
+def test_hash_join_empty_schemaless_side():
+    """A rowless side whose schema is unknowable (groupby over an empty
+    stream) must resolve semantically, not crash on schema introspection
+    (surfaced by pagerank over a linkless corpus)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from zerox_ray.pipelines.agg import bucketed_group_agg
+    from zerox_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    )
+    # empty through a groupby: the classic no-schema producer
+    empty = bucketed_group_agg(
+        ray.data.from_pandas(pd.DataFrame({"k": [1]})).filter(lambda r: False),
+        ["k"],
+        {"n": ("k", "size")},
+    )
+    assert hash_join(left, empty, on="k").count() == 0
+    assert hash_join(left, empty, on="k", how="semi").count() == 0
+    anti = hash_join(left, empty, on="k", how="anti").to_pandas()
+    assert sorted(anti.k) == [1, 2]
+    with pytest.raises(ValueError, match="unknown schema"):
+        hash_join(left, empty, on="k", how="left")

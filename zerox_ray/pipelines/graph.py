@@ -376,6 +376,12 @@ def link_components(
         ),
         batch_format="pyarrow",
     ).materialize()
+    # size-aware exchange width for the four one-shot joins (same
+    # rationale as pagerank: don't fan a small node/edge table into
+    # cluster-width buckets); edges ≈ 3×nodes on a link graph
+    from zerox_ray.stages.classify import default_num_partitions
+
+    _nb = max(8, min(default_num_partitions(), (3 * nodes.count()) // 10_000 + 8))
 
     ekeys = link_graph(ds, prefix).map_batches(
         lambda t: pa.table(
@@ -394,8 +400,8 @@ def link_components(
         lambda t: pa.table({"dk": t["nk"], "dlang": t["nlang"]}),
         batch_format="pyarrow",
     )
-    with_src = hash_join(ekeys, src_lang, on="sk")
-    with_both = hash_join(with_src, dst_lang, on="dk")
+    with_src = hash_join(ekeys, src_lang, on="sk", num_buckets=_nb)
+    with_both = hash_join(with_src, dst_lang, on="dk", num_buckets=_nb)
     pairs = with_both.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -430,7 +436,7 @@ def link_components(
     # nodes ⟕ labels: isolated pages (no same-language edge) label
     # themselves; the Int64-nullable column from the left join is
     # filled with the node's own key before the representative lookup
-    labeled = hash_join(slim, lab, on="nk", how="left").map_batches(
+    labeled = hash_join(slim, lab, on="nk", how="left", num_buckets=_nb).map_batches(
         lambda df: pd.DataFrame(
             {
                 "url": df["url"].astype(object),
@@ -445,7 +451,7 @@ def link_components(
         lambda t: pa.table({"label": t["nk"], "component": t["url"]}),
         batch_format="pyarrow",
     )
-    return hash_join(labeled, rep, on="label").map_batches(
+    return hash_join(labeled, rep, on="label", num_buckets=_nb).map_batches(
         lambda df: pd.DataFrame(
             {
                 "url": df["url"].astype(object),

@@ -152,6 +152,25 @@ def hash_join(
             return str(typ).startswith(("int", "uint"))
 
     lschema, rschema = left.schema(), right.schema()
+    # a rowless side can surface with NO schema at all (e.g. a groupby
+    # over an empty stream) — resolve the join semantically instead of
+    # crashing on schema introspection
+    if lschema is None:
+        if how in ("inner", "left", "semi", "anti"):
+            return left  # empty in every left-row-emitting mode
+        raise ValueError(
+            "hash_join: left side is empty with unknown schema; "
+            f"how={how!r} needs its columns — guard or materialize upstream"
+        )
+    if rschema is None:
+        if how in ("inner", "semi"):
+            return left.limit(0)  # keeps the left schema, zero rows
+        if how == "anti":
+            return left  # nothing to subtract
+        raise ValueError(
+            "hash_join: right side is empty with unknown schema; "
+            f"how={how!r} needs its columns — guard or materialize upstream"
+        )
     lcols, rcols = list(lschema.names), list(rschema.names)
     lints = {
         n: str(t) for n, t in zip(lschema.names, lschema.types) if _is_int(t)
