@@ -253,3 +253,115 @@ def test_crc32_array_long_and_empty_values():
     np.testing.assert_array_equal(
         got, np.array([zlib.crc32(v) for v in vals], dtype=np.uint32)
     )
+
+
+# --- web-graph property tests (random small graphs through the real
+# --- distributed operators, checked against pure-python replicas)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_pagerank_random_graphs_match_replica(n, raw_edges):
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    got = dict(
+        zip(*(lambda d: (d.url, d["rank"]))(pagerank(ds, prefix="n").to_pandas()))
+    )
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+    r = {i: PR_SCALE for i in range(n)}
+    deg = {i: len(out[i]) for i in range(n)}
+    for _ in range(PR_ITERS):
+        acc = {i: 0 for i in range(n)}
+        for a, b in edges:
+            acc[b] += r[a] // deg[a]
+        r = {i: base + PR_DAMP_NUM * acc[i] // PR_DAMP_DEN for i in range(n)}
+    assert got == {f"n{i}": r[i] for i in range(n)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_link_components_random_graphs_match_union_find(n, raw_edges):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import link_components
+
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls),
+                "lang": pa.array(["en"] * n),
+                "html": pa.array(html, pa.binary()),
+            }
+        )
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def h63(i):
+        return int(hashlib.md5(f"n{i}".encode()).hexdigest()[:16], 16) >> 1
+
+    rep = {}
+    for i in range(n):
+        r = find(i)
+        if r not in rep or h63(i) < h63(rep[r]):
+            rep[r] = i
+    want = {f"n{i}": f"n{rep[find(i)]}" for i in range(n)}
+    got = link_components(ds, prefix="n").to_pandas()
+    assert dict(zip(got.url, got.component)) == want
