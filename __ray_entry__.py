@@ -79,6 +79,7 @@ from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.graph import (
     anchor_texts,
     crawl_depth,
+    crawl_frontier,
     inlink_counts,
     inlink_summaries,
     leaf_pages,
@@ -270,6 +271,12 @@ def _q_crawl_depth(sf_dir: str):
     return crawl_depth(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Recrawl-priority table: PageRank authority discounted by BFS
+    distance from the seed set — the two graph signals joined."""
+    return crawl_frontier(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
+
+
 def _q_web_curate(sf_dir: str):
     """North-star capstone: raw html pages -> OCR -> quality gate ->
     exact dedup -> token-budget training shards, one streaming plan."""
@@ -387,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata": _q_page_metadata,
         "snapshot_curate": _q_snapshot_curate,
         "crawl_depth": _q_crawl_depth,
+        "crawl_frontier": _q_crawl_frontier,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -1243,12 +1251,11 @@ WHERE doc_id NOT IN (SELECT src FROM pr_edges)
 )
 
 
-def _crawl_depth_sql(max_hops: int = 4) -> str:
-    """Mirror of pipelines/graph.py::crawl_depth — K BFS rounds unrolled
-    (frontier ∪ one-hop expansion, grouped min), seeds = every 50th doc
-    (matches _crawl_seeds)."""
+def _crawl_depth_ctes(max_hops: int = 4) -> str:
+    """The K unrolled BFS-round CTEs (cd_d0..cd_d{K}) — appended after
+    pr_edges; seeds = every 50th doc (matches _crawl_seeds). Shared by
+    the crawl_depth and crawl_frontier oracles."""
     parts = [
-        _PR_EDGES_CTE,
         """,
 cd_d0 AS (
   SELECT doc_id, CAST(0 AS BIGINT) AS depth FROM documents WHERE doc_id % 50 = 0
@@ -1264,9 +1271,33 @@ cd_d{i} AS (
     FROM cd_d{i - 1} d JOIN pr_edges e ON e.src = d.doc_id
   ) GROUP BY doc_id
 )""")
-    parts.append(f"""
-SELECT 'https://example.org/doc/' || doc_id AS url, depth FROM cd_d{max_hops}""")
     return "".join(parts)
+
+
+def _crawl_depth_sql(max_hops: int = 4) -> str:
+    """Mirror of pipelines/graph.py::crawl_depth — K BFS rounds unrolled
+    (frontier ∪ one-hop expansion, grouped min)."""
+    return (
+        _PR_EDGES_CTE
+        + _crawl_depth_ctes(max_hops)
+        + f"""
+SELECT 'https://example.org/doc/' || doc_id AS url, depth FROM cd_d{max_hops}"""
+    )
+
+
+def _crawl_frontier_sql(max_hops: int = 4, iters: int = 3) -> str:
+    """Mirror of pipelines/graph.py::crawl_frontier — the pagerank and
+    BFS chains joined, priority = rank // (1 + depth) in exact ints."""
+    return (
+        _PR_EDGES_CTE
+        + _pagerank_round_ctes(iters)
+        + _crawl_depth_ctes(max_hops)
+        + f"""
+SELECT 'https://example.org/doc/' || d.doc_id AS url,
+       r.r AS rank, d.depth AS depth,
+       CAST(r.r // (1 + d.depth) AS BIGINT) AS priority
+FROM cd_d{max_hops} d JOIN pr_r{iters} r USING (doc_id)"""
+    )
 
 
 #: shared curation-keeper chain (appended after _PAGES_CTE): flagship
@@ -2323,6 +2354,7 @@ FROM pr_edges GROUP BY dst
         "inlink_summaries": _INLINK_SUMMARIES_SQL,
         "page_metadata": _PAGE_METADATA_SQL,
         "crawl_depth": _crawl_depth_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _WEB_CURATE_SQL,

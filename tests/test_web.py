@@ -333,6 +333,31 @@ class TestGraphOps:
         # every hop level populated: the graph expansion isn't degenerate
         assert set(got.depth) == set(range(K + 1))
 
+    def test_crawl_frontier_combines_rank_and_depth(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import crawl_depth, crawl_frontier, pagerank
+        from zerox_ray.testgen import URL_PREFIX
+
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        seeds = [f"{URL_PREFIX}{d}" for d in range(0, n, 50)]
+        ranks = dict(
+            zip(*(lambda d: (d.url, d["rank"]))(
+                pagerank(pages_dir_for(sf_dir)).to_pandas()
+            ))
+        )
+        depths = dict(
+            zip(*(lambda d: (d.url, d.depth))(
+                crawl_depth(pages_dir_for(sf_dir), seeds=seeds).to_pandas()
+            ))
+        )
+        got = crawl_frontier(pages_dir_for(sf_dir), seeds=seeds).to_pandas()
+        assert len(got) == len(depths)
+        for url, rank, depth, pr in zip(got.url, got["rank"], got.depth, got.priority):
+            assert rank == ranks[url]
+            assert depth == depths[url]
+            assert pr == rank // (1 + depth)
+
     def test_extract_links_generic_hrefs(self):
         import pyarrow as pa
         import ray.data

@@ -325,6 +325,70 @@ def crawl_depth(
     )
 
 
+def crawl_frontier(
+    pages: ray.data.Dataset | str,
+    seeds: list[str],
+    max_hops: int = 4,
+    prefix: str = "https://example.org/doc/",
+) -> ray.data.Dataset:
+    """Crawl-frontier prioritization: join the two graph signals —
+    link authority (PageRank) and seed proximity (K-hop BFS depth) —
+    into one integer priority per reachable page:
+
+        priority = rank // (1 + depth)
+
+    (authority discounted by distance from trusted seeds; exact integer
+    floor division so the oracle replays it). Output: (url, rank, depth,
+    priority) for pages within ``max_hops`` of the seed set — the table
+    a crawl scheduler sorts its recrawl queue by.
+
+    Scale shape: both inputs are the already-bounded graph operators;
+    the combine is ONE partitioned hash join on the 63-bit url key plus
+    a vectorized map. Two payload scans total (link extraction feeds
+    both signals independently)."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    ranks = pagerank(ds, prefix=prefix).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "k": pd.Series(_h63(df["url"].tolist()), dtype="int64")
+                if len(df)
+                else pd.Series([], dtype="int64"),
+                "rank": df["rank"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    depths = crawl_depth(ds, seeds=seeds, max_hops=max_hops, prefix=prefix).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "k": pd.Series(_h63(df["url"].tolist()), dtype="int64")
+                if len(df)
+                else pd.Series([], dtype="int64"),
+                "url": df["url"].astype(object),
+                "depth": df["depth"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(depths, ranks, on="k")
+    return joined.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "rank": df["rank"].astype("int64"),
+                "depth": df["depth"].astype("int64"),
+                "priority": (
+                    df["rank"].to_numpy(np.int64)
+                    // (1 + df["depth"].to_numpy(np.int64))
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def _h63(urls: list[str]) -> np.ndarray:
     """63-bit md5-derived url keys (int64, always ≥ 0). Non-negative so
     they compose with ``minlabel_components`` (whose tagged unions use
