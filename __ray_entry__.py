@@ -80,6 +80,7 @@ from zerox_ray.pipelines.graph import (
     anchor_texts,
     crawl_depth,
     crawl_frontier,
+    crawl_timeline,
     inlink_counts,
     inlink_summaries,
     leaf_pages,
@@ -271,6 +272,10 @@ def _q_crawl_depth(sf_dir: str):
     return crawl_depth(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
 
 
+def _q_crawl_timeline(sf_dir: str):
+    return crawl_timeline(pages_dir_for(sf_dir))
+
+
 def _q_crawl_frontier(sf_dir: str):
     """Recrawl-priority table: PageRank authority discounted by BFS
     distance from the seed set — the two graph signals joined."""
@@ -395,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_curate": _q_snapshot_curate,
         "crawl_depth": _q_crawl_depth,
         "crawl_frontier": _q_crawl_frontier,
+        "crawl_timeline": _q_crawl_timeline,
         "extract_structured": _q_extract_structured,
         "extract_direct": _q_extract_direct,
         "structured_pages": _q_structured_pages,
@@ -2355,6 +2361,21 @@ FROM pr_edges GROUP BY dst
         "page_metadata": _PAGE_METADATA_SQL,
         "crawl_depth": _crawl_depth_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
+        # pages warc_ts = epoch + doc_id seconds (testgen), payload is
+        # html iff not corrupt and not pdf
+        "crawl_timeline": """
+WITH ct AS (
+  SELECT ((1704067200000000 + doc_id * 1000000) // 3600000000) * 3600000000
+           AS window_start_us,
+         lang,
+         CASE WHEN doc_id % 101 <> 13 AND doc_id % 10 <> 7 THEN 1 ELSE 0 END AS h
+  FROM documents
+)
+SELECT window_start_us, lang,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(h) AS BIGINT) AS n_html
+FROM ct GROUP BY window_start_us, lang
+""",
         # capstone: flagship markdown -> gate -> min-url-per-markdown dedup
         # -> md5-ordered prefix-sum shard packing (mirrors web_curate)
         "web_curate": _WEB_CURATE_SQL,

@@ -378,3 +378,25 @@ class TestGraphOps:
         got = extract_links(pages).to_pandas()
         assert list(got.href) == ["/x", "https://e.org/y"]
         assert list(got.src) == ["u1", "u1"]
+
+
+def test_crawl_timeline_counts_cover_corpus(sf_dir):
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.graph import crawl_timeline
+    from zerox_ray.testgen import plan_doc
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = t.num_rows
+    n_html = sum(
+        1
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if plan_doc(d, txt)["kind"] == "html"
+    )
+    got = crawl_timeline(pages_dir_for(sf_dir)).to_pandas()
+    assert int(got.n_pages.sum()) == n
+    assert int(got.n_html.sum()) == n_html
+    # window alignment: every start on the hour boundary
+    assert (got.window_start_us % 3_600_000_000 == 0).all()
+    # lang split is real
+    assert got.lang.nunique() > 1

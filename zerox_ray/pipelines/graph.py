@@ -325,6 +325,48 @@ def crawl_depth(
     )
 
 
+def crawl_timeline(
+    pages: ray.data.Dataset | str,
+    window_us: int = 3_600_000_000,
+) -> ray.data.Dataset:
+    """Hourly crawl-ingest timeline over the pages table: per
+    (window_start_us, lang) — page count and html-payload count, the
+    rollup a crawl operator watches for fetch-rate and content-mix
+    drift (and the first operator family consuming ``warc_ts`` outside
+    the snapshot collapse).
+
+    Scale shape: per-batch combiner (vectorized window floor + head-byte
+    sniff + grouped partial counts) → ONE window/lang-keyed grouped sum;
+    output is O(windows × langs) rows."""
+    ds = (
+        read_pages(pages, columns=["url", "warc_ts", "lang", "html"])
+        if isinstance(pages, str)
+        else pages
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = (ts // window_us) * window_us
+        is_html = np.fromiter(
+            (p[:1] == b"<" for p in df["html"]), dtype=np.int64, count=len(df)
+        )
+        out = (
+            pd.DataFrame(
+                {"window_start_us": win, "lang": df["lang"], "h": is_html}
+            )
+            .groupby(["window_start_us", "lang"], as_index=False)
+            .agg(n_pages=("h", "size"), n_html=("h", "sum"))
+        )
+        return out.astype({"n_pages": "int64", "n_html": "int64"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(
+        partials,
+        ["window_start_us", "lang"],
+        {"n_pages": ("n_pages", "sum"), "n_html": ("n_html", "sum")},
+    )
+
+
 def crawl_frontier(
     pages: ray.data.Dataset | str,
     seeds: list[str],
