@@ -20,6 +20,15 @@ Scale design:
 Simplification (documented, mirrored by the oracle): dangling nodes'
 rank mass leaks instead of redistributing — the standard sparse-web
 shortcut; both sides compute the same recurrence.
+
+Honest cap — 63-bit url keys: the graph family keys nodes by a 63-bit
+md5 hash (``_h63``), which birthday-collides with ~50% probability
+around 3×10⁹ distinct urls; at 10¹² docs a few ×10⁴ collisions are
+expected, each merging two urls into one graph node (slightly blending
+their ranks/labels/depths). Consumers that must be exact under
+collision carry the url through the join and filter on equality
+(web.rank_curate does); the full upgrade path is a two-column 128-bit
+key through the same joins, at 2× key-shuffle width.
 """
 
 from __future__ import annotations

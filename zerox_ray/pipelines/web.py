@@ -233,6 +233,7 @@ def rank_curate(
         return pd.DataFrame(
             {
                 "k": pd.Series((h >> np.uint64(1)).astype(np.int64), dtype="int64"),
+                "url_r": df["url"].astype(object),
                 "rank": df["rank"].astype("int64"),
             }
         )
@@ -242,10 +243,13 @@ def rank_curate(
         ranks.map_batches(key_rank, batch_format="pandas"),
         on="k",
     )
+    # collision guard: 63-bit keys birthday-collide at ~10^12 urls
+    # (≈50% at 3e9); the rank side carries its url so a cross-pairing
+    # from a collided key is dropped here instead of corrupting a row
     ranged = joined.map_batches(
-        lambda df: df.assign(
-            rng=-(df["rank"].to_numpy(np.int64) >> _RANK_RANGE_SHIFT)
-        )[["url", "n_tok", "h", "rank", "rng"]],
+        lambda df: df.loc[df["url"] == df["url_r"]]
+        .assign(rng=lambda g: -(g["rank"].to_numpy(np.int64) >> _RANK_RANGE_SHIFT))
+        [["url", "n_tok", "h", "rank", "rng"]],
         batch_format="pandas",
     ).materialize()
 
