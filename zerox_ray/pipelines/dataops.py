@@ -540,11 +540,19 @@ def token_shards(sf_dir: str, tokens_per_shard: int = 50_000) -> ray.data.Datase
             ["rng", "tok"]
         )
 
+    # the grouped-sum EXCHANGE before the driver pull is load-bearing:
+    # it reduces O(blocks × ranges-per-block) partials down to one row
+    # per range, so the driver receives ≤ n_docs/_SHARD_RANGE rows no
+    # matter how small the upstream blocks are
     range_sums = (
-        counted.map_batches(range_partials, batch_format="pyarrow", zero_copy_batch=True)
+        bucketed_group_agg(
+            counted.map_batches(
+                range_partials, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["rng"],
+            {"tok": ("tok", "sum")},
+        )
         .to_pandas()
-        .groupby("rng", as_index=False)["tok"]
-        .sum()
         .sort_values("rng")
     )
     # exclusive prefix offset per range

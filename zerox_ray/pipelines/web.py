@@ -27,7 +27,7 @@ import ray.data
 
 from zerox_ray.config import ZeroxConfig
 from zerox_ray.functions.text import TOKEN_RE
-from zerox_ray.pipelines.agg import bucketed_group_map
+from zerox_ray.pipelines.agg import bucketed_group_agg, bucketed_group_map
 from zerox_ray.pipelines.ocr import run_ocr
 
 #: coarse prefix-sum ranges: rng = md5_64(url) >> 48 → ≤65,536 ranges,
@@ -119,15 +119,21 @@ def web_curate(
 
     hashed = keepers.map_batches(hash_batch, batch_format="pandas").materialize()
 
-    # pass 1: per-range token sums → driver prefix scan (≤65,536 rows)
+    # pass 1: per-block partial sums → ONE grouped-sum exchange on rng →
+    # driver prefix scan. The exchange is what bounds the driver pull at
+    # ≤65,536 rows (one per range): without it the driver would receive
+    # O(blocks × ranges-per-block) partials — worst case O(keeper rows)
+    # when blocks are small (the importance_sample idiom, dataops.py).
     range_sums = (
-        hashed.map_batches(
-            lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
-            batch_format="pandas",
+        bucketed_group_agg(
+            hashed.map_batches(
+                lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
+                batch_format="pandas",
+            ),
+            ["rng"],
+            {"n_tok": ("n_tok", "sum")},
         )
         .to_pandas()
-        .groupby("rng", as_index=False)["n_tok"]
-        .sum()
         .sort_values("rng")
     )
     offsets = dict(
@@ -253,16 +259,20 @@ def rank_curate(
         batch_format="pandas",
     ).materialize()
 
-    # pass 1: per-range token sums → driver prefix scan over ascending
-    # rng (= descending rank)
+    # pass 1: per-block partial sums → ONE grouped-sum exchange on rng →
+    # driver prefix scan over ascending rng (= descending rank). The
+    # exchange bounds the pull at one row per occupied rank range
+    # (≤ max_rank >> 8 rows), independent of block count / corpus size.
     range_sums = (
-        ranged.map_batches(
-            lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
-            batch_format="pandas",
+        bucketed_group_agg(
+            ranged.map_batches(
+                lambda df: df.groupby("rng", as_index=False)["n_tok"].sum(),
+                batch_format="pandas",
+            ),
+            ["rng"],
+            {"n_tok": ("n_tok", "sum")},
         )
         .to_pandas()
-        .groupby("rng", as_index=False)["n_tok"]
-        .sum()
         .sort_values("rng")
     )
     offsets = dict(
