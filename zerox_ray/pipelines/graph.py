@@ -294,16 +294,16 @@ def crawl_depth(
     n_buckets = max(8, min(default_num_partitions(), ekeys.count() // 10_000 + 8))
 
     for _ in range(max_hops):
+        # clean Arrow out (same rationale as pagerank's contribs): hops
+        # unions with the Arrow dist table into the grouped-min shuffle
         hops = hash_join(
             ekeys, dist.select_columns(["k", "depth"]), on="k", num_buckets=n_buckets
         ).map_batches(
-            lambda df: pd.DataFrame(
+            lambda df: pa.table(
                 {
-                    "k": pd.Series(_h63(df["dst"].tolist()), dtype="int64")
-                    if len(df)
-                    else pd.Series([], dtype="int64"),
-                    "url": df["dst"].astype(object),
-                    "depth": df["depth"].to_numpy(np.int64) + 1,
+                    "k": pa.array(_h63(df["dst"].tolist()), pa.int64()),
+                    "url": pa.array(df["dst"].tolist(), pa.string()),
+                    "depth": pa.array(df["depth"].to_numpy(np.int64) + 1),
                 }
             ),
             batch_format="pandas",
@@ -668,11 +668,16 @@ def pagerank(
 
     for _ in range(iters):
         joined = hash_join(edges_deg, ranks, on="sk", num_buckets=n_buckets)
+        # emit clean Arrow (no pandas schema metadata): contribs unions
+        # with the Arrow zeros table into the grouped-sum shuffle, and a
+        # metadata-bearing schema is unhashable — Ray then logs a
+        # "Failed to hash the schemas" warning per reduce concat and
+        # re-ships the schema per block
         contribs = joined.map_batches(
-            lambda df: pd.DataFrame(
+            lambda df: pa.table(
                 {
-                    "k": df["dk"].astype("int64"),
-                    "c": (
+                    "k": pa.array(df["dk"].to_numpy(np.int64)),
+                    "c": pa.array(
                         df["r"].to_numpy(np.int64)
                         // df["outdeg"].to_numpy(np.int64)
                     ),
@@ -689,16 +694,20 @@ def pagerank(
         )
         ranks = (
             total.map_batches(
-                lambda df: pd.DataFrame(
+                lambda t: pa.table(
                     {
-                        "sk": df["k"].astype("int64"),
-                        "r": (
-                            base
-                            + PR_DAMP_NUM * df["c"].to_numpy(np.int64) // PR_DAMP_DEN
-                        ).astype(np.int64),
+                        "sk": t["k"],
+                        "r": pa.array(
+                            (
+                                base
+                                + PR_DAMP_NUM
+                                * t["c"].to_numpy(zero_copy_only=False)
+                                // PR_DAMP_DEN
+                            ).astype(np.int64)
+                        ),
                     }
                 ),
-                batch_format="pandas",
+                batch_format="pyarrow",
             )
             .repartition(n_parts)
             .materialize()

@@ -249,7 +249,11 @@ def hash_join(
         t = t.append_column(
             "__bucket", _pa.array(bucket, _pa.int64())
         ).append_column("__side", _pa.array(["L"] * len(keys), _pa.string()))
-        return _pad_missing(t, l_missing).select(_order)
+        # strip pandas metadata: blocks that arrived from a pandas stage
+        # carry an unhashable schema-metadata dict, which breaks Ray's
+        # shuffle schema dedup (one warning per reduce concat) and ships
+        # redundant schema bytes per block
+        return _pad_missing(t, l_missing).select(_order).replace_schema_metadata(None)
 
     def tag_right(t: _pa.Table) -> _pa.Table:
         n = t.num_rows
@@ -263,7 +267,7 @@ def hash_join(
         t = t.append_column(
             "__bucket", _pa.array(bucket, _pa.int64())
         ).append_column("__side", _pa.array(["R"] * t.num_rows, _pa.string()))
-        return _pad_missing(t, r_missing).select(_order)
+        return _pad_missing(t, r_missing).select(_order).replace_schema_metadata(None)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = right.map_batches(tag_right, batch_format="pyarrow")
