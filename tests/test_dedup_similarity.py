@@ -584,7 +584,14 @@ class TestImportanceSample:
         from zerox_ray.functions.text import TOKEN_RE
         from zerox_ray.pipelines.dataops import importance_sample
 
-        got = importance_sample(sf_dir).to_pandas()
+        # row order across buckets is incidental (threshold selection +
+        # bucketed rank assignment) — the rank COLUMN is the contract
+        got = (
+            importance_sample(sf_dir)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         buckets: dict[int, int] = {}
         docs = {}
@@ -609,14 +616,44 @@ class TestImportanceSample:
         assert list(zip(got.doc_id, got.weight_ppm)) == want
         assert list(got["rank"]) == list(range(1, k + 1))
 
-    def test_local_topk_partials_lossless_under_any_blocking(self, sf_dir):
-        """The per-batch top-k combiner must be invariant to block
-        layout: global top-k of local top-ks = global top-k."""
+    def test_boundary_tie_refinement(self, tmp_path):
+        """Every doc tied at one weight: the threshold filter must split
+        the tie by doc_id through the bounded range-histogram refinement
+        (doc_ids straddle two _SHARD_RANGE ranges to exercise the
+        driver's prefix scan)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dataops import importance_sample
+
+        ids = list(range(10)) + list(range(5000, 5030))  # ranges 0 and 1
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["aaa bbb ccc"] * len(ids), pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            importance_sample(str(tmp_path))
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        k = max(1, (len(ids) * 100_000 + 999_999) // 1_000_000)  # 4
+        assert list(got["doc_id"]) == ids[:k]
+        assert list(got["rank"]) == list(range(1, k + 1))
+        assert got["weight_ppm"].nunique() == 1
+
+    def test_selection_invariant_under_any_blocking(self, sf_dir):
+        """The histogram-threshold selection must be invariant to block
+        layout: partial histograms merge losslessly, so the threshold —
+        and therefore the kept set and every rank — is blocking-free."""
         import ray.data
 
         from zerox_ray.pipelines.dataops import importance_sample
 
-        a = importance_sample(sf_dir).to_pandas()
+        a = importance_sample(sf_dir).to_pandas().sort_values("rank").reset_index(drop=True)
         # force a different blocking by overriding parallelism upstream
         import zerox_ray.pipelines.dataops as dd
 
@@ -625,7 +662,12 @@ class TestImportanceSample:
             dd.read_table = lambda path, columns=None: orig(
                 path, columns=columns
             ).repartition(7)
-            b = importance_sample(sf_dir).to_pandas()
+            b = (
+                importance_sample(sf_dir)
+                .to_pandas()
+                .sort_values("rank")
+                .reset_index(drop=True)
+            )
         finally:
             dd.read_table = orig
         import pandas as pd

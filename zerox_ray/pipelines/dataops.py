@@ -1518,13 +1518,26 @@ def importance_sample(
     weight_ppm = (n_rare·1e6) // n_tok; selection is the global
     top-⌈n_docs·keep_ppm/1e6⌉ by (weight desc, doc_id asc).
 
-    Scale shape: pass 1 ships ≤ n_buckets partial rows per batch into one
-    tiny groupby (the n_buckets-row histogram is a scalar-sized driver
-    artifact, broadcast back via ``ray.put``); pass 2 re-scans, scores,
-    and keeps a LOCAL top-k per batch, so the final exchange moves
-    O(k × batches) rows — never the corpus. Zero-token docs are excluded
-    (no features → no importance estimate).
-    Output: (doc_id, n_tok, n_rare, weight_ppm, rank)."""
+    Scale shape — threshold selection, never a global sort:
+    1. feature histogram: ≤ n_buckets partial rows per batch into one
+       tiny groupby (a scalar-sized driver artifact, broadcast back);
+    2. scoring pass: the payload is scanned once more and the scored
+       table (4 int64 columns) is materialized in the object store;
+    3. weight histogram: weight_ppm is BOUNDED in [0, 1e6], so a
+       mergeable (weight → count) histogram (≤ 1e6+1 rows) reaches the
+       driver, which reads off the selection threshold w*; ties AT w*
+       are resolved to exact doc_id d* by one more bounded histogram
+       over doc_id ranges (≤ n_docs/4096 rows) plus a single ≤4096-row
+       boundary-range pull — the quality_percentiles idiom, never a
+       top-k merge over a corpus fraction;
+    4. selection is then a shuffle-free broadcast-threshold filter, and
+       rank = (kept docs with higher weight, from the histogram) +
+       (within-weight doc_id position, one coarse-bucketed exchange
+       keyed on weight value — per-task memory is the tie mass of the
+       bucket's weights, ~k/W expected; the same documented cap as
+       rank_curate's rank ranges).
+    Zero-token docs are excluded (no features → no importance
+    estimate). Output: (doc_id, n_tok, n_rare, weight_ppm, rank)."""
     import ray
 
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1564,7 +1577,7 @@ def importance_sample(
     n_docs = ds.count()
     k = max(1, (n_docs * keep_ppm + PPM - 1) // PPM)
 
-    def score_partial(t: pa.Table) -> pa.Table:
+    def score_batch(t: pa.Table) -> pa.Table:
         rare = ray.get(rare_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n_tok = np.zeros(len(ids), dtype=np.int64)
@@ -1578,32 +1591,129 @@ def importance_sample(
         m = n_tok > 0
         ids, n_tok, n_rare = ids[m], n_tok[m], n_rare[m]
         w = (n_rare * PPM) // np.maximum(n_tok, 1)
-        top = np.lexsort((ids, -w))[:k]  # local top-k partial
         return pa.table(
             {
-                "g": pa.array(np.zeros(len(top), np.int64), pa.int64()),
-                "doc_id": pa.array(ids[top], pa.int64()),
-                "n_tok": pa.array(n_tok[top], pa.int64()),
-                "n_rare": pa.array(n_rare[top], pa.int64()),
-                "weight_ppm": pa.array(w[top], pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "n_rare": pa.array(n_rare, pa.int64()),
+                "weight_ppm": pa.array(w, pa.int64()),
             }
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        top = (
-            g.sort_values(["weight_ppm", "doc_id"], ascending=[False, True])
-            .head(k)
-            .reset_index(drop=True)
+    # 4 int64 columns, reused by the weight histogram, the boundary
+    # refinement and the selection pass — one payload scan total here
+    scored = ds.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    def w_partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"weight_ppm": t["weight_ppm"]})
+        return (
+            part.group_by("weight_ppm")
+            .aggregate([("weight_ppm", "count")])
+            .rename_columns(["weight_ppm", "cnt"])
         )
+
+    whist = (
+        bucketed_group_agg(
+            scored.map_batches(w_partial, batch_format="pyarrow"),
+            ["weight_ppm"],
+            {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("weight_ppm", ascending=False)
+        .reset_index(drop=True)
+    )
+    wvals = whist["weight_ppm"].to_numpy(np.int64)
+    cnts = whist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnts)
+    total_scored = int(cum[-1]) if len(cum) else 0
+
+    if total_scored <= k:
+        # every scored doc is kept: weights are ≥ 0, so w*=-1 passes all
+        w_star, d_star, c_gt = -1, np.iinfo(np.int64).max, 0
+    else:
+        i_star = int(np.searchsorted(cum, k))  # first cum ≥ k
+        w_star = int(wvals[i_star])
+        c_gt = int(cum[i_star - 1]) if i_star else 0
+        r = k - c_gt  # boundary-weight slots remaining
+        if r == int(cnts[i_star]):
+            d_star = np.iinfo(np.int64).max  # whole tie mass fits
+        else:
+            # refine the boundary weight's doc_id cutoff: bounded range
+            # histogram → driver prefix scan → one ≤_SHARD_RANGE-row pull
+            boundary = scored.map_batches(
+                lambda t, w=w_star: pa.table(
+                    {
+                        "rng": pc.divide(
+                            t.filter(pc.equal(t["weight_ppm"], w))["doc_id"],
+                            _SHARD_RANGE,
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            rhist = (
+                bucketed_group_agg(
+                    boundary.map_batches(
+                        lambda t: t.group_by("rng")
+                        .aggregate([("rng", "count")])
+                        .rename_columns(["rng", "cnt"]),
+                        batch_format="pyarrow",
+                    ),
+                    ["rng"],
+                    {"cnt": ("cnt", "sum")},
+                )
+                .to_pandas()
+                .sort_values("rng")
+                .reset_index(drop=True)
+            )
+            rcum = np.cumsum(rhist["cnt"].to_numpy(np.int64))
+            j = int(np.searchsorted(rcum, r))
+            r_star = int(rhist["rng"].iloc[j])
+            r2 = r - (int(rcum[j - 1]) if j else 0)
+            tail = scored.map_batches(
+                lambda t, w=w_star, rg=r_star: t.filter(
+                    pc.and_(
+                        pc.equal(t["weight_ppm"], w),
+                        pc.equal(pc.divide(t["doc_id"], _SHARD_RANGE), rg),
+                    )
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            ).to_pandas()  # ≤ _SHARD_RANGE rows (doc_ids are unique)
+            d_star = int(np.sort(tail["doc_id"].to_numpy(np.int64))[r2 - 1])
+
+    # exclusive offset of each kept weight = kept docs with HIGHER weight
+    kept_w = wvals[: int(np.searchsorted(cum, k)) + 1] if total_scored > k else wvals
+    offs = np.concatenate([[0], cum[: len(kept_w) - 1]]) if len(kept_w) else cum[:0]
+    off_ref = ray.put(dict(zip(kept_w.tolist(), offs.astype(np.int64).tolist())))
+    thresh = (w_star, d_star)
+
+    def keep(t: pa.Table) -> pa.Table:
+        w, d = thresh
+        m = pc.or_(
+            pc.greater(t["weight_ppm"], w),
+            pc.and_(
+                pc.equal(t["weight_ppm"], w), pc.less_equal(t["doc_id"], d)
+            ),
+        )
+        return t.filter(m)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["weight_ppm", "doc_id"], ascending=[False, True])
+        pos = g.groupby("weight_ppm", sort=False).cumcount().to_numpy(np.int64)
+        base = g["weight_ppm"].map(off).to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": top["doc_id"].astype("int64"),
-                "n_tok": top["n_tok"].astype("int64"),
-                "n_rare": top["n_rare"].astype("int64"),
-                "weight_ppm": top["weight_ppm"].astype("int64"),
-                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tok": g["n_tok"].astype("int64"),
+                "n_rare": g["n_rare"].astype("int64"),
+                "weight_ppm": g["weight_ppm"].astype("int64"),
+                "rank": base + pos + 1,
             }
         )
 
-    partials = ds.map_batches(score_partial, batch_format="pyarrow")
-    return partials.groupby("g").map_groups(final, batch_format="pandas")
+    return bucketed_group_map(
+        scored.map_batches(keep, batch_format="pyarrow"),
+        "weight_ppm",
+        rank_group,
+    )
