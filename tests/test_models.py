@@ -79,9 +79,16 @@ class TestProviders:
         with pytest.raises(ValueError, match="missing credentials"):
             create_model("openai")
 
-    def test_networked_stub_raises_on_use(self):
-        m = create_model("openai", credentials={"api_key": "k"})
-        with pytest.raises(NotImplementedError):
+    def test_networked_transport_fails_at_the_socket(self):
+        # a real urllib transport now backs _send; with no reachable
+        # endpoint the failure is the connection, after assembly passes
+        import urllib.error
+
+        m = create_model(
+            "openai", credentials={"api_key": "k"}, max_retries=0, timeout_s=0.2
+        )
+        m.credentials["base_url"] = "http://127.0.0.1:1/v1/chat/completions"
+        with pytest.raises((urllib.error.URLError, ConnectionError, TimeoutError)):
             m.complete(b"x", "html")
 
     def test_llm_param_validation_at_init(self):

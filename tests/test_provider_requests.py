@@ -121,9 +121,14 @@ class TestOpenAIRequests:
             {"text": "caption", "type": "text"},
         ]
 
-    def test_complete_raises_only_at_transport(self):
-        m = self._model()
-        with pytest.raises(NotImplementedError, match="_send"):
+    def test_complete_fails_only_at_transport(self):
+        # no network in this sandbox: assembly/validation must all pass,
+        # and the failure is the connection itself (URLError), not a stub
+        import urllib.error
+
+        m = self._model(max_retries=0, timeout_s=0.2)
+        m.credentials["base_url"] = "http://127.0.0.1:1/v1/chat/completions"
+        with pytest.raises((urllib.error.URLError, ConnectionError, TimeoutError)):
             m.complete(PNG, "html")
 
 
@@ -309,8 +314,6 @@ class TestResponseParsing:
 
     def test_extract_transport_seam_and_json_parse(self):
         m = create_model("openai", model="m", credentials={"api_key": "k"})
-        with pytest.raises(NotImplementedError, match="_send"):
-            m.extract("text", SCHEMA)
         # with a fake transport the OpenAI string payload is json-parsed
         m._send = lambda req: {
             "choices": [{"message": {"content": '{"title": "V"}'}}],
