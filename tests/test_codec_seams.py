@@ -85,6 +85,82 @@ class TestHeicSeam:
         assert back.size == (16, 16)
 
 
+class TestPopplerRasterizeSeam:
+    def _pdf_bytes(self):
+        pypdf = pytest.importorskip("pypdf")
+        import io
+
+        w = pypdf.PdfWriter()
+        w.add_blank_page(width=200, height=300)
+        w.add_blank_page(width=200, height=300)
+        buf = io.BytesIO()
+        w.write(buf)
+        return buf.getvalue()
+
+    def test_rasterize_pdf_pages_runs_pdftoppm(self):
+        if shutil.which("pdftoppm") is None:
+            pytest.skip("poppler (pdftoppm) not on PATH")
+        from zerox_ray.functions.pdfx import rasterize_pdf_pages
+
+        images = rasterize_pdf_pages(self._pdf_bytes(), height=64)
+        assert len(images) == 2
+        assert all(img[:8] == b"\x89PNG\r\n\x1a\n" for img in images)
+
+    def test_rasterize_page_subset(self):
+        if shutil.which("pdftoppm") is None:
+            pytest.skip("poppler (pdftoppm) not on PATH")
+        from zerox_ray.functions.pdfx import rasterize_pdf_pages
+
+        images = rasterize_pdf_pages(self._pdf_bytes(), height=64, pages=[2])
+        assert len(images) == 1
+
+    def test_stub_raises_without_poppler(self):
+        if shutil.which("pdftoppm") is not None:
+            pytest.skip("poppler present — stub path not reachable")
+        from zerox_ray.functions.pdfx import rasterize_pdf_pages
+
+        with pytest.raises(NotImplementedError, match="pdftoppm"):
+            rasterize_pdf_pages(b"%PDF-1.4 anything")
+
+    def test_actor_stage_emits_error_rows_without_poppler(self):
+        """The Ray-side plumbing is real either way: one payload row in,
+        (url, page_index, image, status) rows out, ERROR under IGNORE,
+        raise under THROW (index.ts:338-352)."""
+        import pyarrow as pa
+
+        from zerox_ray.stages.split import PdfRasterize
+
+        batch = pa.table(
+            {
+                "url": ["https://example.org/doc/1"],
+                "html": [b"%PDF-1.4 not really"],
+            }
+        )
+        stage = PdfRasterize()
+        if stage.pdftoppm is not None:
+            pytest.skip("poppler present — error path not deterministic")
+        out = stage(batch)
+        assert out.column_names == ["url", "page_index", "image", "status"]
+        assert out["status"].to_pylist() == ["ERROR"]
+        assert out["image"].to_pylist() == [b""]
+        with pytest.raises(NotImplementedError):
+            PdfRasterize(error_mode="THROW")(batch)
+
+    def test_actor_stage_rasterizes_when_poppler_present(self):
+        if shutil.which("pdftoppm") is None:
+            pytest.skip("poppler (pdftoppm) not on PATH")
+        import pyarrow as pa
+
+        from zerox_ray.stages.split import PdfRasterize
+
+        batch = pa.table(
+            {"url": ["https://example.org/doc/1"], "html": [self._pdf_bytes()]}
+        )
+        out = PdfRasterize(height=64)(batch)
+        assert out["status"].to_pylist() == ["OK", "OK"]
+        assert out["page_index"].to_pylist() == [0, 1]
+
+
 class TestOfficeSeam:
     def test_convert_office_payload_runs_soffice(self, tmp_path):
         if shutil.which("soffice") is None:

@@ -66,6 +66,76 @@ def extract_pdf_text(fragment: bytes) -> str:
     return fragment.decode("utf-8", errors="replace")
 
 
+def rasterize_pdf_pages(
+    payload: bytes,
+    *,
+    density: int = 300,
+    height: int = 2048,
+    fmt: str = "png",
+    pages: list[int] | None = None,
+    pdftoppm: str | None = None,
+) -> list[bytes]:
+    """Poppler rasterize seam (M6, convertPdfWithPoppler,
+    node-zerox/src/utils/file.ts:279-308): PDF payload → ordered per-page
+    image bytes via the ``pdftoppm`` subprocess, when the cluster ships
+    it — ``pdftoppm -<fmt> -r <density> -scale-to-y <height>
+    -scale-to-x -1 [-f N -l N]`` exactly as the reference shells out.
+    Defaults mirror convertPdfToImages (file.ts:154-156: density 300,
+    height 2048). ``pages`` selects 1-based page numbers (the reference's
+    pagesToConvertAsImages); None converts all. ``pdftoppm`` lets the
+    actor-pool wrapper pass its once-per-actor resolved binary (the
+    soffice seam pattern, stages/split.py). Raises a clearly-marked
+    NotImplementedError when poppler is absent, which the splitter turns
+    into an ERROR row under errorMode IGNORE."""
+    if pdftoppm is None:
+        import shutil
+
+        pdftoppm = shutil.which("pdftoppm")
+    if pdftoppm is None:  # pragma: no cover - runtime has no poppler
+        raise NotImplementedError(
+            "PDF rasterization requires poppler (pdftoppm), which is not "
+            "available in this runtime — the text-extraction path "
+            "(parse_real_pdf / zx-synthetic containers) is unaffected"
+        )
+    import os
+    import subprocess
+    import tempfile
+
+    def run(td: str, src: str, first: int | None, last: int | None) -> None:
+        cmd = [pdftoppm, f"-{fmt}", "-r", str(density), "-scale-to-y",
+               str(height), "-scale-to-x", "-1"]
+        if first is not None:
+            cmd += ["-f", str(first), "-l", str(last)]
+        subprocess.run(
+            cmd + [src, os.path.join(td, "page")],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+
+    with tempfile.TemporaryDirectory(prefix="zx-raster-") as td:
+        src = os.path.join(td, "doc.pdf")
+        with open(src, "wb") as fh:
+            fh.write(payload)
+        if pages is None:
+            run(td, src, None, None)
+        else:
+            for p in pages:
+                run(td, src, p, p)
+        # pdftoppm names page-NN.<fmt>; lexical sort of the zero-padded
+        # suffix IS page order (the reference readdir+filter+sort,
+        # file.ts:300-307)
+        names = sorted(
+            n for n in os.listdir(td)
+            if n.startswith("page") and n.endswith(f".{fmt}")
+        )
+        out = []
+        for n in names:
+            with open(os.path.join(td, n), "rb") as fh:
+                out.append(fh.read())
+        return out
+
+
 def parse_real_pdf(payload: bytes) -> list[bytes]:
     """Real-PDF parsing seam (M6, poppler fallback in the reference,
     file.ts:184-206): uses pypdf when the cluster ships it (import-try,

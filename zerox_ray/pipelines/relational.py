@@ -165,8 +165,13 @@ def hash_join(
     if rschema is None:
         if how in ("inner", "semi"):
             return left.limit(0)  # keeps the left schema, zero rows
-        if how == "anti":
-            return left  # nothing to subtract
+        if how in ("anti", "left"):
+            # anti: nothing to subtract. left: the semantically correct
+            # result is every left row with null right columns — but the
+            # right columns are UNKNOWABLE here, so return left unchanged;
+            # callers' downstream fillna/column-adds handle the absence
+            # (link_components' early return relies on exactly this shape)
+            return left
         raise ValueError(
             "hash_join: right side is empty with unknown schema; "
             f"how={how!r} needs its columns — guard or materialize upstream"

@@ -38,6 +38,16 @@ WEB_TOKENS_PER_SHARD = 20_000
 WEB_MIN_TOKENS = 5
 
 
+def _coarse_modulus(n_rows: int) -> int:
+    """Pass-2 coarse-bucket count for the prefix-sum shard assign: each
+    map_groups task holds ~n_rows/m keeper KEY rows (url, n_tok, h, rng
+    — ~100 B/row, the payload never rides along), so m scales with the
+    corpus to hold a task near ~250k rows (≈25 MB) instead of a fixed
+    1/256 corpus fraction; capped at the 65,536-range space (beyond
+    that, lower _HASH_RANGE_SHIFT for more ranges first)."""
+    return max(256, min(1 << 16, n_rows // 250_000 + 1))
+
+
 def _curated_keepers(
     pages: ray.data.Dataset | str,
     cfg: ZeroxConfig | None,
@@ -169,8 +179,9 @@ def web_curate(
             }
         )
 
+    cm = _coarse_modulus(hashed.count())
     bucketed = hashed.map_batches(
-        lambda df: df.assign(cb=(df["rng"] % 256).astype("int64")),
+        lambda df: df.assign(cb=(df["rng"] % cm).astype("int64")),
         batch_format="pandas",
     )
     return (
@@ -309,8 +320,9 @@ def rank_curate(
             }
         )
 
+    cm = _coarse_modulus(ranged.count())
     bucketed = ranged.map_batches(
-        lambda df: df.assign(cb=(df["rng"] % 256).astype("int64")),
+        lambda df: df.assign(cb=(df["rng"] % cm).astype("int64")),
         batch_format="pandas",
     )
     return (

@@ -60,19 +60,30 @@ def detect_rotation(data: np.ndarray) -> int:
     return 90 if col_var > row_var * 1.5 else 0
 
 
+#: memoized osd_available() result — a process-wide property (imports +
+#: PATH don't change mid-run), so the probe (two imports + a PATH scan)
+#: runs once per worker process, not once per page image
+_OSD_PROBE: bool | None = None
+
+
 def osd_available() -> bool:
     """True iff the real Tesseract OSD path is usable on this node
     (pytesseract + PIL importable AND the tesseract binary on PATH) —
-    probed ONCE per actor in the cleanup pool's __init__, never per
-    batch."""
-    try:
-        import pytesseract  # noqa: F401
-        from PIL import Image  # noqa: F401
-    except ImportError:
-        return False
-    import shutil
+    probed once per process and cached; the cleanup pool's __init__ uses
+    it to resolve the rotation fn once per actor, and the per-call guard
+    in detect_rotation_osd hits only the cache."""
+    global _OSD_PROBE
+    if _OSD_PROBE is None:
+        try:
+            import pytesseract  # noqa: F401
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            _OSD_PROBE = False
+        else:
+            import shutil
 
-    return shutil.which("tesseract") is not None
+            _OSD_PROBE = shutil.which("tesseract") is not None
+    return _OSD_PROBE
 
 
 def detect_rotation_osd(data: np.ndarray) -> int:

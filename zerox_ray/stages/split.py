@@ -242,6 +242,74 @@ def convert_office_payload(payload: bytes, soffice: str | None = None) -> bytes:
             return fh.read()
 
 
+class PdfRasterize:
+    """Actor-pool rasterizer (M5/M6 vision path, convertPdfToImages /
+    convertPdfWithPoppler, file.ts:153-207,279-308): PDF payload rows →
+    one row per page image, feeding the I1–I4 image chain (MediaCleanup
+    in pipelines/media.py consumes the emitted ``image`` payloads).
+
+    pdftoppm is which-probed ONCE per actor here; per-row failures (no
+    poppler, corrupt PDF) become status='ERROR' rows with an empty image
+    under errorMode IGNORE (index.ts:338-352) and raise under THROW.
+    Output: (url, page_index, image: binary, status). Batches should be
+    small — each page image at density 300 is MBs."""
+
+    def __init__(
+        self,
+        density: int = 300,
+        height: int = 2048,
+        fmt: str = "png",
+        error_mode: str = "IGNORE",
+    ):
+        import shutil
+
+        self.pdftoppm = shutil.which("pdftoppm")
+        self.density = density
+        self.height = height
+        self.fmt = fmt
+        self.error_mode = error_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zerox_ray.functions.pdfx import rasterize_pdf_pages
+
+        urls: list[str] = []
+        idxs: list[int] = []
+        images: list[bytes] = []
+        status: list[str] = []
+        for url, payload in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            try:
+                pages = rasterize_pdf_pages(
+                    bytes(payload),
+                    density=self.density,
+                    height=self.height,
+                    fmt=self.fmt,
+                    pdftoppm=self.pdftoppm,
+                )
+            except Exception:
+                if self.error_mode == "THROW":
+                    raise
+                urls.append(url)
+                idxs.append(0)
+                images.append(b"")
+                status.append("ERROR")
+                continue
+            for i, img in enumerate(pages):
+                urls.append(url)
+                idxs.append(i)
+                images.append(img)
+                status.append("OK")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "page_index": pa.array(idxs, pa.int64()),
+                "image": pa.array(images, pa.binary()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
 class OfficeToPdf:
     """Actor-pool wrapper over ``convert_office_payload`` for bulk
     conversion ahead of the splitter (warm soffice per actor). The
