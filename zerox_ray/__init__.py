@@ -15,6 +15,14 @@ semantically required (reassembly, maintain_format fold).
 
 from zerox_ray.config import ZeroxConfig
 from zerox_ray.pipelines.ocr import extracted_pages, run_ocr, write_markdown_files
+from zerox_ray.sources.files import read_files_as_pages, read_urls_as_pages
 
-__all__ = ["ZeroxConfig", "run_ocr", "extracted_pages", "write_markdown_files"]
+__all__ = [
+    "ZeroxConfig",
+    "run_ocr",
+    "extracted_pages",
+    "write_markdown_files",
+    "read_files_as_pages",
+    "read_urls_as_pages",
+]
 __version__ = "0.1.0"
