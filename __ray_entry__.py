@@ -35,6 +35,7 @@ from zerox_ray.pipelines.dataops import (
     event_type_reach,
     normalize_text,
     repetition_scores,
+    token_chunks,
     token_shards,
     top_ngrams,
     events_hourly,
@@ -81,6 +82,7 @@ from zerox_ray.pipelines.graph import (
     crawl_depth,
     crawl_frontier,
     crawl_timeline,
+    hits,
     inlink_counts,
     inlink_summaries,
     leaf_pages,
@@ -88,6 +90,7 @@ from zerox_ray.pipelines.graph import (
     link_graph,
     page_metadata,
     pagerank,
+    reciprocal_links,
 )
 from zerox_ray.pipelines.web import rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
@@ -225,6 +228,14 @@ def _q_pagerank(sf_dir: str):
 
 def _q_link_components(sf_dir: str):
     return link_components(pages_dir_for(sf_dir))
+
+
+def _q_hits(sf_dir: str):
+    return hits(pages_dir_for(sf_dir))
+
+
+def _q_reciprocal_links(sf_dir: str):
+    return reciprocal_links(pages_dir_for(sf_dir))
 
 
 def _q_anchor_texts(sf_dir: str):
@@ -392,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
+        "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
         "leaf_pages": _q_leaf_pages,
@@ -424,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
         "token_shards": token_shards,
+        "token_chunks": token_chunks,
         "repetition_scores": repetition_scores,
         "top_ngrams": top_ngrams,
         "events_hourly": events_hourly,
@@ -1155,6 +1169,61 @@ def _pagerank_sql(iters: int = 3) -> str:
         + f"""
 SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}"""
     )
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """Mirror of pipelines/graph.py::hits — fixed rounds unrolled,
+    max-normalized integer recurrence (greatest(max, 1) matches the
+    engine's divide-by-zero guard)."""
+    s = 1_000_000
+    parts = [
+        _PR_EDGES_CTE
+        + f""",
+hh0 AS (SELECT doc_id, CAST({s} AS BIGINT) AS v FROM documents)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+har{i} AS (
+  SELECT e.dst AS doc_id, CAST(sum(h.v) AS BIGINT) AS s
+  FROM pr_edges e JOIN hh{i - 1} h ON e.src = h.doc_id GROUP BY e.dst
+),
+ha{i} AS (
+  SELECT doc_id,
+         CAST(s * {s} // greatest((SELECT max(s) FROM har{i}), 1) AS BIGINT) AS v
+  FROM har{i}
+),
+hhr{i} AS (
+  SELECT e.src AS doc_id, CAST(sum(a.v) AS BIGINT) AS s
+  FROM pr_edges e JOIN ha{i} a ON e.dst = a.doc_id GROUP BY e.src
+),
+hh{i} AS (
+  SELECT doc_id,
+         CAST(s * {s} // greatest((SELECT max(s) FROM hhr{i}), 1) AS BIGINT) AS v
+  FROM hhr{i}
+)""")
+    return "".join(parts) + f"""
+SELECT 'https://example.org/doc/' || d.doc_id AS url,
+       COALESCE(h.v, 0) AS hub,
+       COALESCE(a.v, 0) AS authority
+FROM documents d
+LEFT JOIN hh{iters} h USING (doc_id)
+LEFT JOIN ha{iters} a USING (doc_id)"""
+
+
+#: mirror of pipelines/graph.py::reciprocal_links — distinct directed
+#: pairs self-joined on the reversed pair, emitted once with url_a < url_b
+_RECIPROCAL_LINKS_SQL = (
+    _PR_EDGES_CTE
+    + """,
+rl_e AS (
+  SELECT DISTINCT 'https://example.org/doc/' || src AS s,
+                  'https://example.org/doc/' || dst AS d
+  FROM pr_edges WHERE src <> dst
+)
+SELECT a.s AS url_a, a.d AS url_b
+FROM rl_e a JOIN rl_e b ON a.s = b.d AND a.d = b.s
+WHERE a.s < a.d"""
+)
 
 
 #: mirror of pipelines/graph.py::link_components — same-language edges,
@@ -2308,6 +2377,23 @@ ts_cum AS (
 )
 SELECT doc_id, n_tokens, CAST(excl // 50000 AS BIGINT) AS shard_id FROM ts_cum
 """,
+        # mirrors dataops.token_chunks: sliding windows of 64 tokens
+        # every 48 over the [a-z]+ token stream, 1-based list slicing
+        "token_chunks": """
+WITH tc_tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ts,
+         len(regexp_extract_all(text, '[a-z]+')) AS n
+  FROM documents
+),
+tc_starts AS (
+  SELECT doc_id, ts, n, unnest(range(0, n, 48)) AS s FROM tc_tok WHERE n > 0
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_id,
+       CAST(least(n - s, 64) AS BIGINT) AS n_tok,
+       array_to_string(ts[s + 1 : least(s + 64, n)], ' ') AS chunk_text
+FROM tc_starts
+""",
         # mirrors dataops.decontaminate: held-out slice doc_id%97==3 is
         # the benchmark; overlap = |sh ∩ bench| / |sh| (ppm floor, same
         # divide-then-multiply float order); survivors ≤ 800000 ppm
@@ -2354,6 +2440,8 @@ SELECT 'https://example.org/doc/' || dst AS dst,
 FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
+        "reciprocal_links": _RECIPROCAL_LINKS_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

@@ -215,5 +215,9 @@ def test_hash_join_empty_schemaless_side():
     assert hash_join(left, empty, on="k", how="semi").count() == 0
     anti = hash_join(left, empty, on="k", how="anti").to_pandas()
     assert sorted(anti.k) == [1, 2]
+    # left: every left row survives; the right columns are unknowable, so
+    # the result is left unchanged (callers fillna/add columns downstream)
+    lj = hash_join(left, empty, on="k", how="left").to_pandas()
+    assert sorted(lj.k) == [1, 2] and list(lj.columns) == ["k", "v"]
     with pytest.raises(ValueError, match="unknown schema"):
-        hash_join(left, empty, on="k", how="left")
+        hash_join(left, empty, on="k", how="outer")

@@ -365,3 +365,129 @@ def test_link_components_random_graphs_match_union_find(n, raw_edges):
     want = {f"n{i}": f"n{rep[find(i)]}" for i in range(n)}
     got = link_components(ds, prefix="n").to_pandas()
     assert dict(zip(got.url, got.component)) == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_hits_random_graphs_match_replica(n, raw_edges):
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import HITS_ITERS, PR_SCALE, hits
+
+    edges = sorted({(a % n, b % n) for a, b in raw_edges})
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    got = hits(ds, prefix="n").to_pandas()
+    got_map = {u: (h, a) for u, h, a in zip(got.url, got.hub, got.authority)}
+
+    h = {i: PR_SCALE for i in range(n)}
+    a = {i: 0 for i in range(n)}
+    if edges:
+        for _ in range(HITS_ITERS):
+            ar = {}
+            for s, d in edges:
+                ar[d] = ar.get(d, 0) + h.get(s, 0)
+            amax = max(max(ar.values(), default=0), 1)
+            a = {d: v * PR_SCALE // amax for d, v in ar.items()}
+            hr = {}
+            for s, d in edges:
+                hr[s] = hr.get(s, 0) + a.get(d, 0)
+            hmax = max(max(hr.values(), default=0), 1)
+            h = {s: v * PR_SCALE // hmax for s, v in hr.items()}
+        want = {f"n{i}": (h.get(i, 0), a.get(i, 0)) for i in range(n)}
+    else:
+        want = {f"n{i}": (0, 0) for i in range(n)}
+    assert got_map == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_reciprocal_links_random_graphs_match_set_replica(n, raw_edges):
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import reciprocal_links
+
+    edges = {(a % n, b % n) for a, b in raw_edges if a % n != b % n}
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    got = reciprocal_links(ds, prefix="n").to_pandas()
+    # a linkless corpus yields a rowless (possibly schemaless) result
+    got_pairs = (
+        set() if got.empty else set(zip(got["url_a"], got["url_b"]))
+    )
+    want = {
+        (f"n{min(a, b)}", f"n{max(a, b)}")
+        for a, b in edges
+        if (b, a) in edges and a < b
+    }
+    assert got_pairs == want
+
+
+def test_token_chunks_windows_and_tail(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import token_chunks
+
+    words = [f"w{i:03d}".replace("0", "o").replace("1", "i").replace(
+        "2", "t").replace("3", "h").replace("4", "f").replace(
+        "5", "v").replace("6", "s").replace("7", "n").replace(
+        "8", "e").replace("9", "g") for i in range(100)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([" ".join(words), "one two", ""], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([1, 1, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = (
+        token_chunks(str(tmp_path), chunk_tokens=64, stride=48)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = got[got.doc_id == 0]
+    # 100 tokens, stride 48 -> starts 0, 48, 96: windows 64, 52, 4
+    assert list(d0.n_tok) == [64, 52, 4]
+    assert d0.chunk_text.iloc[0] == " ".join(words[:64])
+    assert d0.chunk_text.iloc[2] == " ".join(words[96:])
+    d1 = got[got.doc_id == 1]
+    assert list(d1.n_tok) == [2] and d1.chunk_text.iloc[0] == "one two"
+    assert (got.doc_id == 2).sum() == 0  # empty doc emits nothing

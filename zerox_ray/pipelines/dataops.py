@@ -496,6 +496,54 @@ def _cached_broadcast(kind: str, ref):
 _SHARD_RANGE = 4096
 
 
+def token_chunks(
+    sf_dir: str, chunk_tokens: int = 64, stride: int = 48
+) -> ray.data.Dataset:
+    """Sliding-window training chunks: each document's token stream
+    (``TOKEN_RE`` matches, the corpus-wide tokenizer) is cut into
+    windows of ``chunk_tokens`` starting every ``stride`` tokens —
+    the context-window packing step between curation and tokenization
+    (overlap = chunk_tokens - stride preserves cross-boundary context).
+    Output: (doc_id, chunk_id, n_tok, chunk_text); chunks are joined
+    with single spaces; empty documents emit nothing.
+
+    Scale shape: embarrassingly parallel — a per-batch flat-map with a
+    compiled regex, NO exchange anywhere; output size is bounded by
+    ~n_tokens·(chunk/stride), streaming straight to the sink. The
+    per-row findall loop is the multi-match-regex posture extract_links
+    documents (no Arrow kernel exists); the chunk assembly is pure
+    slicing of the match list."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        cids: list[int] = []
+        ntoks: list[int] = []
+        texts: list[str] = []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text or "")
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                window = toks[start : start + chunk_tokens]
+                ids.append(doc_id)
+                cids.append(ci)
+                ntoks.append(len(window))
+                texts.append(" ".join(window))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_tok": pa.array(ntoks, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 def token_shards(sf_dir: str, tokens_per_shard: int = 50_000) -> ray.data.Dataset:
     """Pack documents into ~equal-token training shards (the LLM
     pretraining data-prep step): shard_id = exclusive-prefix token count

@@ -758,3 +758,215 @@ def pagerank(
         ),
         batch_format="pandas",
     )
+
+
+HITS_ITERS = 2
+
+
+def hits(
+    pages: ray.data.Dataset | str,
+    iters: int = HITS_ITERS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Integer-exact HITS (hubs & authorities) over the in-corpus link
+    graph — the second link-quality signal after PageRank: authorities
+    are pages good hubs point AT, hubs are pages that point at good
+    authorities (Kleinberg '99).
+
+    Quantized recurrence, replayable bit-for-bit by a fixed-rounds
+    DuckDB CTE: h0(u) = S for every node; each round
+        a_raw(v) = Σ_{u→v} h(u);   a(v) = a_raw(v)·S // max(a_raw)
+        h_raw(u) = Σ_{u→v} a(v);   h(u) = h_raw(u)·S // max(h_raw)
+    — max-normalization instead of the classic L2 norm keeps every
+    operation integer (sqrt has no exact integer replay). Output:
+    (url, hub, authority) in micro-units, 0 for disconnected nodes.
+
+    Scale shape (the pagerank idioms): urls hashed once to int64 keys;
+    the edge list materialized once (pass a shared
+    ``link_graph(...).materialize()`` via ``edges`` when another
+    consumer holds it); each round is 2 partitioned joins + 2 grouped
+    sums + 2 SCALAR max pulls (the only driver state); per-round
+    coalesce + size-aware widths. Honest cap: a_raw ≤ maxindeg·S and
+    the rescale multiplies by S again, so int64 overflows when one
+    node's in-degree exceeds ~9×10⁶ — the upgrade path is a pre-shift
+    (a_raw >> 20 before the multiply) at 1 µ-unit precision cost."""
+    from zerox_ray.pipelines.relational import hash_join
+    from zerox_ray.stages.classify import default_num_partitions
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    nodes = ds.select_columns(["url"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                "url": t["url"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    ekeys = (link_graph(ds, prefix) if edges is None else edges).map_batches(
+        lambda t: pa.table(
+            {
+                "sk": pa.array(_h63(t["src"].to_pylist()), pa.int64()),
+                "dk": pa.array(_h63(t["dst"].to_pylist()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    n_nodes = nodes.count()
+    n_edges = ekeys.count()
+    n_parts = max(8, min(1024, n_nodes // 250_000 + 8))
+    n_buckets = max(8, min(default_num_partitions(), n_edges // 10_000 + 8))
+
+    def zeros_out() -> ray.data.Dataset:
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["url"],
+                    "hub": pa.array([0] * t.num_rows, pa.int64()),
+                    "authority": pa.array([0] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_edges == 0:
+        return zeros_out()
+
+    ekeys = ekeys.repartition(
+        max(8, min(1024, n_edges // 250_000 + 8))
+    ).materialize()
+    hub = (
+        nodes.map_batches(
+            lambda t: pa.table(
+                {"k": t["k"], "v": pa.array([PR_SCALE] * t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
+    auth = None
+
+    def step(
+        state: ray.data.Dataset, join_key: str, emit_key: str
+    ) -> ray.data.Dataset:
+        """One half-round: Σ state over edges grouped on the other
+        endpoint, then max-rescale. state: (k, v) keyed on join_key's
+        endpoint; output (k, v) keyed on emit_key's endpoint."""
+        tagged = ekeys.map_batches(
+            lambda t, jk=join_key, ek=emit_key: pa.table(
+                {"k": t[jk], "o": t[ek]}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(tagged, state, on="k", num_buckets=n_buckets)
+        raw = bucketed_group_agg(
+            joined.map_batches(
+                lambda df: pa.table(
+                    {
+                        "k": pa.array(df["o"].to_numpy(np.int64)),
+                        "v": pa.array(df["v"].to_numpy(np.int64)),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["k"],
+            {"v": ("v", "sum")},
+            num_buckets=n_buckets,
+        ).materialize()
+        # the ONLY per-round driver state: one scalar (max ≥ 1 — an
+        # all-zero state would otherwise divide by zero)
+        mx = max(int(raw.max("v")), 1)
+        return (
+            raw.map_batches(
+                lambda t, m=mx: pa.table(
+                    {
+                        "k": t["k"],
+                        "v": pa.array(
+                            t["v"].to_numpy(zero_copy_only=False)
+                            * PR_SCALE
+                            // m
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    for _ in range(iters):
+        auth = step(hub, "sk", "dk")  # a(v) = Σ h(u) over u→v, rescaled
+        hub = step(auth, "dk", "sk")  # h(u) = Σ a(v) over u→v, rescaled
+
+    # zeros-union instead of left joins: disconnected nodes fold in as
+    # zero rows through the grouped sum (the pagerank dangling idiom),
+    # keeping every intermediate a clean Arrow int64 (a left join's
+    # null-fill would force pandas nullable-Int64 blocks)
+    kzeros = nodes.map_batches(
+        lambda t: pa.table({"k": t["k"], "v": pa.array([0] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    )
+    hub_full = bucketed_group_agg(
+        hub.union(kzeros), ["k"], {"hub": ("v", "sum")}, num_buckets=n_buckets
+    )
+    auth_full = bucketed_group_agg(
+        auth.union(kzeros), ["k"], {"authority": ("v", "sum")}, num_buckets=n_buckets
+    )
+    out = hash_join(hash_join(nodes, hub_full, on="k"), auth_full, on="k")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "hub": df["hub"].astype("int64"),
+                "authority": df["authority"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def reciprocal_links(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Mutual-link pairs: unordered url pairs {a, b} where a→b AND b→a
+    both exist in the corpus graph — the classic link-spam / link-ring
+    signal (reciprocal links are heavily discounted by ranking systems).
+    Output: (url_a, url_b) with url_a < url_b, one row per pair.
+
+    Scale shape: shuffle-free edge extraction → per-batch canonicalize
+    each edge to (lo, hi, dir-bit) with self-loops dropped → ONE grouped
+    max on the pair key → filter both-directions-present. The exchange
+    moves one row per distinct (pair, direction) per batch — never
+    payload bytes."""
+    edges = link_graph(pages, prefix)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        s = df["src"].to_numpy(object)
+        d = df["dst"].to_numpy(object)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        fwd = (s == lo).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "url_a": lo,
+                "url_b": hi,
+                "fwd": fwd,
+                "rev": 1 - fwd,
+            }
+        )
+        # per-batch combiner: collapse duplicate hrefs before the shuffle
+        return out.groupby(["url_a", "url_b"], as_index=False).max()
+
+    pairs = bucketed_group_agg(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["url_a", "url_b"],
+        {"fwd": ("fwd", "max"), "rev": ("rev", "max")},
+    )
+    return pairs.map_batches(
+        lambda df: df.loc[(df["fwd"] == 1) & (df["rev"] == 1), ["url_a", "url_b"]],
+        batch_format="pandas",
+    )
