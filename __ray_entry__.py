@@ -363,6 +363,30 @@ def _q_snapshot_churn(sf_dir: str):
     return churn.map_batches(to_doc_rows, batch_format="pandas")
 
 
+def _q_snapshot_delta(sf_dir: str):
+    """Newest-vs-previous crawl diff over the multi-snapshot corpus,
+    keyed back to doc_id. Closed form: 1 + doc_id%3 snapshots, 1 µs
+    apart; corrupt docs' payloads are text-independent so every
+    snapshot is identical ('unchanged'); all other multi-snapshot docs
+    changed. The crc32-searched tie decoy on every 7th doc is excluded
+    (crc32 is not SQL-expressible — the snapshot_churn cap)."""
+    import pandas as pd
+
+    from zerox_ray.sources.pages import snapshot_delta
+    from zerox_ray.testgen import URL_PREFIX
+
+    delta = snapshot_delta(snapshot_pages_dir_for(sf_dir))
+
+    def to_doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["doc_id"] = out["url"].str.slice(len(URL_PREFIX)).astype("int64")
+        out = out[out["doc_id"] % 7 != 0]
+        out["status"] = out["status"].astype(object)
+        return out[["doc_id", "n_snapshots", "status", "delta_us"]]
+
+    return delta.map_batches(to_doc_rows, batch_format="pandas")
+
+
 def _q_structured_pages(sf_dir: str):
     """Spreadsheet branch: ZXSHEET payloads → sheet-as-page rows (S6/M12)."""
     return extracted_pages(sheet_pages_dir_for(sf_dir)).select_columns(
@@ -420,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_snapshot_ingest": _q_ocr_snapshot_ingest,
         # per-url recrawl churn over the same multi-snapshot corpus
         "snapshot_churn": _q_snapshot_churn,
+        # newest-vs-previous payload diff per url (incremental-crawl gate)
+        "snapshot_delta": _q_snapshot_delta,
         "extract_documents": _q_extract_documents,
         # training-data ops (SQL-oracled)
         "token_stats": token_stats,
@@ -1590,6 +1616,18 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 101 = 13 THEN 1
             ELSE 1 + doc_id % 3 END AS BIGINT) AS n_versions,
        CAST(doc_id % 3 AS BIGINT) AS ts_span_us
+FROM documents WHERE doc_id % 7 <> 0
+""",
+        # mirrors sources/pages.snapshot_delta over the generator's
+        # closed form: corrupt payloads are text-independent (identical
+        # snapshots → unchanged); everything multi-snapshot else changed
+        "snapshot_delta": """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_snapshots,
+       CASE WHEN doc_id % 3 = 0 THEN 'single'
+            WHEN doc_id % 101 = 13 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS delta_us
 FROM documents WHERE doc_id % 7 <> 0
 """,
         "ocr_pages": _PAGES_CTE

@@ -221,3 +221,62 @@ def test_hash_join_empty_schemaless_side():
     assert sorted(lj.k) == [1, 2] and list(lj.columns) == ["k", "v"]
     with pytest.raises(ValueError, match="unknown schema"):
         hash_join(left, empty, on="k", how="outer")
+
+
+def test_snapshot_delta_statuses(tmp_path):
+    """single / changed / unchanged classification, keep-order (warc_ts,
+    crc32) alignment with latest_snapshots, and count correctness when a
+    url's snapshots spread across blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zerox_ray.sources.pages import snapshot_delta
+
+    def row(url, ts, payload):
+        return {"url": url, "warc_ts": ts, "html": payload}
+
+    rows = [
+        row("u/single", 10, b"<p>only</p>"),
+        # changed: newest payload differs from previous
+        row("u/changed", 10, b"<p>old</p>"),
+        row("u/changed", 20, b"<p>new</p>"),
+        # unchanged: identical recrawl 5us later
+        row("u/same", 10, b"<p>same</p>"),
+        row("u/same", 15, b"<p>same</p>"),
+        # 3 snapshots: only the newest two decide the diff
+        row("u/tri", 10, b"<p>v1</p>"),
+        row("u/tri", 20, b"<p>v2</p>"),
+        row("u/tri", 30, b"<p>v2</p>"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r["warc_ts"] for r in rows], pa.timestamp("us")
+            ),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    # two files so one url's snapshots span input blocks
+    pq.write_table(t.slice(0, 4), tmp_path / "a.parquet")
+    pq.write_table(t.slice(4), tmp_path / "b.parquet")
+    got = (
+        snapshot_delta(str(tmp_path))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = {
+        "u/changed": (2, "changed", 10),
+        "u/same": (2, "unchanged", 5),
+        "u/single": (1, "single", 0),
+        "u/tri": (3, "unchanged", 10),
+    }
+    assert {
+        u: (n, s, d)
+        for u, n, s, d in zip(
+            got.url, got.n_snapshots, got.status, got.delta_us
+        )
+    } == want

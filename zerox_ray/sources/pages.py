@@ -167,3 +167,92 @@ def snapshot_churn(path: str | list[str]) -> ray.data.Dataset:
         )
 
     return bucketed_group_map(partials, "url", finish)
+
+
+def snapshot_delta(path: str | list[str]) -> ray.data.Dataset:
+    """Newest-vs-previous crawl diff per url over a MULTI-snapshot pages
+    table: did the latest recrawl change the page? The per-url signal an
+    incremental pipeline gates on — 'unchanged' urls skip re-extraction
+    entirely, 'changed' ones re-enter the OCR chain, 'single' ones are
+    first-seen. Snapshot order is (warc_ts, crc32) — the exact
+    ``latest_snapshots`` keep-order, so "newest" here IS the row that
+    collapse would keep.
+
+    Output: (url, n_snapshots, status, delta_us) where status ∈
+    {'single','changed','unchanged'} compares the newest two payloads'
+    md5-64 and delta_us is the warc_ts gap between them (0 for single).
+
+    Scale shape: the snapshot_churn combiner discipline — each batch
+    pre-shrinks to ≤2 candidate rows per url (top-2 by the keep-order)
+    plus a partial count, so the ONE url-keyed exchange moves ≤ 2 rows
+    per (url, batch) and the payload bytes never travel (md5-64 + crc32
+    ride instead). The reduce re-ranks the ≤2-per-batch candidates and
+    sums the counts."""
+    import numpy as np
+    import pandas as pd
+
+    from zerox_ray.functions.hashing import md5_64_array
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    ds = read_pages(path, columns=("url", "warc_ts", "html"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        h = md5_64_array(list(df["html"])).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(p) for p in df["html"]), dtype=np.int64, count=len(df)
+        )
+        ts = df["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rows = pd.DataFrame(
+            {"url": df["url"], "ts": ts, "crc": crc, "h": h, "n": 1}
+        )
+        # keep-order rank: top-2 per url by (ts, crc) descending; the
+        # count partial rides on every kept row's n-sum contribution, so
+        # collapse dropped rows' counts into the kept tail row
+        rows = rows.sort_values(["url", "ts", "crc"], kind="mergesort")
+        grp = rows.groupby("url", sort=False)
+        tail2 = grp.tail(2).copy()
+        dropped = (
+            rows.groupby("url", as_index=False)["n"].sum().rename(
+                columns={"n": "n_total"}
+            )
+        )
+        tail2 = tail2.merge(dropped, on="url")
+        # the lowest-ranked kept row absorbs the dropped count
+        first_of_url = ~tail2.duplicated("url", keep="first")
+        kept_per_url = tail2.groupby("url")["n"].transform("size")
+        tail2["n"] = np.where(
+            first_of_url, tail2["n_total"] - (kept_per_url - 1), 1
+        ).astype(np.int64)
+        return tail2[["url", "ts", "crc", "h", "n"]].astype(
+            {"ts": "int64", "crc": "int64", "h": "int64", "n": "int64"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "ts", "crc"], kind="mergesort")
+        counts = g.groupby("url", as_index=False)["n"].sum().rename(
+            columns={"n": "n_snapshots"}
+        )
+        top2 = g.groupby("url", sort=False).tail(2)
+        is_newest = ~top2.duplicated("url", keep="last")
+        newest = top2[is_newest].set_index("url")
+        prev = top2[~is_newest].set_index("url")  # absent for singles
+        out = counts.set_index("url")
+        out["status"] = "single"
+        out["delta_us"] = 0
+        if len(prev):
+            pu = prev.index
+            changed = prev["h"].to_numpy() != newest.loc[pu, "h"].to_numpy()
+            out.loc[pu, "status"] = np.where(changed, "changed", "unchanged")
+            out.loc[pu, "delta_us"] = (
+                newest.loc[pu, "ts"].to_numpy() - prev["ts"].to_numpy()
+            )
+        out = out.reset_index()
+        return out[["url", "n_snapshots", "status", "delta_us"]].astype(
+            {"n_snapshots": "int64", "status": "string", "delta_us": "int64"}
+        )
+
+    return bucketed_group_map(partials, "url", finish)
