@@ -83,6 +83,10 @@ from zerox_ray.pipelines.graph import (
     crawl_frontier,
     crawl_timeline,
     hits,
+    host_graph,
+    host_quota,
+    host_rank,
+    host_stats,
     inlink_counts,
     inlink_summaries,
     leaf_pages,
@@ -131,6 +135,7 @@ from zerox_ray.pipelines.sketches import (
     price_quantiles,
 )
 from zerox_ray.testgen import (
+    multihost_pages_dir_for,
     pages_dir_for,
     sheet_pages_dir_for,
     snapshot_pages_dir_for,
@@ -252,6 +257,25 @@ def _q_inlink_summaries(sf_dir: str):
 
 def _q_page_metadata(sf_dir: str):
     return page_metadata(pages_dir_for(sf_dir))
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-level family runs over the MULTIHOST corpus (23 synthetic
+    hosts, testgen.mh_url) — the smallest table where host granularity
+    differs from page granularity."""
+    return host_graph(multihost_pages_dir_for(sf_dir))
+
+
+def _q_host_rank(sf_dir: str):
+    return host_rank(multihost_pages_dir_for(sf_dir))
+
+
+def _q_host_stats(sf_dir: str):
+    return host_stats(multihost_pages_dir_for(sf_dir))
+
+
+def _q_host_quota(sf_dir: str):
+    return host_quota(multihost_pages_dir_for(sf_dir))
 
 
 def _q_snapshot_curate(sf_dir: str):
@@ -427,6 +451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
+        "host_graph": _q_host_graph,
+        "host_rank": _q_host_rank,
+        "host_stats": _q_host_stats,
+        "host_quota": _q_host_quota,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
@@ -1157,6 +1185,52 @@ pr_edges AS (
   FROM documents d, pr_n, (SELECT unnest(range(3)) AS j) j
   WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
 )"""
+
+
+
+#: the MULTIHOST corpus closed form (testgen.mh_url / multihost_pages_dir_for
+#: — keep in sync): host(d) = 'h' || (d % 23) || '.example.net', link targets
+#: the same related_links closed form as pr_edges but host-mapped
+_MH_EDGES_CTE = """
+WITH mh_n AS (SELECT count(*) AS n FROM documents),
+mh_edges AS (
+  SELECT 'h' || (d.doc_id % 23) || '.example.net' AS src_host,
+         'h' || (((d.doc_id * 31 + 7 * j.j + 3) % mh_n.n) % 23)
+             || '.example.net' AS dst_host
+  FROM documents d, mh_n, (SELECT unnest(range(3)) AS j) j
+  WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
+)"""
+
+
+def _host_rank_sql(iters: int = 3) -> str:
+    """Mirror of pipelines/graph.py::host_rank — the pagerank recurrence
+    over the host MULTIGRAPH (one edge per link occurrence, so outdeg =
+    occurrence count and multi-links weigh proportionally)."""
+    parts = [
+        _MH_EDGES_CTE
+        + """,
+mh_hosts AS (SELECT DISTINCT 'h' || (doc_id % 23) || '.example.net' AS host
+             FROM documents),
+hr_deg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+           FROM mh_edges GROUP BY src_host),
+hr_r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM mh_hosts)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+hr_c{i} AS (
+  SELECT e.dst_host AS host, CAST(sum(r.r // g.outdeg) AS BIGINT) AS s
+  FROM mh_edges e
+  JOIN hr_deg g ON e.src_host = g.src_host
+  JOIN hr_r{i - 1} r ON e.src_host = r.host
+  GROUP BY e.dst_host
+),
+hr_r{i} AS (
+  SELECT h.host,
+         CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM mh_hosts h LEFT JOIN hr_c{i} c USING (host)
+)""")
+    return "".join(parts) + f"""
+SELECT host, r AS rank FROM hr_r{iters}"""
 
 
 def _pagerank_round_ctes(iters: int = 3) -> str:
@@ -2478,6 +2552,38 @@ SELECT 'https://example.org/doc/' || dst AS dst,
 FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
+        # host family: multihost corpus (testgen.mh_url — 23 hosts);
+        # every edge replayable from doc_id via related_links + host map
+        "host_graph": _MH_EDGES_CTE
+        + """
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM mh_edges GROUP BY src_host, dst_host""",
+        "host_rank": _host_rank_sql(),
+        # host profile over url/text/lang/warc_ts only (never payload);
+        # ts = epoch + doc_id seconds (testgen), chars = codepoints
+        "host_stats": """
+SELECT 'h' || (doc_id % 23) || '.example.net' AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min(1704067200000000 + doc_id * 1000000) AS BIGINT) AS first_ts_us,
+       CAST(max(1704067200000000 + doc_id * 1000000) AS BIGINT) AS last_ts_us
+FROM documents GROUP BY host""",
+        # per-host top-5 by (n_chars DESC, url) — the politeness quota
+        "host_quota": """
+WITH mq AS (
+  SELECT 'h' || (doc_id % 23) || '.example.net' AS host,
+         'https://h' || (doc_id % 23) || '.example.net/doc/' || doc_id AS url,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+mqr AS (
+  SELECT host, url, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, url) AS BIGINT) AS rank
+  FROM mq
+)
+SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "hits": _hits_sql(),
         "reciprocal_links": _RECIPROCAL_LINKS_SQL,
         "link_components": _LINK_COMPONENTS_SQL,

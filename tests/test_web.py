@@ -400,3 +400,134 @@ def test_crawl_timeline_counts_cover_corpus(sf_dir):
     assert (got.window_start_us % 3_600_000_000 == 0).all()
     # lang split is real
     assert got.lang.nunique() > 1
+
+
+class TestHostOps:
+    """Host-level family over the MULTIHOST corpus (testgen.mh_url:
+    23 hosts), each checked against a pure-python replay."""
+
+    @staticmethod
+    def _mh_edges(sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.testgen import mh_url, plan_doc, related_links
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        edges = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] == "html":
+                for tgt in related_links(d, n):
+                    edges.append(
+                        (
+                            mh_url(d).split("/")[2],
+                            mh_url(tgt).split("/")[2],
+                        )
+                    )
+        return edges
+
+    def test_host_of_vectorized(self):
+        import pyarrow as pa
+
+        from zerox_ray.pipelines.graph import host_of
+
+        got = host_of(
+            pa.array(
+                [
+                    "https://h3.example.net/doc/5",
+                    "http://a.b.c/x?y=1",
+                    "ftp://files.example.org",
+                    "not-a-url",
+                ]
+            )
+        ).to_pylist()
+        assert got == ["h3.example.net", "a.b.c", "files.example.org", ""]
+
+    def test_host_graph_matches_generator(self, sf_dir):
+        from collections import Counter
+
+        from zerox_ray.pipelines.graph import host_graph
+        from zerox_ray.testgen import multihost_pages_dir_for
+
+        want = Counter(self._mh_edges(sf_dir))
+        got = host_graph(multihost_pages_dir_for(sf_dir)).to_pandas()
+        assert {
+            (s, d): n for s, d, n in zip(got.src_host, got.dst_host, got.n_links)
+        } == dict(want)
+
+    def test_host_rank_matches_pure_python(self, sf_dir):
+        from collections import Counter
+
+        from zerox_ray.pipelines.graph import (
+            PR_DAMP_DEN,
+            PR_DAMP_NUM,
+            PR_ITERS,
+            PR_SCALE,
+            host_rank,
+        )
+        from zerox_ray.testgen import MH_HOSTS, multihost_pages_dir_for
+
+        edges = self._mh_edges(sf_dir)
+        hosts = [f"h{i}.example.net" for i in range(MH_HOSTS)]
+        outdeg = Counter(s for s, _ in edges)
+        r = {h: PR_SCALE for h in hosts}
+        base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+        for _ in range(PR_ITERS):
+            c = {h: 0 for h in hosts}
+            for s, d in edges:
+                c[d] += r[s] // outdeg[s]
+            r = {h: base + PR_DAMP_NUM * c[h] // PR_DAMP_DEN for h in hosts}
+        got = host_rank(multihost_pages_dir_for(sf_dir)).to_pandas()
+        assert dict(zip(got.host, got["rank"])) == r
+
+    def test_host_stats_matches_pandas(self, sf_dir):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import host_stats
+        from zerox_ray.testgen import EPOCH_US, MH_HOSTS, multihost_pages_dir_for
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+        docs["host"] = "h" + (docs.doc_id % MH_HOSTS).astype(str) + ".example.net"
+        docs["ts_us"] = EPOCH_US + docs.doc_id * 1_000_000
+        docs["n_chars"] = docs.text.str.len()
+        want = docs.groupby("host").agg(
+            n_pages=("doc_id", "size"),
+            n_langs=("lang", "nunique"),
+            total_chars=("n_chars", "sum"),
+            first_ts_us=("ts_us", "min"),
+            last_ts_us=("ts_us", "max"),
+        )
+        got = (
+            host_stats(multihost_pages_dir_for(sf_dir))
+            .to_pandas()
+            .set_index("host")
+            .sort_index()
+        )
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.sort_index().astype("int64")
+        )
+
+    def test_host_quota_top5_per_host(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import host_quota
+        from zerox_ray.testgen import MH_HOSTS, mh_url, multihost_pages_dir_for
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+        docs["host"] = "h" + (docs.doc_id % MH_HOSTS).astype(str) + ".example.net"
+        docs["url"] = docs.doc_id.map(mh_url)
+        docs["n_chars"] = docs.text.str.len()
+        docs = docs.sort_values(
+            ["host", "n_chars", "url"], ascending=[True, False, True]
+        )
+        top = docs.groupby("host").head(5)
+        want = {
+            u: (h, c, i + 1)
+            for h, grp in top.groupby("host")
+            for i, (u, c) in enumerate(zip(grp.url, grp.n_chars))
+        }
+        got = host_quota(multihost_pages_dir_for(sf_dir)).to_pandas()
+        assert len(got) == len(want)
+        for h, u, c, rk in zip(got.host, got.url, got.n_chars, got["rank"]):
+            assert want[u] == (h, c, rk), u

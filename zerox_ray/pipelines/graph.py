@@ -970,3 +970,216 @@ def reciprocal_links(
         lambda df: df.loc[(df["fwd"] == 1) & (df["rev"] == 1), ["url_a", "url_b"]],
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-level graph family: the domain/host granularity every production
+# crawl pipeline aggregates to (per-domain politeness quotas, host-level
+# rank for seed selection, domain mix reports). Operates on the multihost
+# corpus (testgen.multihost_pages_dir_for: urls https://h{d%23}.example.net)
+# but the operators are generic over ANY url namespace — host extraction
+# is a vectorized regex on the url column, never a payload scan.
+# ---------------------------------------------------------------------------
+
+#: scheme-authority prefix → host (the authority component)
+_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)"
+
+
+def host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized url → host: pyarrow extract_regex on the authority
+    component. Rows that do not parse (no scheme) yield ''."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(urls, _HOST_PATTERN)
+    if isinstance(ex, pa.ChunkedArray):
+        ex = ex.combine_chunks()
+    host = pc.struct_field(ex, "host")
+    return pc.fill_null(host, "")
+
+
+def host_edges(
+    pages: ray.data.Dataset | str, prefix: str = "https://h"
+) -> ray.data.Dataset:
+    """In-corpus link occurrences lifted to host granularity:
+    (src, dst) HOST strings, one row per link occurrence (the host
+    multigraph — multiplicity is the inter-host link weight and is what
+    host_rank's recurrence consumes). Shuffle-free: one payload regex
+    scan + a vectorized host extraction per batch."""
+    edges = link_graph(pages, prefix)
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": host_of(t["src"]),
+                "dst": host_of(t["dst"]),
+            }
+        )
+
+    return edges.map_batches(to_hosts, batch_format="pyarrow")
+
+
+def host_graph(
+    pages: ray.data.Dataset | str, prefix: str = "https://h"
+) -> ray.data.Dataset:
+    """Weighted host-level edge list: (src_host, dst_host, n_links) —
+    the domain graph. Per-batch combiner counts each (src,dst) host pair
+    before ONE grouped sum, so the exchange moves one row per distinct
+    host pair per batch — O(hosts²) worst case, tiny next to the edges."""
+    he = host_edges(pages, prefix)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["src", "dst"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_links", "src": "src_host", "dst": "dst_host"})
+        )
+        return out.astype({"n_links": "int64"})
+
+    return bucketed_group_agg(
+        he.map_batches(partial, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        {"n_links": ("n_links", "sum")},
+    )
+
+
+def host_rank(
+    pages: ray.data.Dataset | str,
+    iters: int = PR_ITERS,
+    prefix: str = "https://h",
+) -> ray.data.Dataset:
+    """Host-level PageRank: the page recurrence (integer-exact, same
+    constants) run over the host multigraph — each link OCCURRENCE is an
+    edge, so a host linking out L times splits its rank L ways and
+    multi-links between the same host pair weigh proportionally (the
+    standard domain-rank construction). Output: (host, rank) micro-units.
+
+    Reuses ``pagerank`` wholesale: nodes = distinct page hosts (derived
+    by one grouped distinct over the url column — never the payload),
+    edges = ``host_edges``. At web scale hosts ≈ 10⁸ while pages ≈ 10¹²,
+    so every per-round exchange here is ~10⁴× narrower than page rank."""
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+
+    def hosts_partial(t: pa.Table) -> pd.DataFrame:
+        # per-batch distinct hosts (combiner) → one grouped max = global
+        # distinct; the exchange moves one row per (host, batch)
+        h = host_of(t["url"]).to_pandas().astype(object)
+        out = pd.DataFrame({"url": h}).drop_duplicates()
+        out["one"] = pd.Series(1, index=out.index, dtype="int64")
+        return out
+
+    hosts = bucketed_group_agg(
+        ds.select_columns(["url"]).map_batches(hosts_partial, batch_format="pyarrow"),
+        ["url"],
+        {"one": ("one", "max")},
+    ).select_columns(["url"])
+    return pagerank(hosts, iters=iters, edges=host_edges(ds, prefix)).map_batches(
+        lambda df: df.rename(columns={"url": "host"}),
+        batch_format="pandas",
+    )
+
+
+def host_stats(pages: ray.data.Dataset | str) -> ray.data.Dataset:
+    """Per-host crawl profile: (host, n_pages, n_langs, total_chars,
+    first_ts_us, last_ts_us) — the domain mix report (page volume,
+    language spread, text mass, crawl-window span per host).
+
+    Two-exchange distinct-count composition: per-batch partials grouped
+    by (host, lang) — all four metrics are mergeable at that grain —
+    then one tiny second aggregate on host where n_langs = row count.
+    The second exchange moves O(hosts × langs) rows."""
+    ds = (
+        read_pages(pages, columns=["url", "warc_ts", "text", "lang"])
+        if isinstance(pages, str)
+        else pages
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "host": host_of(t["url"]).to_pandas().astype(object),
+                "lang": t["lang"].to_pandas().astype(object),
+                "n_pages": 1,
+                "total_chars": pc.utf8_length(t["text"]).to_pandas().astype("int64"),
+                "ts_us": t["warc_ts"].cast(pa.int64()).to_pandas(),
+            }
+        )
+        out = df.groupby(["host", "lang"], as_index=False).agg(
+            n_pages=("n_pages", "sum"),
+            total_chars=("total_chars", "sum"),
+            first_ts_us=("ts_us", "min"),
+            last_ts_us=("ts_us", "max"),
+        )
+        return out.astype({"n_pages": "int64"})
+
+    per_lang = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host", "lang"],
+        {
+            "n_pages": ("n_pages", "sum"),
+            "total_chars": ("total_chars", "sum"),
+            "first_ts_us": ("first_ts_us", "min"),
+            "last_ts_us": ("last_ts_us", "max"),
+        },
+    )
+
+    return bucketed_group_agg(
+        per_lang.map_batches(
+            lambda df: df.assign(n_langs=pd.Series(1, index=df.index, dtype="int64")),
+            batch_format="pandas",
+        ),
+        ["host"],
+        {
+            "n_pages": ("n_pages", "sum"),
+            "n_langs": ("n_langs", "sum"),
+            "total_chars": ("total_chars", "sum"),
+            "first_ts_us": ("first_ts_us", "min"),
+            "last_ts_us": ("last_ts_us", "max"),
+        },
+    )
+
+
+def host_quota(
+    pages: ray.data.Dataset | str, k: int = 5
+) -> ray.data.Dataset:
+    """Per-host page cap — the crawl-politeness / anti-domination quota
+    (CCNet/Gopher-style: no single domain may dominate the corpus).
+    Keeps the k longest-text pages per host, deterministic tie-break on
+    url. Output: (host, url, n_chars, rank) with rank 1..k per host.
+
+    Scale shape: per-batch partial top-k bounds the shuffle to k rows
+    per (host, batch); ONE coarse-bucketed exchange finishes the
+    selection — per-reduce-task memory is O(k × hosts-per-bucket)."""
+    ds = (
+        read_pages(pages, columns=["url", "text"])
+        if isinstance(pages, str)
+        else pages
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "host": host_of(t["url"]).to_pandas().astype(object),
+                "url": t["url"].to_pandas().astype(object),
+                "n_chars": pc.utf8_length(t["text"]).to_pandas().astype("int64"),
+            }
+        )
+        return (
+            df.sort_values(["host", "n_chars", "url"], ascending=[True, False, True])
+            .groupby("host")
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "n_chars", "url"], ascending=[True, False, True])
+        g = g.groupby("host").head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("host").cumcount().astype("int64") + 1
+        return g
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_map(partials, "host", final)

@@ -87,7 +87,11 @@ def related_links(doc_id: int, n_docs: int) -> list[int]:
 
 
 def build_html(
-    doc_id: int, chunks: list[str], filler: bool, n_docs: int = 0
+    doc_id: int,
+    chunks: list[str],
+    filler: bool,
+    n_docs: int = 0,
+    url_for=None,
 ) -> bytes:
     parts = [
         b"<html><head><title>doc %d</title></head><body>\n" % doc_id,
@@ -104,9 +108,12 @@ def build_html(
         # inter-doc links live INSIDE a footer element, so the
         # boilerplate strip removes them and every extracted-markdown
         # oracle is unaffected — they exist only for the link-graph
-        # operators (pipelines/graph.py)
+        # operators (pipelines/graph.py). ``url_for`` rewrites the link
+        # TARGETS into another url namespace (the multihost corpus).
+        if url_for is None:
+            url_for = lambda t: f"{URL_PREFIX}{t}"  # noqa: E731
         rel = "".join(
-            f'<a href="{URL_PREFIX}{t}">related {j}</a> '
+            f'<a href="{url_for(t)}">related {j}</a> '
             for j, t in enumerate(related_links(doc_id, n_docs))
         )
         parts.append(b'<footer class="related">%s</footer>' % rel.encode())
@@ -415,6 +422,81 @@ def snapshot_pages_dir_for(
             os.path.join(sf_dir, "documents.parquet")
         )
         pq.write_table(table, os.path.join(tmp, "pages-00000.parquet"))
+
+    _atomic_write_dir(out, write)
+    return out
+
+
+#: multihost corpus: pages spread over MH_HOSTS synthetic hosts so the
+#: host-level graph family (pipelines/graph.py host_graph / host_rank /
+#: host_stats / host_quota) has a real multi-host url namespace. 23 is
+#: prime and coprime with the link closed form's constants, so hosts mix.
+MH_HOSTS = 23
+
+
+def mh_url(doc_id: int) -> str:
+    """The multihost url closed form (mirrored by the host-family SQL
+    oracles in __ray_entry__.py — keep in sync):
+    host(d) = 'h' || (d mod 23) || '.example.net'."""
+    return f"https://h{doc_id % MH_HOSTS}.example.net/doc/{doc_id}"
+
+
+def generate_multihost_pages_table(documents_path: str) -> pa.Table:
+    """documents.parquet → MULTIHOST pages table: same per-doc payload
+    plan as ``generate_pages_table`` (same kinds, chunks, filler) but the
+    page url AND the embedded related-link targets live in the
+    ``mh_url`` namespace — so in-corpus link extraction with
+    prefix='https://h' yields a 23-host graph whose every edge is
+    SQL-replayable from doc_id alone (testgen.related_links +
+    mh_url)."""
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    n_docs = docs.num_rows
+    urls, tss, payloads, out_texts, out_langs = [], [], [], [], []
+    for d, t, lg in zip(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+    ):
+        p = plan_doc(d, t)
+        if p["kind"] == "corrupt":
+            pl = build_corrupt(d)
+        elif p["kind"] == "pdf":
+            pl = build_pdf(p["chunks"])
+        else:
+            pl = build_html(d, p["chunks"], p["filler"], n_docs, url_for=mh_url)
+        urls.append(mh_url(d))
+        tss.append(EPOCH_US + d * 1_000_000)
+        payloads.append(pl)
+        out_texts.append(t)
+        out_langs.append(lg)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def multihost_pages_dir_for(
+    sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache"
+) -> str:
+    """Cached multihost pages corpus for a testdata sf dir."""
+    tag = _sf_tag(sf_dir)
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "multihost-pages")
+    if os.path.isdir(out):
+        return out
+
+    def write(tmp: str) -> None:
+        table = generate_multihost_pages_table(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        for start in range(0, table.num_rows, ROWS_PER_FILE):
+            part = table.slice(start, ROWS_PER_FILE)
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"pages-{start // ROWS_PER_FILE:05d}.parquet"),
+            )
 
     _atomic_write_dir(out, write)
     return out
