@@ -96,6 +96,11 @@ from zerox_ray.pipelines.graph import (
     pagerank,
     reciprocal_links,
 )
+from zerox_ray.pipelines.boilerplate import (
+    boilerplate_blocks,
+    paragraph_dedup,
+    raw_text_blocks,
+)
 from zerox_ray.pipelines.web import rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
@@ -278,6 +283,21 @@ def _q_host_quota(sf_dir: str):
     return host_quota(multihost_pages_dir_for(sf_dir))
 
 
+def _q_raw_text_blocks(sf_dir: str):
+    return raw_text_blocks(pages_dir_for(sf_dir))
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-frequency boilerplate removal: on this corpus
+    the statistical pass must recover (nearly) the structural DOM strip
+    — the nav/footer chrome repeats on every html page."""
+    return paragraph_dedup(pages_dir_for(sf_dir))
+
+
+def _q_boilerplate_blocks(sf_dir: str):
+    return boilerplate_blocks(pages_dir_for(sf_dir))
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -455,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
         "host_quota": _q_host_quota,
+        "raw_text_blocks": _q_raw_text_blocks,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "boilerplate_blocks": _q_boilerplate_blocks,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
@@ -1199,6 +1222,47 @@ mh_edges AS (
              || '.example.net' AS dst_host
   FROM documents d, mh_n, (SELECT unnest(range(3)) AS j) j
   WHERE d.doc_id % 101 <> 13 AND d.doc_id % 10 <> 7
+)"""
+
+
+
+#: raw-text-block replay (pipelines/boilerplate.py::raw_text_blocks):
+#: html pages emit 4 nav blocks + the chunk (when non-empty, slot 4) +
+#: the footer terms block, in scan order; pdf pages emit the page text
+_RAW_BLOCKS_CTE = """
+WITH bp AS (
+  SELECT doc_id, text,
+         'https://example.org/doc/' || doc_id AS url,
+         CASE WHEN doc_id % 101 = 13 THEN 'corrupt'
+              WHEN doc_id % 10 = 7 THEN 'pdf' ELSE 'html' END AS kind,
+         CASE WHEN doc_id % 101 = 13 THEN 1
+              WHEN doc_id % 50 = 0 THEN 24
+              ELSE 1 + (doc_id % 4) END AS np
+  FROM documents
+),
+bpg AS (
+  SELECT url, kind, text,
+         unnest(generate_series(1, np)) AS page_index,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / np) AS BIGINT) AS L
+  FROM bp WHERE kind <> 'corrupt'
+),
+bpc AS (
+  SELECT url, kind, page_index,
+         substring(text, (page_index - 1) * L + 1, L) AS content
+  FROM bpg
+),
+pb AS (
+  SELECT url, page_index, CAST(j.j AS BIGINT) AS block_index,
+         CASE j.j WHEN 0 THEN 'home' WHEN 1 THEN 'about us'
+                  WHEN 2 THEN 'contact' WHEN 3 THEN 'log in'
+                  WHEN 4 THEN content
+                  ELSE 'terms of service privacy policy site map (c) example'
+         END AS block
+  FROM bpc, (SELECT unnest(range(6)) AS j) j
+  WHERE kind = 'html' AND NOT (j.j = 4 AND content = '')
+  UNION ALL
+  SELECT url, page_index, CAST(0 AS BIGINT), content
+  FROM bpc WHERE kind = 'pdf' AND content <> ''
 )"""
 
 
@@ -2559,6 +2623,33 @@ FROM pr_edges GROUP BY dst
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM mh_edges GROUP BY src_host, dst_host""",
         "host_rank": _host_rank_sql(),
+        "raw_text_blocks": _RAW_BLOCKS_CTE
+        + """
+SELECT url, page_index, block_index, block FROM pb""",
+        # frequency boilerplate removal: counts by block TEXT (the
+        # engine's 63-bit hash would only diverge under md5-64 collision,
+        # which this value gate would surface); string_agg skips the
+        # NULLed duplicate blocks
+        "paragraph_dedup": _RAW_BLOCKS_CTE
+        + """,
+bcnt AS (SELECT block, count(*) AS n FROM pb GROUP BY block),
+bkb AS (
+  SELECT pb.url, pb.page_index, pb.block_index, pb.block,
+         (c.n >= 2) AS dup
+  FROM pb JOIN bcnt c USING (block)
+)
+SELECT url,
+       COALESCE(string_agg(CASE WHEN NOT dup THEN block END,
+                           chr(10)||chr(10)
+                           ORDER BY page_index, block_index), '')
+         AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM bkb GROUP BY url""",
+        "boilerplate_blocks": _RAW_BLOCKS_CTE
+        + """
+SELECT block, CAST(count(*) AS BIGINT) AS n
+FROM pb GROUP BY block HAVING count(*) >= 2""",
         # host profile over url/text/lang/warc_ts only (never payload);
         # ts = epoch + doc_id seconds (testgen), chars = codepoints
         "host_stats": """

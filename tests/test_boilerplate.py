@@ -1,0 +1,112 @@
+"""Frequency-based boilerplate removal (pipelines/boilerplate.py) checked
+against pure-python replays of the generator plan."""
+
+from collections import Counter
+
+import pytest
+
+from zerox_ray.pipelines.boilerplate import (
+    boilerplate_blocks,
+    paragraph_dedup,
+    raw_text_blocks,
+)
+from zerox_ray.testgen import pages_dir_for, plan_doc
+
+NAV_BLOCKS = ["home", "about us", "contact", "log in"]
+FOOTER_BLOCK = "terms of service privacy policy site map (c) example"
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def _replay_blocks(sf_dir):
+    """(url, page_index, block_index, block) rows straight from the plan."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        p = plan_doc(d, txt)
+        if p["kind"] == "corrupt":
+            continue
+        for i, c in enumerate(p["chunks"], 1):
+            if p["kind"] == "pdf":
+                if c:
+                    rows.append((p["url"], i, 0, c))
+            else:
+                for j, b in enumerate(NAV_BLOCKS):
+                    rows.append((p["url"], i, j, b))
+                if c:
+                    rows.append((p["url"], i, 4, c))
+                rows.append((p["url"], i, 5, FOOTER_BLOCK))
+    return rows
+
+
+def test_raw_text_blocks_match_plan(sf_dir):
+    want = set(_replay_blocks(sf_dir))
+    got = raw_text_blocks(pages_dir_for(sf_dir)).to_pandas()
+    assert (
+        set(zip(got.url, got.page_index, got.block_index, got.block)) == want
+    )
+    assert len(got) == len(want)
+
+
+def test_paragraph_dedup_matches_replay(sf_dir):
+    rows = _replay_blocks(sf_dir)
+    counts = Counter(b for *_, b in rows)
+    want = {}
+    for url, i, j, b in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        tc, nb, nr = want.get(url, ([], 0, 0))
+        if counts[b] >= 2:
+            want[url] = (tc, nb + 1, nr + 1)
+        else:
+            want[url] = (tc + [b], nb + 1, nr)
+    got = paragraph_dedup(pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(want)
+    for url, tc, nb, nr in zip(got.url, got.text_clean, got.n_blocks, got.n_removed):
+        w_tc, w_nb, w_nr = want[url]
+        assert ("\n\n".join(w_tc), w_nb, w_nr) == (tc, nb, nr), url
+
+
+def test_statistical_pass_recovers_chrome(sf_dir):
+    """The whole point: the corpus-frequency pass finds exactly the
+    template chrome the DOM heuristics strip structurally (plus any
+    genuinely repeated body chunks)."""
+    cat = boilerplate_blocks(pages_dir_for(sf_dir)).to_pandas()
+    got = dict(zip(cat.block, cat.n))
+    n_html_pages = sum(
+        1
+        for *_ , b in _replay_blocks(sf_dir)
+        if b == FOOTER_BLOCK
+    )
+    for b in NAV_BLOCKS + [FOOTER_BLOCK]:
+        assert got[b] == n_html_pages, b
+    # every catalogued block really does repeat
+    assert (cat.n >= 2).all()
+
+
+def test_min_count_threshold(ray_session):
+    """min_count is honored on a hand-built corpus: a block must appear
+    min_count times before it is removed."""
+    import ray.data
+
+    def page(txt):
+        return (
+            f"<html><body><div class=\"page\"><p>{txt}</p></div></body></html>"
+        ).encode()
+
+    ds = ray.data.from_items(
+        [
+            {"url": "u1", "html": page("twice")},
+            {"url": "u2", "html": page("twice")},
+            {"url": "u3", "html": page("unique")},
+        ]
+    )
+    got2 = paragraph_dedup(ds, min_count=2).to_pandas().set_index("url")
+    assert got2.loc["u1"].text_clean == "" and got2.loc["u1"].n_removed == 1
+    assert got2.loc["u3"].text_clean == "unique"
+    got3 = paragraph_dedup(ds, min_count=3).to_pandas().set_index("url")
+    assert got3.loc["u1"].text_clean == "twice"
+    assert int(got3.n_removed.sum()) == 0

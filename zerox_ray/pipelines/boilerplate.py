@@ -1,0 +1,221 @@
+"""Frequency-based boilerplate removal — the CCNet paragraph-dedup family.
+
+Where the flagship OCR pipeline strips boilerplate STRUCTURALLY (DOM
+heuristics: nav/footer priors + link-ratio scoring, functions/htmlx.py),
+this module removes it STATISTICALLY: extract EVERY visible text block
+from every page, count exact block occurrences across the whole corpus,
+and drop blocks seen ``min_count``-or-more times — repeated chrome
+(menus, footers, cookie banners) repeats across pages; body text does
+not. This is the CCNet/C4 paragraph-level dedup step, the standard
+second boilerplate pass in LLM training-data pipelines (it catches
+template text DOM heuristics miss, and vice versa).
+
+Scale design (100 TB posture):
+- block extraction is one shuffle-free compiled-regex pass over the
+  payload bytes (the same scan shape as the splitter — payloads never
+  move);
+- occurrence counting is a per-batch combiner (count within batch) →
+  ONE coarse-bucketed grouped sum keyed on the 63-bit block hash —
+  the exchange moves one (hash, n) row per distinct block per batch,
+  never block text;
+- the duplicated-block set joins back via ONE partitioned hash join on
+  the hash key (``how='left'``) — at web scale the duplicated set is
+  O(distinct boilerplate blocks), far too big to broadcast, which is
+  exactly what the partitioned join is for;
+- per-url reassembly is ONE coarse-bucketed url exchange (block text
+  moves exactly once end-to-end).
+
+Honest cap — 63-bit block keys: two DISTINCT blocks colliding under
+md5-64 would be counted as one (the unique one wrongly removed). Same
+birthday math as graph._h63: ~50% probability of a single collision at
+3×10⁹ distinct blocks; CCNet itself dedups on 64-bit SHA-1 prefixes
+(Wenzek et al. 2020, §3.1) and accepts the same risk. The SQL oracle
+counts by block TEXT, so a collision would surface as a correctness
+mismatch rather than hide.
+
+Reference anchor: zerox has no corpus-level pass at all (it is a
+per-document converter, node-zerox/src/index.ts); this family is
+engine-native web-corpus functionality like pipelines/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from zerox_ray.functions.htmlx import parse_blocks, split_html_pages
+from zerox_ray.functions.pdfx import extract_pdf_text, is_pdf_payload, split_pdf_pages
+from zerox_ray.pipelines.agg import bucketed_group_agg, bucketed_group_map
+from zerox_ray.sources.pages import read_pages
+
+#: remove a block seen this many times corpus-wide (CCNet: any repeat)
+PARA_MIN_COUNT = 2
+
+
+def raw_text_blocks(pages: ray.data.Dataset | str) -> ray.data.Dataset:
+    """Every visible text block of every page, boilerplate INCLUDED:
+    (url, page_index, block_index, block) — page_index 1-based,
+    block_index the 0-based position in the page's block scan (empty
+    blocks keep their slot but are not emitted, so downstream joins on
+    a gap-free key never see '' rows).
+
+    html payloads: ``split_html_pages`` page fragments (each carries the
+    document's nav/footer chrome — the page-image parity model) scanned
+    by ``parse_blocks`` with NO structural strip and NO link-ratio
+    filter. pdf payloads: one block per page (the extracted page text).
+    Payloads that parse to nothing (corrupt rows) emit zero blocks —
+    frequency cleaning is a curation op; error accounting is the OCR
+    pipeline's job."""
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+
+    def blocks(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        pidx: list[int] = []
+        bidx: list[int] = []
+        texts: list[str] = []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if is_pdf_payload(payload):
+                try:
+                    frags = split_pdf_pages(payload)
+                except ValueError:
+                    continue
+                for i, frag in enumerate(frags, 1):
+                    txt = extract_pdf_text(frag)
+                    if txt:
+                        urls.append(url)
+                        pidx.append(i)
+                        bidx.append(0)
+                        texts.append(txt)
+            else:
+                # non-PDF bytes take the html path; payloads with no
+                # block tags (corrupt rows) just yield no blocks
+                for i, frag in enumerate(split_html_pages(payload), 1):
+                    fhtml = frag.decode("utf-8", errors="replace")
+                    for j, b in enumerate(parse_blocks(fhtml)):
+                        if b.text:
+                            urls.append(url)
+                            pidx.append(i)
+                            bidx.append(j)
+                            texts.append(b.text)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "page_index": pa.array(pidx, pa.int64()),
+                "block_index": pa.array(bidx, pa.int64()),
+                "block": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(blocks, batch_format="pyarrow")
+
+
+def _h63_text(texts: list[str]) -> np.ndarray:
+    """63-bit md5 block keys — SQL-replayable as
+    ``('0x'||substring(md5(t),1,16))::UBIGINT // 2`` (graph._h63 for
+    text)."""
+    from zerox_ray.functions.hashing import md5_64_array
+
+    return (md5_64_array([t.encode() for t in texts]) >> np.uint64(1)).astype(np.int64)
+
+
+def paragraph_dedup(
+    pages: ray.data.Dataset | str, min_count: int = PARA_MIN_COUNT
+) -> ray.data.Dataset:
+    """CCNet-style corpus-frequency boilerplate removal.
+
+    Output one row per url that produced any block: (url, text_clean,
+    n_blocks, n_removed) where text_clean joins the SURVIVING blocks
+    with a blank line in (page_index, block_index) order, n_blocks
+    counts all extracted blocks and n_removed the duplicated ones. On
+    the synthetic corpus the nav/footer chrome repeats on every html
+    page and the body chunks are unique, so the statistical pass
+    recovers (nearly) the structural extraction — the two passes
+    cross-validate.
+
+    Exchanges: one grouped count on the block hash, one hash join of
+    blocks against the duplicated-hash set, one url-keyed reassembly."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    blocks = raw_text_blocks(pages)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "h", pa.array(_h63_text(t["block"].to_pylist()), pa.int64())
+        )
+
+    hb = blocks.map_batches(add_hash, batch_format="pyarrow")
+
+    # occurrence counts: per-batch combiner → one grouped sum on h
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("h", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = bucketed_group_agg(
+        hb.select_columns(["h"]).map_batches(partial, batch_format="pandas"),
+        ["h"],
+        {"n": ("n", "sum")},
+    )
+    def to_common(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = t.filter(pc.greater_equal(t["n"], min_count))
+        return pa.table(
+            {"h": out["h"], "dup": pa.array([1] * out.num_rows, pa.int64())}
+        )
+
+    common = counts.map_batches(to_common, batch_format="pyarrow")
+
+    # left join: unmatched blocks are the keepers (dup comes back null)
+    joined = hash_join(hb, common, on="h", how="left")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "page_index", "block_index"])
+        dup = g["dup"].fillna(0).astype("int64") > 0
+        out = []
+        for url, grp in g.groupby("url", sort=False):
+            d = dup.loc[grp.index]
+            out.append(
+                (
+                    url,
+                    "\n\n".join(grp.loc[~d, "block"]),
+                    len(grp),
+                    int(d.sum()),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["url", "text_clean", "n_blocks", "n_removed"]
+        ).astype({"n_blocks": "int64", "n_removed": "int64"})
+
+    return bucketed_group_map(joined, "url", reassemble)
+
+
+def boilerplate_blocks(
+    pages: ray.data.Dataset | str, min_count: int = PARA_MIN_COUNT
+) -> ray.data.Dataset:
+    """The corpus's boilerplate catalogue: every block removed by
+    ``paragraph_dedup``, with its occurrence count — (block, n). The
+    audit table a curation operator reviews before trusting a frequency
+    threshold (and a ready-made blocklist for a cheaper single-pass
+    filter on the next crawl). One extra tiny exchange over the counts
+    table to recover one representative text per duplicated hash."""
+    blocks = raw_text_blocks(pages)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("block", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = bucketed_group_agg(
+        blocks.select_columns(["block"]).map_batches(partial, batch_format="pandas"),
+        ["block"],
+        {"n": ("n", "sum")},
+    )
+
+    def keep_common(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n"], min_count))
+
+    return counts.map_batches(keep_common, batch_format="pyarrow")
