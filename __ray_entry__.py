@@ -101,7 +101,7 @@ from zerox_ray.pipelines.boilerplate import (
     paragraph_dedup,
     raw_text_blocks,
 )
-from zerox_ray.pipelines.web import rank_curate, web_curate
+from zerox_ray.pipelines.web import host_curate, rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
@@ -298,6 +298,12 @@ def _q_boilerplate_blocks(sf_dir: str):
     return boilerplate_blocks(pages_dir_for(sf_dir))
 
 
+def _q_host_curate(sf_dir: str):
+    """Domain-balanced curation over the multihost corpus: web_curate's
+    keeper chain + a per-host anti-domination cap before shard packing."""
+    return host_curate(multihost_pages_dir_for(sf_dir))
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -478,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
+        "host_curate": _q_host_curate,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
@@ -2706,6 +2713,71 @@ FROM ct GROUP BY window_start_us, lang
         # the base corpus, so the curation oracle is web_curate's —
         # the same identity ocr_snapshot_ingest relies on
         "snapshot_curate": _WEB_CURATE_SQL,
+        # host_curate: the web_curate keeper chain replayed in the
+        # MULTIHOST url namespace (testgen.mh_url), capped at 10 keepers
+        # per host (n_tok DESC, url), then the same hash-order cumsum
+        "host_curate": """
+WITH p AS (
+  SELECT doc_id, text,
+         'https://h' || (doc_id % 23) || '.example.net/doc/' || doc_id AS url,
+         'h' || (doc_id % 23) || '.example.net' AS host,
+         (doc_id % 101 = 13) AS is_err,
+         CASE WHEN doc_id % 101 = 13 THEN 1
+              WHEN doc_id % 50 = 0 THEN 24
+              ELSE 1 + (doc_id % 4) END AS np
+  FROM documents
+),
+pg AS (
+  SELECT url, host, np, is_err, text,
+         unnest(generate_series(1, np)) AS page_index,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / np) AS BIGINT) AS L
+  FROM p
+),
+mpages AS (
+  SELECT url, host, is_err, page_index,
+         CASE WHEN is_err THEN ''
+              ELSE substring(text, (page_index - 1) * L + 1, L) END AS content
+  FROM pg
+),
+md AS (
+  SELECT url, min(host) AS host,
+         COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                             e'\n\n' ORDER BY page_index), '') AS markdown,
+         CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
+  FROM mpages GROUP BY url
+),
+mg AS (
+  SELECT url, host, markdown,
+         CAST(len(regexp_extract_all(markdown, '[a-z]+')) AS BIGINT) AS n_tok
+  FROM md
+  WHERE ocr_failed = 0 AND len(regexp_extract_all(markdown, '[a-z]+')) >= 5
+),
+mk AS (
+  SELECT url, host, n_tok FROM (
+    SELECT url, host, n_tok,
+           row_number() OVER (PARTITION BY markdown ORDER BY url) AS rn
+    FROM mg
+  ) WHERE rn = 1
+),
+mc AS (
+  SELECT url, host, n_tok FROM (
+    SELECT url, host, n_tok,
+           row_number() OVER (PARTITION BY host ORDER BY n_tok DESC, url) AS hrn
+    FROM mk
+  ) WHERE hrn <= 10
+),
+mh2 AS (
+  SELECT url, host, n_tok,
+         ('0x'||substring(md5(url),1,16))::UBIGINT AS h
+  FROM mc
+),
+mcum AS (
+  SELECT url, host, n_tok,
+         COALESCE(sum(n_tok) OVER (ORDER BY h, url
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM mh2
+)
+SELECT url, host, n_tok, CAST(excl // 20000 AS BIGINT) AS shard_id FROM mcum""",
         # rank_curate: same keepers, shard packing in global
         # (pagerank DESC, md5-64(url), url) order (mirrors
         # pipelines/web.py::rank_curate)

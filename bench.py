@@ -177,6 +177,18 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
             ),
         )
         timed("pagerank", lambda: pagerank(pages).to_pandas())
+        from zerox_ray.pipelines.boilerplate import paragraph_dedup
+
+        # r4 addition: CCNet frequency boilerplate pass — one payload
+        # scan + grouped block count + hash join + url reassembly. (On
+        # the repeat-replicated bench corpus every block repeats, so the
+        # removal branch is fully exercised.)
+        timed(
+            "paragraph_dedup",
+            lambda: paragraph_dedup(pages).write_parquet(
+                os.path.join(out_root, "paragraph_dedup")
+            ),
+        )
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",

@@ -87,6 +87,27 @@ def test_statistical_pass_recovers_chrome(sf_dir):
     assert (cat.n >= 2).all()
 
 
+def test_join_path_matches_broadcast_path(sf_dir):
+    """The size-gated broadcast and the partitioned-join fallbacks are
+    output-identical (the 100 TB path gets the same bits as the fast
+    path)."""
+    a = (
+        paragraph_dedup(pages_dir_for(sf_dir), broadcast=True)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        paragraph_dedup(pages_dir_for(sf_dir), broadcast=False)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_min_count_threshold(ray_session):
     """min_count is honored on a hand-built corpus: a block must appear
     min_count times before it is removed."""

@@ -531,3 +531,41 @@ class TestHostOps:
         assert len(got) == len(want)
         for h, u, c, rk in zip(got.host, got.url, got.n_chars, got["rank"]):
             assert want[u] == (h, c, rk), u
+
+
+def test_host_curate_caps_domains_and_packs(sf_dir):
+    """Full replay: keeper chain (gate + min-url-per-markdown dedup) →
+    per-host top-10 by (n_tok DESC, url) → hash-order shard packing."""
+    from zerox_ray.pipelines.web import HOST_CURATE_CAP, host_curate
+    from zerox_ray.testgen import (
+        expected_documents_rows,
+        mh_url,
+        multihost_pages_dir_for,
+    )
+
+    rows = expected_documents_rows(f"{sf_dir}/documents.parquet")
+    gated = []
+    for d, r in enumerate(rows):
+        n_tok = len(TOKEN_RE.findall(r["markdown"]))
+        if r["ocr_failed"] == 0 and n_tok >= WEB_MIN_TOKENS:
+            gated.append((mh_url(d), r["markdown"], n_tok))
+    seen = {}
+    for url, md, n_tok in sorted(gated):
+        seen.setdefault(md, (url, n_tok))
+    by_host = {}
+    for url, n_tok in seen.values():
+        by_host.setdefault(url.split("/")[2], []).append((url, n_tok))
+    capped = []
+    for host, items in by_host.items():
+        items.sort(key=lambda p: (-p[1], p[0]))
+        capped += [(url, host, n_tok) for url, n_tok in items[:HOST_CURATE_CAP]]
+    capped.sort(key=lambda p: (md5_64(p[0].encode()), p[0]))
+    want, excl = {}, 0
+    for url, host, n_tok in capped:
+        want[url] = (host, n_tok, excl // WEB_TOKENS_PER_SHARD)
+        excl += n_tok
+    got = host_curate(multihost_pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(want)
+    assert int(got.groupby("host").size().max()) <= HOST_CURATE_CAP
+    for url, host, n_tok, shard in zip(got.url, got.host, got.n_tok, got.shard_id):
+        assert want[url] == (host, n_tok, shard), url

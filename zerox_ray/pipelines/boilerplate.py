@@ -54,6 +54,10 @@ from zerox_ray.sources.pages import read_pages
 #: remove a block seen this many times corpus-wide (CCNet: any repeat)
 PARA_MIN_COUNT = 2
 
+#: duplicated-hash sets up to this many BYTES (8 per hash → 134M blocks)
+#: broadcast via ray.put; larger sets fall back to the partitioned join
+PARA_BROADCAST_MAX_BYTES = 1 << 30
+
 
 def raw_text_blocks(pages: ray.data.Dataset | str) -> ray.data.Dataset:
     """Every visible text block of every page, boilerplate INCLUDED:
@@ -122,7 +126,9 @@ def _h63_text(texts: list[str]) -> np.ndarray:
 
 
 def paragraph_dedup(
-    pages: ray.data.Dataset | str, min_count: int = PARA_MIN_COUNT
+    pages: ray.data.Dataset | str,
+    min_count: int = PARA_MIN_COUNT,
+    broadcast: bool | None = None,
 ) -> ray.data.Dataset:
     """CCNet-style corpus-frequency boilerplate removal.
 
@@ -135,10 +141,14 @@ def paragraph_dedup(
     recovers (nearly) the structural extraction — the two passes
     cross-validate.
 
-    Exchanges: one grouped count on the block hash, one hash join of
-    blocks against the duplicated-hash set, one url-keyed reassembly."""
-    from zerox_ray.pipelines.relational import hash_join
-
+    Exchanges: one grouped count on the block hash + one url-keyed
+    reassembly; the duplicated-hash set reaches the blocks either as a
+    broadcast (``ray.put`` once, vectorized ``np.isin`` per batch — the
+    block TEXT then moves exactly once) or, above the size gate, via a
+    partitioned hash join (one extra text exchange). The auto switch is
+    the dedup.py verify='auto' idiom: 8 bytes per duplicated hash
+    against a 1 GiB cap. ``broadcast``: None = auto; True/False pin a
+    path (both are output-identical and both are tested)."""
     blocks = raw_text_blocks(pages)
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -158,6 +168,7 @@ def paragraph_dedup(
         ["h"],
         {"n": ("n", "sum")},
     )
+
     def to_common(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -166,28 +177,61 @@ def paragraph_dedup(
             {"h": out["h"], "dup": pa.array([1] * out.num_rows, pa.int64())}
         )
 
-    common = counts.map_batches(to_common, batch_format="pyarrow")
+    common = counts.map_batches(to_common, batch_format="pyarrow").materialize()
 
-    # left join: unmatched blocks are the keepers (dup comes back null)
-    joined = hash_join(hb, common, on="h", how="left")
+    n_common = common.count()
+    if broadcast is None:
+        broadcast = n_common * 8 <= PARA_BROADCAST_MAX_BYTES
+    if broadcast:
+        # broadcast path: the duplicated-hash array ships once per node;
+        # each batch marks dups with one sorted np.isin — no text moves
+        # until the reassembly exchange
+        dup_hashes = (
+            np.sort(
+                common.select_columns(["h"]).to_pandas()["h"].to_numpy(np.int64)
+            )
+            if n_common
+            else np.empty(0, np.int64)
+        )
+        dup_ref = ray.put(dup_hashes)
+
+        def mark(t: pa.Table) -> pa.Table:
+            hs = t["h"].to_numpy(zero_copy_only=False)
+            d = np.isin(hs, ray.get(dup_ref), assume_unique=False)
+            return t.drop_columns(["h"]).append_column(
+                "dup", pa.array(d.astype(np.int64))
+            )
+
+        joined = hb.map_batches(mark, batch_format="pyarrow")
+    else:
+        from zerox_ray.pipelines.relational import hash_join
+
+        # join path: unmatched blocks are the keepers (dup returns null)
+        joined = hash_join(hb, common, on="h", how="left")
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["url", "page_index", "block_index"])
+        g = g.sort_values(
+            ["url", "page_index", "block_index"], kind="mergesort"
+        )
         dup = g["dup"].fillna(0).astype("int64") > 0
-        out = []
-        for url, grp in g.groupby("url", sort=False):
-            d = dup.loc[grp.index]
-            out.append(
-                (
-                    url,
-                    "\n\n".join(grp.loc[~d, "block"]),
-                    len(grp),
-                    int(d.sum()),
-                )
-            )
+        stats = g.groupby("url", sort=False).agg(
+            n_blocks=("block", "size")
+        )
+        stats["n_removed"] = dup.groupby(g["url"], sort=False).sum().astype("int64")
+        texts = (
+            g.loc[~dup]
+            .groupby("url", sort=False)["block"]
+            .agg("\n\n".join)
+            .reindex(stats.index, fill_value="")
+        )
         return pd.DataFrame(
-            out, columns=["url", "text_clean", "n_blocks", "n_removed"]
-        ).astype({"n_blocks": "int64", "n_removed": "int64"})
+            {
+                "url": stats.index.astype(object),
+                "text_clean": texts.to_numpy(object),
+                "n_blocks": stats["n_blocks"].to_numpy("int64"),
+                "n_removed": stats["n_removed"].to_numpy("int64"),
+            }
+        )
 
     return bucketed_group_map(joined, "url", reassemble)
 

@@ -110,6 +110,19 @@ def web_curate(
        prefix sum, hash order doubling as the training shuffle.
     """
     keepers = _curated_keepers(pages, cfg, min_tokens)
+    return _pack_shards(keepers, tokens_per_shard)
+
+
+def _pack_shards(
+    keepers: ray.data.Dataset,
+    tokens_per_shard: int,
+    extra_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Two-pass distributed exclusive-prefix-sum shard packing of
+    (url, n_tok[, *extra_cols]) keeper rows in (md5_64(url), url) order
+    — hash order doubles as the training shuffle. ``extra_cols`` ride
+    along unchanged (host_curate carries the host column through).
+    Output: (url, *extra_cols, n_tok, shard_id)."""
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         from zerox_ray.functions.hashing import md5_64_array
@@ -118,6 +131,7 @@ def web_curate(
         return pd.DataFrame(
             {
                 "url": df["url"].astype("string"),
+                **{c: df[c] for c in extra_cols},
                 "n_tok": df["n_tok"].astype("int64"),
                 "h": pd.Series(h, dtype="uint64"),
                 "rng": pd.Series(
@@ -174,6 +188,7 @@ def web_curate(
         return pd.DataFrame(
             {
                 "url": g["url"].astype("string"),
+                **{c: g[c] for c in extra_cols},
                 "n_tok": tok,
                 "shard_id": (excl // tokens_per_shard).astype(np.int64),
             }
@@ -187,8 +202,64 @@ def web_curate(
     return (
         bucketed.groupby("cb")
         .map_groups(assign, batch_format="pandas")
-        .select_columns(["url", "n_tok", "shard_id"])
+        .select_columns(["url", *extra_cols, "n_tok", "shard_id"])
     )
+
+
+#: per-host keeper cap for host_curate (the anti-domination default:
+#: CCNet/Gopher-style corpora cap any one domain's share of the corpus)
+HOST_CURATE_CAP = 10
+
+
+def host_curate(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+    per_host_cap: int = HOST_CURATE_CAP,
+    tokens_per_shard: int = WEB_TOKENS_PER_SHARD,
+    min_tokens: int = WEB_MIN_TOKENS,
+) -> ray.data.Dataset:
+    """Domain-balanced curation: web_curate's keeper chain (OCR → gate →
+    exact dedup) with a per-host anti-domination cap BEFORE shard
+    packing — no single domain may contribute more than ``per_host_cap``
+    documents to the curated corpus (the CCNet/Gopher politeness rule,
+    here at curation time rather than crawl time; the crawl-time twin is
+    graph.host_quota). Output: (url, host, n_tok, shard_id).
+
+    Scale shape: the cap is a per-batch partial top-k (≤cap rows per
+    (host, batch) enter the exchange) finished by ONE coarse-bucketed
+    host exchange — the host_quota idiom — then the same two-pass
+    prefix-sum packing as web_curate with the host column riding along.
+    """
+    from zerox_ray.pipelines.graph import host_of
+
+    keepers = _curated_keepers(pages, cfg, min_tokens)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        return t.append_column("host", host_of(t["url"]))
+
+    hosted = keepers.map_batches(add_host, batch_format="pyarrow")
+
+    def cap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["host", "n_tok", "url"], ascending=[True, False, True])
+            .groupby("host")
+            .head(per_host_cap)
+        )
+
+    def cap_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["host", "n_tok", "url"], ascending=[True, False, True])
+            .groupby("host")
+            .head(per_host_cap)
+        )
+        return out.reset_index(drop=True)
+
+    capped = bucketed_group_map(
+        hosted.map_batches(cap_partial, batch_format="pandas"),
+        "host",
+        cap_final,
+    )
+    return _pack_shards(capped, tokens_per_shard, extra_cols=("host",))
 
 
 #: rank-range granularity for rank_curate's prefix pass: 256 micro-units
