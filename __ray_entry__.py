@@ -101,6 +101,7 @@ from zerox_ray.pipelines.boilerplate import (
     paragraph_dedup,
     raw_text_blocks,
 )
+from zerox_ray.pipelines.urls import canonical_urls, url_dedup
 from zerox_ray.pipelines.web import host_curate, rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
     active_segments,
@@ -304,6 +305,51 @@ def _q_host_curate(sf_dir: str):
     return host_curate(multihost_pages_dir_for(sf_dir))
 
 
+def _messy_urls(sf_dir: str):
+    """Deterministic url-variant table (2 rows per doc: the canonical
+    base + one noisy variant by doc_id % 6 — tracking params, fragment,
+    host case, default port, or an exact duplicate) — the synthetic
+    substrate for the url canonicalization family; every row is
+    SQL-replayable from doc_id alone."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def messy(t):
+        urls = []
+        for d in t["doc_id"].to_pylist():
+            base = f"https://h{d % 23}.example.net/doc/{d}"
+            urls.append(base)
+            r = d % 6
+            if r == 1:
+                urls.append(base + "?utm_source=feed&utm_campaign=x")
+            elif r == 2:
+                urls.append(base + f"?id={d}&utm_medium=email")
+            elif r == 3:
+                urls.append(base + f"#frag{d}")
+            elif r == 4:
+                urls.append(f"https://H{d % 23}.EXAMPLE.NET/doc/{d}")
+            elif r == 5:
+                urls.append(f"https://h{d % 23}.example.net:443/doc/{d}")
+            else:
+                urls.append(base)
+        import pyarrow as _pa
+
+        return _pa.table({"url": _pa.array(urls, _pa.string())})
+
+    return ds.map_batches(messy, batch_format="pyarrow")
+
+
+def _q_canonical_urls(sf_dir: str):
+    return canonical_urls(_messy_urls(sf_dir))
+
+
+def _q_url_dedup(sf_dir: str):
+    return url_dedup(_messy_urls(sf_dir))
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -485,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
         "host_curate": _q_host_curate,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
@@ -1270,6 +1318,35 @@ pb AS (
   UNION ALL
   SELECT url, page_index, CAST(0 AS BIGINT), content
   FROM bpc WHERE kind = 'pdf' AND content <> ''
+)"""
+
+
+
+#: the messy-url closed form (_messy_urls — keep in sync): 2 rows per
+#: doc; canonicalization drops tracking params / fragment, lowercases
+#: the host, strips the https default port
+_MESSY_URLS_CTE = """
+WITH mu AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 23) || '.example.net/doc/' || doc_id AS base,
+         doc_id % 6 AS r
+  FROM documents
+),
+raw AS (
+  SELECT base AS url, base AS canonical FROM mu
+  UNION ALL
+  SELECT CASE r
+           WHEN 1 THEN base || '?utm_source=feed&utm_campaign=x'
+           WHEN 2 THEN base || '?id=' || doc_id || '&utm_medium=email'
+           WHEN 3 THEN base || '#frag' || doc_id
+           WHEN 4 THEN 'https://H' || (doc_id % 23) || '.EXAMPLE.NET/doc/'
+                       || doc_id
+           WHEN 5 THEN 'https://h' || (doc_id % 23)
+                       || '.example.net:443/doc/' || doc_id
+           ELSE base END AS url,
+         CASE WHEN r = 2 THEN base || '?id=' || doc_id ELSE base END
+           AS canonical
+  FROM mu
 )"""
 
 
@@ -2630,6 +2707,14 @@ FROM pr_edges GROUP BY dst
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM mh_edges GROUP BY src_host, dst_host""",
         "host_rank": _host_rank_sql(),
+        "canonical_urls": _MESSY_URLS_CTE
+        + """
+SELECT url, canonical FROM raw""",
+        "url_dedup": _MESSY_URLS_CTE
+        + """
+SELECT canonical, min(url) AS kept_url,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+FROM raw GROUP BY canonical""",
         "raw_text_blocks": _RAW_BLOCKS_CTE
         + """
 SELECT url, page_index, block_index, block FROM pb""",
