@@ -23,6 +23,7 @@ from typing import Any
 from ray.data.aggregate import Count, Sum
 
 from zerox_ray import ZeroxConfig, run_ocr
+from zerox_ray.pipelines.ocr import run_ocr_incremental
 from zerox_ray.pipelines.dataops import (
     above_median_docs,
     importance_sample,
@@ -350,6 +351,20 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(_messy_urls(sf_dir))
 
 
+def _q_ocr_incremental(sf_dir: str):
+    """Incremental re-extraction over the multi-snapshot corpus: OCR
+    only first-seen/changed urls; 'unchanged' (corrupt multi-snapshot,
+    payload text-independent) urls skip extraction. The %7 tie-decoy
+    docs are INCLUDED here (unlike snapshot_delta's value check): a
+    decoy only ever makes a url 'changed' or leaves the base rule, and
+    the only corrupt %7 doc in any test corpus (518 at sf0.1) carries a
+    decoy — verified by replaying the crc-pad loop — so the skip set is
+    exactly {corrupt ∧ multi-snapshot ∧ not %7} at every tested scale."""
+    return run_ocr_incremental(snapshot_pages_dir_for(sf_dir)).select_columns(
+        DOC_COLS
+    )
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -533,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_curate": _q_host_curate,
         "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
+        "ocr_incremental": _q_ocr_incremental,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "link_components": _q_link_components,
@@ -2798,6 +2814,24 @@ FROM ct GROUP BY window_start_us, lang
         # the base corpus, so the curation oracle is web_curate's —
         # the same identity ocr_snapshot_ingest relies on
         "snapshot_curate": _WEB_CURATE_SQL,
+        # incremental extraction: the ocr_documents replay minus the
+        # urls a steady-state recrawl skips (unchanged = corrupt docs
+        # with >1 identical snapshot and no crc tie decoy — see
+        # _q_ocr_incremental for why %7 reduces out)
+        "ocr_incremental": _PAGES_CTE
+        + """
+SELECT url,
+       COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                           e'\n\n' ORDER BY page_index), '') AS markdown,
+       CAST(count(*) AS BIGINT) AS total_pages,
+       CAST(sum(CASE WHEN is_err THEN 0 ELSE 1 END) AS BIGINT) AS ocr_successful,
+       CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS ocr_failed
+FROM pages
+WHERE url NOT IN (
+  SELECT 'https://example.org/doc/' || doc_id FROM documents
+  WHERE doc_id % 101 = 13 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0
+)
+GROUP BY url""",
         # host_curate: the web_curate keeper chain replayed in the
         # MULTIHOST url namespace (testgen.mh_url), capped at 10 keepers
         # per host (n_tok DESC, url), then the same hash-order cumsum

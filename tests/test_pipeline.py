@@ -566,3 +566,69 @@ class TestSnapshotChurn:
             assert row.n_snapshots == n_snap, d
             assert row.n_versions == n_ver, d
             assert row.ts_span_us == d % 3, d
+
+
+class TestIncrementalOcr:
+    """run_ocr_incremental: OCR only first-seen/changed urls of a
+    multi-snapshot corpus; replay built from the REAL generated table
+    (independent of the %-closed-forms)."""
+
+    @staticmethod
+    def _want(sf_dir):
+        import glob
+        from collections import defaultdict
+
+        import pyarrow.parquet as pq
+
+        from zerox_ray.testgen import (
+            expected_documents_rows,
+            snapshot_pages_dir_for,
+        )
+
+        snaps = defaultdict(list)
+        for f in sorted(glob.glob(f"{snapshot_pages_dir_for(sf_dir)}/*.parquet")):
+            t = pq.read_table(f, columns=["url", "warc_ts", "html"])
+            for u, ts, pl in zip(
+                t["url"].to_pylist(), t["warc_ts"].to_pylist(), t["html"].to_pylist()
+            ):
+                snaps[u].append((ts, __import__("zlib").crc32(pl), pl))
+        skip = set()
+        for u, rows in snaps.items():
+            rows.sort(reverse=True)  # the latest_snapshots keep-order
+            if len(rows) > 1 and rows[0][2] == rows[1][2]:
+                skip.add(u)
+        docs = expected_documents_rows(f"{sf_dir}/documents.parquet")
+        return {r["url"]: r for r in docs if r["url"] not in skip}
+
+    def test_matches_golden_minus_unchanged(self):
+        from zerox_ray.pipelines.ocr import run_ocr_incremental
+        from zerox_ray.testgen import snapshot_pages_dir_for
+
+        sf_dir = "/root/testdata/sf0.001"
+        want = self._want(sf_dir)
+        got = run_ocr_incremental(snapshot_pages_dir_for(sf_dir)).to_pandas()
+        assert len(got) == len(want) < 500  # something was actually skipped
+        for url, md, tp in zip(got.url, got.markdown, got.total_pages):
+            w = want[url]
+            assert (w["markdown"], w["total_pages"]) == (md, tp), url
+
+    def test_join_path_matches_broadcast_path(self):
+        import pandas as pd
+
+        from zerox_ray.pipelines.ocr import run_ocr_incremental
+        from zerox_ray.testgen import snapshot_pages_dir_for
+
+        path = snapshot_pages_dir_for("/root/testdata/sf0.001")
+        a = (
+            run_ocr_incremental(path, broadcast=True)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            run_ocr_incremental(path, broadcast=False)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -26,6 +26,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -489,3 +490,74 @@ def write_markdown_files(docs: ray.data.Dataset, out_dir: str) -> int:
 
     counts = docs.map_batches(write_batch, batch_format="pandas")
     return int(sum(r["files_written"] for r in counts.take_all()))
+
+
+#: changed-url sets up to this many BYTES (8 per 63-bit key) broadcast
+#: via ray.put; see run_ocr_incremental's docstring for the above-cap path
+INCR_BROADCAST_MAX_BYTES = 1 << 30
+
+
+def run_ocr_incremental(
+    path: str | list[str],
+    cfg: ZeroxConfig | None = None,
+    broadcast: bool | None = None,
+) -> ray.data.Dataset:
+    """Incremental re-extraction over a MULTI-snapshot pages table: OCR
+    only the urls whose newest snapshot is first-seen or changed
+    (``snapshot_delta`` status 'single'/'changed'); 'unchanged' urls —
+    the bulk of a steady-state recrawl — skip extraction entirely. This
+    is the incremental mode of the north-rule pipeline: re-run the crawl,
+    pay extraction only for churn. Output: the run_ocr documents schema,
+    restricted to the re-extracted urls.
+
+    Scale shape: ``snapshot_delta`` already moves no payloads (md5/crc
+    partials only); the re-extract url set ships as a broadcast of
+    sorted 63-bit keys when it fits the 1 GiB gate (8 bytes per CHANGED
+    url — the minority in a low-churn recrawl, which is exactly when
+    incremental extraction pays). Above the gate, fall back to a
+    url-keyed hash semi-join of the collapsed pages against the changed
+    set — one payload exchange, still strictly cheaper than extracting
+    the unchanged majority. ``broadcast``: None = auto by the size gate;
+    True/False pin a path (both output-identical, both tested)."""
+    import numpy as np
+
+    from zerox_ray.pipelines.graph import _h63
+    from zerox_ray.sources.pages import read_pages, snapshot_delta
+
+    delta = snapshot_delta(path)
+
+    def changed_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.not_equal(t["status"], "unchanged"))
+        return pa.table(
+            {"k": pa.array(_h63(keep["url"].to_pylist()), pa.int64())}
+        )
+
+    changed = delta.map_batches(changed_keys, batch_format="pyarrow").materialize()
+    pages = read_pages(path, latest_snapshot_only=True)
+
+    if broadcast is None:
+        broadcast = changed.count() * 8 <= INCR_BROADCAST_MAX_BYTES
+    if broadcast:
+        keys = np.sort(changed.to_pandas()["k"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def keep_changed(t: pa.Table) -> pa.Table:
+            ks = _h63(t["url"].to_pylist())
+            return t.filter(
+                pa.array(np.isin(ks, ray.get(keys_ref)))
+            )
+
+        todo = pages.map_batches(keep_changed, batch_format="pyarrow")
+    else:
+        from zerox_ray.pipelines.relational import hash_join
+
+        keyed = pages.map_batches(
+            lambda t: t.append_column(
+                "k", pa.array(_h63(t["url"].to_pylist()), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        todo = hash_join(keyed, changed, on="k", how="semi").drop_columns(["k"])
+    return run_ocr(todo, cfg)
