@@ -85,6 +85,7 @@ from zerox_ray.pipelines.graph import (
     crawl_timeline,
     hits,
     host_graph,
+    host_schedule,
     host_quota,
     host_rank,
     host_stats,
@@ -365,6 +366,10 @@ def _q_ocr_incremental(sf_dir: str):
     )
 
 
+def _q_host_schedule(sf_dir: str):
+    return host_schedule(multihost_pages_dir_for(sf_dir))
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -542,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
         "host_quota": _q_host_quota,
+        "host_schedule": _q_host_schedule,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
@@ -2723,6 +2729,22 @@ FROM pr_edges GROUP BY dst
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM mh_edges GROUP BY src_host, dst_host""",
         "host_rank": _host_rank_sql(),
+        # per-host politeness schedule: slots serialize a host's urls
+        # 1 s apart in (warc_ts, url) order; ts = epoch + doc_id seconds
+        "host_schedule": """
+WITH hs AS (
+  SELECT 'h' || (doc_id % 23) || '.example.net' AS host,
+         'https://h' || (doc_id % 23) || '.example.net/doc/' || doc_id AS url,
+         1704067200000000 + doc_id * 1000000 AS ts_us
+  FROM documents
+)
+SELECT host, url,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY ts_us, url) - 1
+            AS BIGINT) AS slot,
+       CAST(min(ts_us) OVER (PARTITION BY host)
+            + (row_number() OVER (PARTITION BY host ORDER BY ts_us, url) - 1)
+              * 1000000 AS BIGINT) AS planned_fetch_us
+FROM hs""",
         "canonical_urls": _MESSY_URLS_CTE
         + """
 SELECT url, canonical FROM raw""",

@@ -569,3 +569,21 @@ def test_host_curate_caps_domains_and_packs(sf_dir):
     assert int(got.groupby("host").size().max()) <= HOST_CURATE_CAP
     for url, host, n_tok, shard in zip(got.url, got.host, got.n_tok, got.shard_id):
         assert want[url] == (host, n_tok, shard), url
+
+
+def test_host_schedule_serializes_hosts(sf_dir):
+    """Politeness invariants: slots are dense 0..n-1 per host, ordering
+    follows (warc_ts, url), consecutive fetches of one host are exactly
+    delay_us apart, and different hosts may overlap in time."""
+    from zerox_ray.pipelines.graph import HOST_FETCH_DELAY_US, host_schedule
+    from zerox_ray.testgen import multihost_pages_dir_for
+
+    got = host_schedule(multihost_pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == 500
+    for host, g in got.groupby("host"):
+        g = g.sort_values("slot")
+        assert list(g.slot) == list(range(len(g)))
+        assert (g.planned_fetch_us.diff().dropna() == HOST_FETCH_DELAY_US).all()
+        # slot order respects the recrawl-oldest-first rule
+        docs = [int(u.rsplit("/", 1)[1]) for u in g.url]
+        assert docs == sorted(docs)  # warc_ts increases with doc_id

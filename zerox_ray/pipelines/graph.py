@@ -1183,3 +1183,62 @@ def host_quota(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_map(partials, "host", final)
+
+
+#: politeness gap between two fetches of the same host (1 s default —
+#: the classic crawler courtesy delay)
+HOST_FETCH_DELAY_US = 1_000_000
+
+
+def host_schedule(
+    pages: ray.data.Dataset | str, delay_us: int = HOST_FETCH_DELAY_US
+) -> ray.data.Dataset:
+    """Per-host recrawl schedule — the politeness queue a crawler derives
+    before fetching: urls of one host are serialized ``delay_us`` apart
+    (never hammer a domain), hosts run in parallel. Slot order within a
+    host is (warc_ts, url) — recrawl oldest-first, deterministic
+    tie-break. Output: (host, url, slot, planned_fetch_us) where slot is
+    0-based per host and planned_fetch_us = host_min_ts + slot·delay_us.
+
+    Scale shape: slim (host, url, ts) rows only — the payload never
+    moves; ONE coarse-bucketed host exchange, then a vectorized
+    per-host cumcount inside each bucket task. Per-task memory is
+    O(rows of the hosts in the bucket) — the politeness queue is
+    inherently a per-host sequence, so this is the minimal co-location;
+    a mega-host (say 10⁹ pages on one domain) should be range-split by
+    slot AFTER this table exists (slot is a pure function of rank)."""
+    ds = (
+        read_pages(pages, columns=["url", "warc_ts"])
+        if isinstance(pages, str)
+        else pages
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": host_of(t["url"]),
+                "url": t["url"],
+                "ts_us": t["warc_ts"].cast(pa.int64()),
+            }
+        )
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "ts_us", "url"], kind="mergesort").reset_index(
+            drop=True
+        )
+        slot = g.groupby("host", sort=False).cumcount().astype("int64")
+        base = g.groupby("host", sort=False)["ts_us"].transform("min")
+        return pd.DataFrame(
+            {
+                "host": g["host"].astype(object),
+                "url": g["url"].astype(object),
+                "slot": slot,
+                "planned_fetch_us": (base + slot * delay_us).astype("int64"),
+            }
+        )
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    return bucketed_group_map(
+        ds.map_batches(slim, batch_format="pyarrow"), "host", schedule
+    )
