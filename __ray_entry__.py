@@ -83,6 +83,7 @@ from zerox_ray.pipelines.graph import (
     crawl_depth,
     crawl_frontier,
     crawl_timeline,
+    degree_distribution,
     hits,
     host_graph,
     host_schedule,
@@ -370,6 +371,10 @@ def _q_host_schedule(sf_dir: str):
     return host_schedule(multihost_pages_dir_for(sf_dir))
 
 
+def _q_degree_distribution(sf_dir: str):
+    return degree_distribution(pages_dir_for(sf_dir))
+
+
 def _q_snapshot_curate(sf_dir: str):
     """Incremental-corpus curation: the multi-snapshot pages table is
     collapsed to the newest snapshot per url at the read, then fed
@@ -548,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "host_quota": _q_host_quota,
         "host_schedule": _q_host_schedule,
+        "degree_distribution": _q_degree_distribution,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
@@ -2729,6 +2735,16 @@ FROM pr_edges GROUP BY dst
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM mh_edges GROUP BY src_host, dst_host""",
         "host_rank": _host_rank_sql(),
+        "degree_distribution": _PR_EDGES_CTE
+        + """,
+dd_out AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+dd_in AS (SELECT dst, count(*) AS deg FROM pr_edges GROUP BY dst)
+SELECT 'out' AS direction, CAST(deg AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM dd_out GROUP BY deg
+UNION ALL
+SELECT 'in', CAST(deg AS BIGINT), CAST(count(*) AS BIGINT)
+FROM dd_in GROUP BY deg""",
         # per-host politeness schedule: slots serialize a host's urls
         # 1 s apart in (warc_ts, url) order; ts = epoch + doc_id seconds
         "host_schedule": """

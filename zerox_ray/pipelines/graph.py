@@ -1242,3 +1242,48 @@ def host_schedule(
     return bucketed_group_map(
         ds.map_batches(slim, batch_format="pyarrow"), "host", schedule
     )
+
+
+def degree_distribution(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Link-degree histogram of the corpus graph — the first diagnostic
+    a graph operator pulls (power-law sanity check, skew forecasting for
+    the join planners). Output: (direction, degree, n_urls) with
+    direction ∈ {'out','in'}; urls with zero links in a direction are
+    not rows (degree-0 mass = corpus size minus the histogram sum —
+    derivable without shipping the node set).
+
+    Scale shape: one edge extraction pass → per-direction (combiner
+    count → ONE grouped sum on the url key) → per-batch histogram
+    partial → ONE grouped sum on the degree value. The second exchange
+    moves one row per distinct degree per batch — O(max_degree), tiny."""
+    edges = link_graph(pages, prefix).materialize()
+
+    def hist_of(keyed: ray.data.Dataset, direction: str) -> ray.data.Dataset:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("deg", as_index=False).size()
+            out = out.rename(columns={"size": "n_urls", "deg": "degree"})
+            out["direction"] = direction
+            return out[["direction", "degree", "n_urls"]].astype(
+                {"degree": "int64", "n_urls": "int64"}
+            )
+
+        return bucketed_group_agg(
+            keyed.map_batches(partial, batch_format="pandas"),
+            ["direction", "degree"],
+            {"n_urls": ("n_urls", "sum")},
+        )
+
+    def degrees(col: str) -> ray.data.Dataset:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(col, as_index=False).size()
+            return out.rename(columns={"size": "deg"}).astype({"deg": "int64"})
+
+        return bucketed_group_agg(
+            edges.map_batches(partial, batch_format="pandas"),
+            [col],
+            {"deg": ("deg", "sum")},
+        )
+
+    return hist_of(degrees("src"), "out").union(hist_of(degrees("dst"), "in"))
