@@ -104,6 +104,13 @@ from zerox_ray.pipelines.boilerplate import (
     paragraph_dedup,
     raw_text_blocks,
 )
+from zerox_ray.pipelines.textqual import (
+    classifier_scores,
+    gopher_rules,
+    inverted_index,
+    perplexity_buckets,
+    unigram_logprobs,
+)
 from zerox_ray.pipelines.urls import canonical_urls, url_dedup
 from zerox_ray.pipelines.web import host_curate, rank_curate, web_curate
 from zerox_ray.pipelines.relational import (
@@ -593,6 +600,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": corpus_mix,
         "stratified_sample": stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
+        # webtext quality / LM-scoring family (textqual.py)
+        "gopher_rules": gopher_rules,
+        "unigram_logprobs": unigram_logprobs,
+        "perplexity_buckets": perplexity_buckets,
+        "classifier_scores": classifier_scores,
+        "inverted_index": inverted_index,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -2005,6 +2018,103 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
   FROM orders
 ) WHERE rank <= 3
 """,
+        # --- textqual.py family: integer micro/milli arithmetic and
+        # md5-bucket weights on both sides, so every compare is exact ---
+        # mirrors textqual.gopher_rules (thresholds are module constants)
+        "gopher_rules": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') ws,
+         len(string_split(text, ' ')) n_words,
+         length(text) - (len(string_split(text, ' ')) - 1) AS chars
+  FROM documents),
+gr_tf AS (
+  SELECT doc_id, max(c) top_tf FROM (
+    SELECT doc_id, t, count(*) c
+    FROM (SELECT doc_id, unnest(ws) t FROM w) GROUP BY doc_id, t
+  ) GROUP BY doc_id),
+gr_st AS (
+  SELECT doc_id, count(*) FILTER (t IN ('a', 'the')) stop_hits
+  FROM (SELECT doc_id, unnest(ws) t FROM w) GROUP BY doc_id),
+gr AS (
+  SELECT w.doc_id, w.n_words, 1000000 * w.chars // w.n_words mwl,
+         1000000 * gr_tf.top_tf // w.n_words topppm, gr_st.stop_hits
+  FROM w JOIN gr_tf USING (doc_id) JOIN gr_st USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(mwl AS BIGINT) AS mean_word_len_ppm,
+  CAST(topppm AS BIGINT) AS top_word_ppm,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  CAST(n_words BETWEEN 20 AND 80 AS BIGINT) AS flag_word_count,
+  CAST(mwl BETWEEN 4300000 AND 4700000 AS BIGINT) AS flag_word_len,
+  CAST(topppm <= 120000 AS BIGINT) AS flag_top_word,
+  CAST(stop_hits >= 2 AS BIGINT) AS flag_stopwords,
+  CAST(n_words BETWEEN 20 AND 80 AND mwl BETWEEN 4300000 AND 4700000
+       AND topppm <= 120000 AND stop_hits >= 2 AS BIGINT) AS keep
+FROM gr""",
+        # mirrors textqual.unigram_logprobs: corpus unigram model,
+        # ic(t) = (1e6·T) // ctf(t), doc xent = Σic // n_words
+        "unigram_logprobs": """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) t
+             FROM documents),
+ctf AS (SELECT t, count(*) c FROM tok GROUP BY t),
+tot AS (SELECT count(*) n FROM tok),
+ic AS (SELECT t, (1000000 * (SELECT n FROM tot)) // c AS ic FROM ctf),
+doc AS (SELECT doc_id, any_value(lang) lang, count(*) n_words, sum(ic.ic) s
+        FROM tok JOIN ic USING (t) GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words, CAST(s AS BIGINT) AS ic_sum,
+       CAST(s // n_words AS BIGINT) AS xent_micro
+FROM doc""",
+        # mirrors textqual.perplexity_buckets: per-lang 4096-bin
+        # histogram percentile, tertile split on 3·pct vs 1M/2M
+        "perplexity_buckets": """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) t
+             FROM documents),
+ctf AS (SELECT t, count(*) c FROM tok GROUP BY t),
+tot AS (SELECT count(*) n FROM tok),
+ic AS (SELECT t, (1000000 * (SELECT n FROM tot)) // c AS ic FROM ctf),
+pp_scores AS (SELECT doc_id, any_value(lang) lang,
+                     CAST(sum(ic.ic) // count(*) AS BIGINT) xent
+              FROM tok JOIN ic USING (t) GROUP BY doc_id),
+pp_mx AS (SELECT lang, max(xent) m, count(*) nl FROM pp_scores GROUP BY lang),
+pp_b AS (SELECT s.doc_id, s.lang, s.xent,
+                s.xent // (pp_mx.m // 4096 + 1) AS bin, pp_mx.nl
+         FROM pp_scores s JOIN pp_mx USING (lang)),
+pp_hist AS (SELECT lang, bin, count(*) hn FROM pp_b GROUP BY lang, bin),
+pp_cum AS (SELECT lang, bin,
+           coalesce(sum(hn) OVER (PARTITION BY lang ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) below
+           FROM pp_hist),
+pp AS (SELECT pp_b.doc_id, pp_b.lang, pp_b.xent,
+              pp_cum.below * 1000000 // pp_b.nl AS pct
+       FROM pp_b JOIN pp_cum USING (lang, bin))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(xent AS BIGINT) AS xent_micro, CAST(pct AS BIGINT) AS pct_ppm,
+       CASE WHEN pct * 3 < 1000000 THEN 'head'
+            WHEN pct * 3 < 2000000 THEN 'middle' ELSE 'tail' END AS bucket
+FROM pp""",
+        # mirrors textqual.classifier_scores: hashed linear model,
+        # w(t) = md5_64(t) % 2001 milli-units, keep at mean ≥ 1000
+        "classifier_scores": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+cw AS (SELECT doc_id,
+              ('0x' || substring(md5(t), 1, 16))::UBIGINT % 2001 AS w
+       FROM tok),
+doc AS (SELECT doc_id, count(*) n_words, sum(w) ws FROM cw GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(ws AS BIGINT) AS w_sum,
+       CAST(ws // n_words AS BIGINT) AS mean_milli,
+       CASE WHEN ws // n_words >= 1000 THEN 'keep' ELSE 'drop' END AS label
+FROM doc""",
+        # mirrors textqual.inverted_index: first-8 ascending postings
+        "inverted_index": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+tf AS (SELECT t AS term, doc_id, count(*) c FROM tok GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) rn
+      FROM tf)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS ctf,
+       string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS top_docs
+FROM r GROUP BY term""",
         # mirrors dataops.tfidf_top_terms: single-space tokenize, linear
         # idf (N/df), score = floor(((1e6*tf)*N)/df) in IEEE doubles —
         # identical association on both sides, so bit-exact

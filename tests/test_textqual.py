@@ -1,0 +1,129 @@
+"""Tests for the webtext quality / LM-scoring family (textqual.py):
+semantic invariants plus DuckDB cross-checks of the integer kernels."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from zerox_ray.pipelines.textqual import (
+    classifier_scores,
+    gopher_rules,
+    inverted_index,
+    perplexity_buckets,
+    unigram_logprobs,
+)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame, keys):
+    got = got.sort_values(keys).reset_index(drop=True)[sorted(got.columns)]
+    exp = exp.sort_values(keys).reset_index(drop=True)[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_gopher_rules_flags_and_keep(sf_dir):
+    got = gopher_rules(sf_dir).to_pandas()
+    n_docs = _duck(sf_dir, "SELECT count(*) n FROM documents")["n"][0]
+    assert len(got) == n_docs
+    # keep is exactly the conjunction of the four flags
+    conj = (
+        got.flag_word_count * got.flag_word_len * got.flag_top_word * got.flag_stopwords
+    )
+    assert (got.keep == conj).all()
+    # every flag must have both pass and fail mass on the synthetic corpus
+    for c in ("flag_word_count", "flag_word_len", "flag_top_word", "flag_stopwords"):
+        assert 0 < got[c].sum() < len(got), c
+    # metrics cross-check vs SQL
+    exp = _duck(
+        sf_dir,
+        """SELECT doc_id, len(string_split(text,' ')) n_words,
+           1000000*(length(text) - (len(string_split(text,' ')) - 1))
+             // len(string_split(text,' ')) mean_word_len_ppm
+           FROM documents""",
+    )
+    _cmp(got[["doc_id", "n_words", "mean_word_len_ppm"]], exp, ["doc_id"])
+
+
+def test_unigram_logprobs_matches_sql(sf_dir):
+    got = unigram_logprobs(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) t FROM documents),
+        ctf AS (SELECT t, count(*) c FROM tok GROUP BY t),
+        ic AS (SELECT t, (1000000 * (SELECT count(*) FROM tok)) // c AS ic FROM ctf)
+        SELECT doc_id, any_value(lang) lang, count(*) n_words,
+               CAST(sum(ic.ic) AS BIGINT) ic_sum,
+               CAST(sum(ic.ic) // count(*) AS BIGINT) xent_micro
+        FROM tok JOIN ic USING (t) GROUP BY doc_id""",
+    )
+    _cmp(got, exp, ["doc_id"])
+    # rarer tokens ⇒ higher ic: every score is at least the uniform floor
+    assert (got.xent_micro >= 1_000_000).all()
+
+
+def test_perplexity_buckets_are_tertiles(sf_dir):
+    got = perplexity_buckets(sf_dir).to_pandas()
+    # per-lang bucket masses are within one histogram bin of a third
+    for lang, g in got.groupby("lang"):
+        frac = g.bucket.value_counts(normalize=True)
+        for b in ("head", "middle", "tail"):
+            assert 0.15 < frac.get(b, 0.0) < 0.55, (lang, b, frac.to_dict())
+    # buckets are monotone in score within a language
+    for _, g in got.groupby("lang"):
+        assert g[g.bucket == "head"].xent_micro.max() <= g[
+            g.bucket == "middle"
+        ].xent_micro.min() + (g.xent_micro.max() // 4096 + 1)
+
+
+def test_classifier_scores_deterministic_weights(sf_dir):
+    got = classifier_scores(sf_dir).to_pandas()
+    # replay one doc by hand
+    import hashlib
+
+    doc = _duck(sf_dir, "SELECT doc_id, text FROM documents LIMIT 1")
+    toks = doc.text[0].split(" ")
+    ws = sum(int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % 2001 for t in toks)
+    row = got[got.doc_id == doc.doc_id[0]].iloc[0]
+    assert row.w_sum == ws and row.n_words == len(toks)
+    assert row.label == ("keep" if ws // len(toks) >= 1000 else "drop")
+    assert set(got.label) <= {"keep", "drop"}
+
+
+def test_inverted_index_postings(sf_dir):
+    got = inverted_index(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents)
+        SELECT t term, count(DISTINCT doc_id) df, count(*) ctf FROM tok GROUP BY t""",
+    )
+    _cmp(got[["term", "df", "ctf"]], exp, ["term"])
+    # postings are ascending, ≤8 ids, and each id really contains the term
+    docs = _duck(sf_dir, "SELECT doc_id, text FROM documents").set_index("doc_id")
+    for r in got.itertuples():
+        ids = [int(x) for x in r.top_docs.split(",")]
+        assert ids == sorted(ids) and len(ids) <= 8
+        assert len(ids) == min(8, r.df)
+        for i in ids[:2]:
+            assert r.term in docs.loc[i, "text"].split(" ")
+
+
+def test_inverted_index_cap_is_mergeable(sf_dir):
+    # the capped partial merge must equal the global first-K regardless
+    # of how doc ids are split across blocks — check against SQL
+    got = inverted_index(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
+        d AS (SELECT DISTINCT t term, doc_id FROM tok),
+        r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) rn FROM d)
+        SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) top_docs
+        FROM r WHERE rn <= 8 GROUP BY term""",
+    )
+    _cmp(got[["term", "top_docs"]], exp, ["term"])

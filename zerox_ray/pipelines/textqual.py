@@ -1,0 +1,389 @@
+"""Webtext quality-filtering and LM-scoring operators — the model-free
+half of a pretraining curation stack, each expressed as Ray Data batch
+transforms with the engine's bounded-exchange shapes:
+
+- ``gopher_rules``      — Gopher-style repetition/length/stopword rule
+  flags (Rae et al. 2021 §A1.1); zero exchanges, one vectorized scan.
+- ``unigram_logprobs``  — CCNet-style language-model fluency scoring
+  (Wenzek et al. 2020) with a corpus unigram model: one bounded
+  vocabulary exchange, then a broadcast-scored streaming pass.
+- ``perplexity_buckets``— CCNet's head/middle/tail split by per-language
+  score tertiles, via the broadcast-histogram percentile idiom
+  (quality_percentiles' shape; driver state ≤ langs × 4096 bins).
+- ``classifier_scores`` — fastText-style hashed linear quality
+  classifier (Joulin et al. 2017; the FineWeb-Edu filtering shape):
+  deterministic md5-bucket weights so the oracle can replay the model.
+- ``inverted_index``    — postings construction (term → df/ctf/first-K
+  doc ids): per-batch partial postings, ONE term-key exchange with a
+  mergeable capped-list combine.
+
+All arithmetic is integer (micro/milli units) so DuckDB oracles match
+bit-for-bit; every driver pull is bounded (vocab / histogram bins), and
+the bound's 100-TB story is documented per function.
+
+The reference engine (getomni-ai/zerox) has no corpus-level text
+analytics — this family is part of the engine's training-data surface
+(SURVEY.md §2 extension table), not a port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from zerox_ray.functions.hashing import md5_64_array
+from zerox_ray.pipelines.agg import bucketed_group_agg, bucketed_group_map
+from zerox_ray.sources.tables import read_table
+
+PPM = 1_000_000
+
+# Gopher-style rule thresholds, calibrated to the synthetic corpus so
+# every flag has both pass and fail mass (the real Gopher bounds —
+# 50..100k words, mean word length 3..10 — are one constant away).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL_PPM = 4_300_000  # mean word length ≥ 4.3 chars
+GOPHER_MAX_MWL_PPM = 4_700_000  # ≤ 4.7 chars
+GOPHER_MAX_TOP_PPM = 120_000  # most-common word ≤ 12% of tokens
+GOPHER_STOPWORDS = ("a", "the")
+GOPHER_MIN_STOP_HITS = 2
+
+_PPLX_BINS = 4096
+_INDEX_TOP_K = 8
+
+
+def _doc_token_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch of space-separated docs into (flat token array,
+    per-doc token counts, per-token doc index) — the one tokenization
+    this module runs; everything downstream is numpy on the flat view."""
+    toks = texts.str.split(" ")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return flat, lens, doc_idx
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Gopher-style quality rule flags — word-count bounds,
+    mean-word-length bounds, most-common-word fraction, stopword
+    presence — plus the conjunctive keep bit. Mirrors Gopher §A1.1's
+    rule filter (the reference webtext-curation recipe); thresholds are
+    module constants.
+
+    Scale shape: a single vectorized map_batches scan, NO exchange —
+    per-doc top-term frequency comes from one np.unique over the
+    batch's flat token view (term ids × doc ids folded into one key),
+    not a per-row Counter. Output: one row per doc with integer
+    micro-unit metrics and 0/1 flags."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stopset = set(GOPHER_STOPWORDS)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        n_docs = len(df)
+        # chars per doc: token lengths summed into doc slots
+        tok_len = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
+        chars = np.zeros(n_docs, np.int64)
+        np.add.at(chars, doc_idx, tok_len)
+        mwl_ppm = PPM * chars // n_words
+        # max term frequency per doc: one unique over (doc, term) pairs
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        pair_key = doc_idx * len(uniq) + term_id
+        pair_u, pair_n = np.unique(pair_key, return_counts=True)
+        top_tf = np.zeros(n_docs, np.int64)
+        np.maximum.at(top_tf, pair_u // len(uniq), pair_n)
+        top_ppm = PPM * top_tf // n_words
+        # stopword hits (token occurrences, repeats count — Gopher's rule)
+        stop_mask = np.array([t in stopset for t in uniq], dtype=bool)
+        stop_hits = np.zeros(n_docs, np.int64)
+        np.add.at(stop_hits, doc_idx, stop_mask[term_id].astype(np.int64))
+
+        f_words = (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        ).astype(np.int64)
+        f_mwl = (
+            (mwl_ppm >= GOPHER_MIN_MWL_PPM) & (mwl_ppm <= GOPHER_MAX_MWL_PPM)
+        ).astype(np.int64)
+        f_top = (top_ppm <= GOPHER_MAX_TOP_PPM).astype(np.int64)
+        f_stop = (stop_hits >= GOPHER_MIN_STOP_HITS).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n_words,
+                "mean_word_len_ppm": mwl_ppm,
+                "top_word_ppm": top_ppm,
+                "stop_hits": stop_hits,
+                "flag_word_count": f_words,
+                "flag_word_len": f_mwl,
+                "flag_top_word": f_top,
+                "flag_stopwords": f_stop,
+                "keep": f_words * f_mwl * f_top * f_stop,
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pandas")
+
+
+def _corpus_unigram_ic(sf_dir: str) -> tuple[dict, int]:
+    """Pass 1 of the CCNet scoring: corpus unigram counts via per-batch
+    np.unique partials → ONE grouped sum → the reduced vocabulary on the
+    driver. Driver state is O(|vocab|): exact here; at open-web scale
+    the same pass caps the model at the top-V terms via a Misra-Gries
+    pre-filter (sketches.heavy_hitters) with an OOV smoothing bucket —
+    the model quality degrades gracefully, the exchange stays bounded.
+
+    Returns ({term: ic_micro}, total_tokens) where
+    ic_micro(t) = (1e6 · T) // ctf(t) — an integer information-content
+    surrogate for -log p(t) that DuckDB replays exactly."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, _ = _doc_token_stats(df["text"])
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"term": uniq, "n": counts.astype(np.int64)})
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(vocab_partial, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # O(|vocab|) rows — bounded driver state (see docstring)
+    total = int(vocab["n"].sum())
+    ic = {t: (PPM * total) // int(n) for t, n in zip(vocab["term"], vocab["n"])}
+    return ic, total
+
+
+def _score_batch(df: pd.DataFrame, ic: dict) -> pd.DataFrame:
+    """Vectorized per-doc unigram score: xent_micro = Σ ic(t) // n_words."""
+    flat, n_words, doc_idx = _doc_token_stats(df["text"])
+    uniq, term_id = np.unique(flat, return_inverse=True)
+    uniq_ic = np.fromiter((ic[t] for t in uniq), np.int64, count=len(uniq))
+    ic_sum = np.zeros(len(df), np.int64)
+    np.add.at(ic_sum, doc_idx, uniq_ic[term_id])
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "lang": df["lang"].astype(str),
+            "n_words": n_words,
+            "ic_sum": ic_sum,
+            "xent_micro": ic_sum // n_words,
+        }
+    )
+
+
+def unigram_logprobs(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LM fluency scoring with a corpus unigram model:
+    pass 1 reduces the vocabulary (one bounded exchange,
+    ``_corpus_unigram_ic``), pass 2 broadcasts the {term → ic} table via
+    ray.put and scores every document in one streaming scan — the
+    payload text is read exactly twice and never shuffled.
+
+    Output: (doc_id, lang, n_words, ic_sum, xent_micro) — xent_micro is
+    the integer mean information content, the replayable stand-in for
+    the KenLM perplexity CCNet buckets on."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ic, _ = _corpus_unigram_ic(sf_dir)
+    ic_ref = ray.put(ic)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        return _score_batch(df, _cached_broadcast("unigram_ic", ic_ref))
+
+    return read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(score, batch_format="pandas")
+
+
+def perplexity_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet head/middle/tail split: per-language score tertiles over
+    the unigram xent, assigned via the broadcast-histogram percentile
+    idiom (quality_percentiles' shape, made per-group):
+
+    1. score once into a slim (doc_id, lang, xent) table, materialized
+       so the text payload is scanned exactly twice total (vocab+score)
+       no matter how many reductions follow;
+    2. per-lang max → bin width (ONE tiny grouped-max exchange,
+       ≤ |langs| rows on the driver);
+    3. per-(lang, bin) histogram (ONE grouped sum, ≤ langs × 4096 rows);
+    4. broadcast cumulative counts; each doc gets
+       pct_ppm = (docs in strictly lower bins) · 1M // n_lang and
+       bucket head (<1/3), middle (<2/3), tail — ties inside one bin
+       share a bucket, which the oracle mirrors exactly.
+
+    Driver state is langs × 4096 ints at ANY corpus size."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ic, _ = _corpus_unigram_ic(sf_dir)
+    ic_ref = ray.put(ic)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = _score_batch(df, _cached_broadcast("unigram_ic", ic_ref))
+        return out[["doc_id", "lang", "xent_micro"]]
+
+    scores = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pandas")
+        .materialize()  # slim 3-column table; payload text is NOT re-read below
+    )
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            m=("xent_micro", "max"), nl=("xent_micro", "size")
+        )
+        return g.astype({"m": "int64", "nl": "int64"})
+
+    mx = bucketed_group_agg(
+        scores.map_batches(max_partial, batch_format="pandas"),
+        ["lang"],
+        {"m": ("m", "max"), "nl": ("nl", "sum")},
+    ).to_pandas()  # ≤ |langs| rows
+    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
+    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["lang"].map(width).to_numpy(dtype=np.int64)
+        b = df["xent_micro"].to_numpy(dtype=np.int64) // w
+        g = pd.DataFrame({"lang": df["lang"], "bin": b}).groupby(
+            ["lang", "bin"], as_index=False
+        )
+        out = g.size().rename(columns={"size": "n"})
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    hist = bucketed_group_agg(
+        scores.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # ≤ langs × 4096 rows — bounded driver state
+    hist = hist.sort_values(["lang", "bin"])
+    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
+    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
+    state_ref = ray.put((width, n_lang, below))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        width, n_lang, below = _cached_broadcast("pplx_state", state_ref)
+        xent = df["xent_micro"].to_numpy(dtype=np.int64)
+        langs = df["lang"].to_numpy()
+        w = df["lang"].map(width).to_numpy(dtype=np.int64)
+        bins = xent // w
+        pct = np.fromiter(
+            (
+                below[(lg, int(b))] * PPM // n_lang[lg]
+                for lg, b in zip(langs, bins)
+            ),
+            np.int64,
+            count=len(df),
+        )
+        bucket = np.where(
+            pct < PPM // 3 + 1, "head", np.where(pct < 2 * PPM // 3 + 1, "middle", "tail")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "lang": df["lang"].astype(str),
+                "xent_micro": xent,
+                "pct_ppm": pct,
+                "bucket": bucket,
+            }
+        )
+
+    return scores.map_batches(assign, batch_format="pandas")
+
+
+def classifier_scores(sf_dir: str) -> ray.data.Dataset:
+    """fastText-style hashed linear quality classifier (the
+    FineWeb-Edu filtering shape): each term's weight is a deterministic
+    md5 bucket w(t) = md5_64(t) % 2001 ∈ [0, 2000] milli-units — a
+    stand-in for trained weights that the SQL oracle replays exactly —
+    and the doc score is the mean token weight; label 'keep' at ≥ the
+    1000-milli midpoint.
+
+    Scale shape: stateless single scan, NO exchange; weights are hashed
+    on the fly per batch over the np.unique term view (O(distinct terms
+    per batch) md5 calls, not per token), so there is no model table to
+    ship at all — the idiom for hashing-trick models whose weight
+    vector would otherwise be a broadcast."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        w = (
+            md5_64_array([t.encode() for t in uniq]) % np.uint64(2001)
+        ).astype(np.int64)
+        w_sum = np.zeros(len(df), np.int64)
+        np.add.at(w_sum, doc_idx, w[term_id])
+        mean_milli = w_sum // n_words
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n_words,
+                "w_sum": w_sum,
+                "mean_milli": mean_milli,
+                "label": np.where(mean_milli >= 1000, "keep", "drop"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def inverted_index(sf_dir: str, top_k: int = _INDEX_TOP_K) -> ray.data.Dataset:
+    """Postings-list construction: term → (df, ctf, first-K doc ids) —
+    the build side of the BM25 searcher, as its own operator. Per-batch
+    partial postings (df/ctf plus each batch's K smallest doc ids, a
+    MERGEABLE capped sketch of the full postings) → ONE term-key
+    exchange → per-term combine. The full postings list is never
+    materialized anywhere: every partial and every merged row carries at
+    most K doc ids, so term skew ('the' appearing in every doc) costs
+    O(partials · K) per term, not O(df).
+
+    Output: (term, df, ctf, top_docs) with top_docs a comma-joined
+    ascending doc-id string (stable for value-hash compare)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, doc_idx = _doc_token_stats(df["text"])
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)[doc_idx]
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        ctf = np.bincount(term_id, minlength=len(uniq)).astype(np.int64)
+        # distinct (term, doc) pairs, doc-sorted per term
+        pair = pd.DataFrame({"tid": term_id, "doc_id": doc_ids}).drop_duplicates()
+        pair = pair.sort_values(["tid", "doc_id"])
+        dfreq = np.bincount(pair["tid"].to_numpy(), minlength=len(uniq)).astype(
+            np.int64
+        )
+        docs = pair.groupby("tid", sort=True)["doc_id"].agg(
+            lambda s: ",".join(map(str, s.head(top_k)))
+        )
+        return pd.DataFrame(
+            {
+                "term": uniq,
+                "df": dfreq,
+                "ctf": ctf,
+                "docs": docs.reindex(range(len(uniq)), fill_value="").to_numpy(),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, grp in g.groupby("term", sort=False):
+            ids: list[int] = []
+            for s in grp["docs"]:
+                if s:
+                    ids.extend(int(x) for x in s.split(","))
+            ids = sorted(set(ids))[:top_k]
+            out.append(
+                (
+                    term,
+                    int(grp["df"].sum()),
+                    int(grp["ctf"].sum()),
+                    ",".join(map(str, ids)),
+                )
+            )
+        return pd.DataFrame(out, columns=["term", "df", "ctf", "top_docs"]).astype(
+            {"df": "int64", "ctf": "int64"}
+        )
+
+    return bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas"), "term", combine
+    )
