@@ -85,6 +85,8 @@ from zerox_ray.pipelines.graph import (
     crawl_timeline,
     degree_distribution,
     hits,
+    random_walks,
+    triangle_stats,
     host_graph,
     host_schedule,
     host_quota,
@@ -245,6 +247,14 @@ def _q_page_inlinks(sf_dir: str):
 
 def _q_pagerank(sf_dir: str):
     return pagerank(pages_dir_for(sf_dir))
+
+
+def _q_triangle_stats(sf_dir: str):
+    return triangle_stats(pages_dir_for(sf_dir))
+
+
+def _q_random_walks(sf_dir: str):
+    return random_walks(pages_dir_for(sf_dir))
 
 
 def _q_link_components(sf_dir: str):
@@ -561,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota": _q_host_quota,
         "host_schedule": _q_host_schedule,
         "degree_distribution": _q_degree_distribution,
+        "triangle_stats": _q_triangle_stats,
+        "random_walks": _q_random_walks,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
@@ -2855,6 +2867,59 @@ FROM dd_out GROUP BY deg
 UNION ALL
 SELECT 'in', CAST(deg AS BIGINT), CAST(count(*) AS BIGINT)
 FROM dd_in GROUP BY deg""",
+        # undirected triangle census — the oracle counts with a plain
+        # triple self-join (orientation-free); the engine's degree-
+        # oriented node-iterator must land on the same invariant totals
+        "triangle_stats": _PR_EDGES_CTE
+        + """,
+tr_e AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+         FROM pr_edges WHERE src <> dst),
+tr_deg AS (SELECT v, count(*) deg
+           FROM (SELECT a v FROM tr_e UNION ALL SELECT b FROM tr_e)
+           GROUP BY v),
+tr AS (SELECT
+  (SELECT count(*) FROM tr_deg) n_nodes,
+  (SELECT count(*) FROM tr_e) n_edges,
+  (SELECT sum(deg * (deg - 1) // 2) FROM tr_deg) n_wedges,
+  (SELECT count(*) FROM tr_e e1
+     JOIN tr_e e2 ON e2.a = e1.a AND e2.b > e1.b
+     JOIN tr_e e3 ON e3.a = e1.b AND e3.b = e2.b) n_triangles)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+                 THEN 3 * n_triangles * 1000000 // n_wedges
+                 ELSE 0 END AS BIGINT) AS global_clustering_ppm
+FROM tr""",
+        # deterministic walks: seed at h63(url) % 16 = 0, step s picks
+        # out-edge rank (h63(cur)+s) mod outdeg in dst-url order —
+        # unrolled to the engine's 3 steps; walks stop at leaf pages
+        "random_walks": _PR_EDGES_CTE
+        + f""",
+rw_u AS (SELECT DISTINCT 'https://example.org/doc/' || doc_id AS url
+         FROM documents),
+rw_re AS (
+  SELECT 'https://example.org/doc/' || src AS src_url,
+         'https://example.org/doc/' || dst AS dst_url,
+         row_number() OVER (PARTITION BY src
+             ORDER BY 'https://example.org/doc/' || dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM pr_edges),
+rw_w0 AS (SELECT url AS walk, url AS cur FROM rw_u
+          WHERE ({_sql_md5_u64("url")} // 2) % 16 = 0),
+rw_w1 AS (SELECT w.walk, re.dst_url AS cur FROM rw_w0 w JOIN rw_re re
+          ON re.src_url = w.cur
+          AND re.rn = (({_sql_md5_u64("w.cur")} // 2) + 1) % re.outdeg),
+rw_w2 AS (SELECT w.walk, re.dst_url AS cur FROM rw_w1 w JOIN rw_re re
+          ON re.src_url = w.cur
+          AND re.rn = (({_sql_md5_u64("w.cur")} // 2) + 2) % re.outdeg),
+rw_w3 AS (SELECT w.walk, re.dst_url AS cur FROM rw_w2 w JOIN rw_re re
+          ON re.src_url = w.cur
+          AND re.rn = (({_sql_md5_u64("w.cur")} // 2) + 3) % re.outdeg)
+SELECT walk, CAST(0 AS BIGINT) AS step, cur AS url FROM rw_w0
+UNION ALL SELECT walk, 1, cur FROM rw_w1
+UNION ALL SELECT walk, 2, cur FROM rw_w2
+UNION ALL SELECT walk, 3, cur FROM rw_w3""",
         # per-host politeness schedule: slots serialize a host's urls
         # 1 s apart in (warc_ts, url) order; ts = epoch + doc_id seconds
         "host_schedule": """

@@ -587,3 +587,79 @@ def test_host_schedule_serializes_hosts(sf_dir):
         # slot order respects the recrawl-oldest-first rule
         docs = [int(u.rsplit("/", 1)[1]) for u in g.url]
         assert docs == sorted(docs)  # warc_ts increases with doc_id
+
+
+class TestGraphCensus:
+    def _edges(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.testgen import URL_PREFIX, plan_doc, related_links
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        n = t.num_rows
+        edges = set()
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if plan_doc(d, txt)["kind"] == "html":
+                for tgt in related_links(d, n):
+                    edges.add((f"{URL_PREFIX}{d}", f"{URL_PREFIX}{tgt}"))
+        return edges
+
+    def test_triangle_stats_matches_pure_python(self, sf_dir):
+        from zerox_ray.pipelines.graph import triangle_stats
+
+        und = set()
+        for s, d in self._edges(sf_dir):
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        tris = 0
+        for a, b in und:
+            tris += sum(
+                1 for c in adj[a] & adj[b] if (min(a, c), max(a, c)) in und
+                and (min(b, c), max(b, c)) in und
+            )
+        tris //= 3
+        got = triangle_stats(pages_dir_for(sf_dir)).to_pandas().iloc[0]
+        assert got.n_nodes == len(adj)
+        assert got.n_edges == len(und)
+        assert got.n_wedges == wedges
+        assert got.n_triangles == tris
+        assert got.global_clustering_ppm == 3 * tris * 1_000_000 // wedges
+
+    def test_random_walks_deterministic_replay(self, sf_dir):
+        import hashlib
+
+        from zerox_ray.pipelines.graph import random_walks
+
+        def h63(u):
+            return int(hashlib.md5(u.encode()).hexdigest()[:16], 16) >> 1
+
+        out_edges = {}
+        for s, d in self._edges(sf_dir):
+            out_edges.setdefault(s, []).append(d)
+        for v in out_edges.values():
+            v.sort()
+
+        got = random_walks(pages_dir_for(sf_dir)).to_pandas()
+        walks = {}
+        for r in got.itertuples():
+            walks.setdefault(r.walk, {})[r.step] = r.url
+        for start, pos in walks.items():
+            assert pos[0] == start and h63(start) % 16 == 0
+            cur = start
+            for s in range(1, 4):
+                nb = out_edges.get(cur)
+                if nb is None:
+                    assert s not in pos  # dangling: walk stopped
+                    break
+                want = nb[(h63(cur) + s) % len(nb)]
+                assert pos[s] == want, (start, s)
+                cur = want
+        # contiguity: no step present after a missing one
+        for pos in walks.values():
+            steps = sorted(pos)
+            assert steps == list(range(len(steps)))

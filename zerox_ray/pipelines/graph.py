@@ -1287,3 +1287,263 @@ def degree_distribution(
         )
 
     return hist_of(degrees("src"), "out").union(hist_of(degrees("dst"), "in"))
+
+
+def triangle_stats(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Global triangle census of the (undirected) corpus link graph:
+    one row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering_ppm) with clustering = 3·triangles·1M // wedges.
+
+    Scale shape — the degree-ORIENTED node-iterator (the O(m^1.5)
+    algorithm every distributed triangle counter uses): canonical
+    undirected pairs are deduped with one (a, b) exchange, degrees with
+    one grouped sum, then every edge is directed from its
+    lower-(degree, id) endpoint, which caps every out-neighborhood at
+    O(√m) regardless of how skewed the in-degrees are — a celebrity
+    node with 10⁷ followers generates NO candidate pairs at itself.
+    Candidate wedges and oriented edges meet in ONE tagged co-group on
+    the wedge source; nothing quadratic in a hub's degree ever
+    materializes. The oracle replays the count with a plain (orientation
+    -free) SQL triple join — the census is orientation-invariant."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    edges = link_graph(pages, prefix) if edges is None else edges
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = _h63(t["src"].to_pylist())
+        d = _h63(t["dst"].to_pylist())
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        m = a != b
+        df = pd.DataFrame({"a": a[m], "b": b[m]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    # distinct undirected pairs: per-batch dedup → ONE (a, b) grouped sum
+    und = (
+        bucketed_group_agg(
+            edges.map_batches(canon, batch_format="pyarrow")
+            .map_batches(lambda df: df.assign(n=1), batch_format="pandas"),
+            ["a", "b"],
+            {"n": ("n", "sum")},
+        )
+        .drop_columns(["n"])
+        .materialize()  # O(edges) slim int pairs, reused by 3 consumers
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([df["a"], df["b"]]).value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = bucketed_group_agg(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["v"],
+        {"deg": ("deg", "sum")},
+    ).materialize()
+
+    n_edges = und.count()
+    n_nodes = deg.count()
+
+    def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    n_wedges = int(
+        deg.map_batches(wedge_partial, batch_format="pandas").sum("w")
+    )
+
+    # orient each edge from its lower-(deg, id) endpoint: two int-key joins
+    dega = deg.map_batches(
+        lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
+        batch_format="pandas",
+    )
+    degb = deg.map_batches(
+        lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
+        batch_format="pandas",
+    )
+    both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {
+                "u": np.where(first, a, b),
+                "v": np.where(first, b, a),
+                "dv": np.where(first, db, da),  # head's (deg) for ordering
+                "tag": np.zeros(len(df), np.int64),
+            }
+        )
+
+    oriented = both.map_batches(orient, batch_format="pandas").materialize()
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for _, grp in g.groupby("u", sort=False):
+            # out-neighbors ordered by the SAME (deg, id) total order the
+            # orientation uses, so candidate (x, y) is itself oriented
+            nb = grp.sort_values(["dv", "v"])["v"].to_numpy(np.int64)
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            out_u.append(nb[iu])
+            out_v.append(nb[iv])
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(dtype="int64"),
+                    "v": pd.Series(dtype="int64"),
+                    "dv": pd.Series(dtype="int64"),
+                    "tag": pd.Series(dtype="int64"),
+                }
+            )
+        u = np.concatenate(out_u)
+        return pd.DataFrame(
+            {
+                "u": u,
+                "v": np.concatenate(out_v),
+                "dv": np.zeros(len(u), np.int64),
+                "tag": np.ones(len(u), np.int64),
+            }
+        )
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    cand = bucketed_group_map(oriented, "u", candidates)
+
+    def count_hits(g: pd.DataFrame) -> pd.DataFrame:
+        edges_set = set(
+            zip(
+                g.loc[g["tag"] == 0, "u"].to_numpy(np.int64),
+                g.loc[g["tag"] == 0, "v"].to_numpy(np.int64),
+            )
+        )
+        c = g[g["tag"] == 1]
+        hits = sum(
+            (u, v) in edges_set
+            for u, v in zip(c["u"].to_numpy(np.int64), c["v"].to_numpy(np.int64))
+        )
+        return pd.DataFrame({"t": [int(hits)]})
+
+    n_tri = int(
+        bucketed_group_map(oriented.union(cand), "u", count_hits).sum("t")
+    )
+    clustering = 3 * n_tri * 1_000_000 // n_wedges if n_wedges else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "global_clustering_ppm": pa.array([clustering], pa.int64()),
+            }
+        )
+    )
+
+
+def random_walks(
+    pages: ray.data.Dataset | str,
+    steps: int = 3,
+    seed_mod: int = 16,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Deterministic graph random walks — the node2vec/DeepWalk sampling
+    primitive, made replayable: every url whose 63-bit key ≡ 0
+    (mod seed_mod) starts a walk; at step s the walker at ``cur`` takes
+    out-edge rank (h63(cur) + s) mod outdeg among cur's out-links in dst
+    order. Walks stop early at dangling pages. Output: one row per
+    visited position (walk = start url, step, url).
+
+    Scale shape: the ranked adjacency is built with ONE src-key exchange
+    and materialized; each step is then ONE int-key hash join of the
+    O(seeds) walker frontier against it — the per-round shape PageRank
+    uses, with the frontier shrinking monotonically. Url equality is
+    checked through the join (h63 collisions cannot misroute a walk)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    edges = link_graph(ds, prefix) if edges is None else edges
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        rn = g.groupby("src", sort=False).cumcount().to_numpy(np.int64)
+        outdeg = (
+            g.groupby("src", sort=False)["dst"].transform("size").to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "k": _h63(g["src"].tolist()),
+                "src": g["src"].to_numpy(),
+                "dst": g["dst"].to_numpy(),
+                "rn": rn,
+                "outdeg": outdeg,
+            }
+        )
+
+    ranked = bucketed_group_map(edges, "src", rank_group).materialize()
+
+    def seed_batch(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        k = _h63(urls)
+        m = k % seed_mod == 0
+        sel = [u for u, keep in zip(urls, m) if keep]
+        return pa.table(
+            {
+                "walk": pa.array(sel, pa.string()),
+                "cur": pa.array(sel, pa.string()),
+                "k": pa.array(k[m], pa.int64()),
+            }
+        )
+
+    state = ds.select_columns(["url"]).map_batches(
+        seed_batch, batch_format="pyarrow"
+    )
+
+    def emit(step: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk": t["walk"],
+                    "step": pa.array([step] * len(t), pa.int64()),
+                    "url": t["cur"],
+                }
+            )
+
+        return f
+
+    out = state.map_batches(emit(0), batch_format="pyarrow")
+    for s in range(1, steps + 1):
+        joined = hash_join(state, ranked, on="k")
+
+        def advance(df: pd.DataFrame, s=s) -> pd.DataFrame:
+            # url equality guards h63 collisions; ranked pick is the
+            # deterministic (k + s) mod outdeg out-edge
+            m = (df["src"] == df["cur"]) & (
+                df["rn"] == (df["k"] + s) % df["outdeg"]
+            )
+            nxt = df.loc[m]
+            # Arrow output: typed even when the frontier batch is empty
+            return pa.table(
+                {
+                    "walk": pa.array(nxt["walk"].tolist(), pa.string()),
+                    "cur": pa.array(nxt["dst"].tolist(), pa.string()),
+                    "k": pa.array(_h63(nxt["dst"].tolist()), pa.int64()),
+                }
+            )
+
+        state = joined.map_batches(advance, batch_format="pandas")
+        out = out.union(state.map_batches(emit(s), batch_format="pyarrow"))
+    return out

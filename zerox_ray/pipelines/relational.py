@@ -278,6 +278,40 @@ def hash_join(
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
 
+    def _arrow_type_of(c: str):
+        """Resolve an output column's Arrow type from the side schemas
+        (merge suffixes _x/_y map back to their source side)."""
+        prefer = (lschema, rschema)
+        base = c
+        if c.endswith(("_x", "_y")) and c[:-2] in set(lcols) | set(rcols):
+            base = c[:-2]
+            prefer = (lschema, rschema) if c.endswith("_x") else (rschema, lschema)
+        for sch in prefer:
+            names = list(sch.names)
+            if base not in names:
+                continue
+            t = sch.types[names.index(base)]
+            if isinstance(t, _pa.DataType):
+                return t
+            try:  # pandas-block schema: numpy dtypes; object ⇒ unknown
+                return None if str(t) == "object" else _pa.from_numpy_dtype(t)
+            except (TypeError, _pa.ArrowNotImplementedError):
+                return None
+        return None
+
+    def _typed_empty(out: pd.DataFrame):
+        """Empty merge results keep object-dtype columns, which Ray's
+        pandas block size estimator warns on at size 0 (np.vectorize on
+        an empty sample) — one stderr line per empty bucket. Emit a
+        TYPED empty Arrow block instead, with types taken from the join
+        sides' own schemas so it unifies with the non-empty blocks."""
+        if len(out):
+            return out
+        types = {c: _arrow_type_of(c) for c in out.columns}
+        if any(t is None for t in types.values()):
+            return out  # unknown column type somewhere — keep pandas
+        return _pa.table({c: _pa.array([], t) for c, t in types.items()})
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # a bucket whose rows all come from one side may arrive without
         # the other side's columns (schema alignment is per block, not
@@ -294,7 +328,7 @@ def hash_join(
                 False, index=l.index
             )
             out = l.loc[present if how == "semi" else ~present]
-            return _restore_int_dtypes(out.reset_index(drop=True))
+            return _typed_empty(_restore_int_dtypes(out.reset_index(drop=True)))
         # same 2^53 guard INSIDE pd.merge: a left/outer merge introduces
         # NaN into the nullable side's int columns, upcasting them to
         # float64 mid-merge (before _restore_int_dtypes can help). A
@@ -304,7 +338,7 @@ def hash_join(
         if how in ("right", "outer"):
             l = l.astype({c: "Int64" for c in lints if c in l.columns and c != on})
         out = l.merge(r, on=on, how=how)
-        return _restore_int_dtypes(out)
+        return _typed_empty(_restore_int_dtypes(out))
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
