@@ -111,6 +111,7 @@ from zerox_ray.pipelines.textqual import (
     gopher_rules,
     inverted_index,
     perplexity_buckets,
+    quality_curate,
     unigram_logprobs,
 )
 from zerox_ray.pipelines.urls import canonical_urls, url_dedup
@@ -618,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": perplexity_buckets,
         "classifier_scores": classifier_scores,
         "inverted_index": inverted_index,
+        "quality_curate": quality_curate,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -2127,6 +2129,52 @@ SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS ctf,
        string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
                   ',' ORDER BY doc_id) AS top_docs
 FROM r GROUP BY term""",
+        # mirrors textqual.quality_curate: the full gate chain (Gopher
+        # flags ∧ classifier ∧ non-tail tertile) + min-doc_id exact dedup
+        "quality_curate": """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) t
+             FROM documents),
+ctf AS (SELECT t, count(*) c FROM tok GROUP BY t),
+ic AS (SELECT t, (1000000 * (SELECT count(*) FROM tok)) // c AS ic FROM ctf),
+qtf AS (SELECT doc_id, t, count(*) c FROM tok GROUP BY doc_id, t),
+qtop AS (SELECT doc_id, max(c) top_tf FROM qtf GROUP BY doc_id),
+qstop AS (SELECT doc_id, count(*) FILTER (t IN ('a', 'the')) sh
+          FROM tok GROUP BY doc_id),
+qdoc AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) nw,
+         length(d.text) - (len(string_split(d.text, ' ')) - 1) chars,
+         ('0x' || substring(md5(d.text), 1, 16))::UBIGINT // 2 AS h
+         FROM documents d),
+qx AS (SELECT doc_id, sum(ic.ic) s,
+              sum(('0x' || substring(md5(t), 1, 16))::UBIGINT % 2001) ws
+       FROM tok JOIN ic USING (t) GROUP BY doc_id),
+qm AS (SELECT qdoc.doc_id, qdoc.lang, qdoc.nw AS n_words, qdoc.h,
+        CAST(qx.s // qdoc.nw AS BIGINT) AS xent,
+        CAST(qx.ws // qdoc.nw AS BIGINT) AS mean_milli,
+        (qdoc.nw BETWEEN 20 AND 80
+          AND 1000000 * qdoc.chars // qdoc.nw BETWEEN 4300000 AND 4700000
+          AND 1000000 * qtop.top_tf // qdoc.nw <= 120000
+          AND qstop.sh >= 2
+          AND qx.ws // qdoc.nw >= 1000) AS gate
+        FROM qdoc JOIN qtop USING (doc_id) JOIN qstop USING (doc_id)
+        JOIN qx USING (doc_id)),
+qmx AS (SELECT lang, max(xent) m, count(*) nl FROM qm GROUP BY lang),
+qb AS (SELECT qm.*, qm.xent // (qmx.m // 4096 + 1) AS bin, qmx.nl
+       FROM qm JOIN qmx USING (lang)),
+qh AS (SELECT lang, bin, count(*) hn FROM qb GROUP BY lang, bin),
+qc AS (SELECT lang, bin, coalesce(sum(hn) OVER (PARTITION BY lang
+        ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        below FROM qh),
+qp AS (SELECT qb.*, qc.below * 1000000 // qb.nl AS pct
+       FROM qb JOIN qc USING (lang, bin)),
+qg AS (SELECT *, CASE WHEN pct * 3 < 1000000 THEN 'head'
+                      ELSE 'middle' END AS bucket
+       FROM qp WHERE gate AND pct * 3 < 2000000),
+qk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) rn
+       FROM qg)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words, CAST(xent AS BIGINT) AS xent_micro,
+       CAST(mean_milli AS BIGINT) AS mean_milli, bucket
+FROM qk WHERE rn = 1""",
         # mirrors dataops.tfidf_top_terms: single-space tokenize, linear
         # idf (N/df), score = floor(((1e6*tf)*N)/df) in IEEE doubles —
         # identical association on both sides, so bit-exact

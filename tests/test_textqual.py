@@ -127,3 +127,29 @@ def test_inverted_index_cap_is_mergeable(sf_dir):
         FROM r WHERE rn <= 8 GROUP BY term""",
     )
     _cmp(got[["term", "top_docs"]], exp, ["term"])
+
+
+def test_quality_curate_is_the_gate_composition(sf_dir):
+    from zerox_ray.pipelines.textqual import quality_curate
+
+    got = quality_curate(sf_dir).to_pandas()
+    g = gopher_rules(sf_dir).to_pandas().set_index("doc_id")
+    c = classifier_scores(sf_dir).to_pandas().set_index("doc_id")
+    p = perplexity_buckets(sf_dir).to_pandas().set_index("doc_id")
+    # survivors = docs passing all three gates, minus exact-dup losers
+    want = set(g[g.keep == 1].index) & set(c[c.label == "keep"].index) & set(
+        p[p.bucket != "tail"].index
+    )
+    assert set(got.doc_id) <= want
+    # every gated-out survivor missing from got is a duplicate of a
+    # smaller kept doc_id with identical text
+    docs = _duck(sf_dir, "SELECT doc_id, text FROM documents").set_index("doc_id")
+    kept = set(got.doc_id)
+    for d in want - kept:
+        twins = docs[docs.text == docs.loc[d, "text"]].index
+        assert min(t for t in twins if t in kept or t in want) < d
+    # carried columns agree with the standalone operators
+    m = got.set_index("doc_id")
+    assert (m.bucket == p.loc[m.index].bucket).all()
+    assert (m.mean_milli == c.loc[m.index].mean_milli).all()
+    assert (m.xent_micro == p.loc[m.index].xent_micro).all()

@@ -387,3 +387,147 @@ def inverted_index(sf_dir: str, top_k: int = _INDEX_TOP_K) -> ray.data.Dataset:
     return bucketed_group_map(
         ds.map_batches(partial, batch_format="pandas"), "term", combine
     )
+
+
+def quality_curate(sf_dir: str) -> ray.data.Dataset:
+    """The model-free quality-curation capstone: Gopher rule gate ∧
+    classifier gate ∧ non-tail perplexity bucket → exact-content dedup
+    (keep the smallest doc_id per duplicate class) — the FineWeb-style
+    filter chain, composed so the document text is tokenized ONCE.
+
+    Scale shape: pass 1 is the bounded vocabulary exchange
+    (``_corpus_unigram_ic``); pass 2 computes EVERY per-doc metric —
+    Gopher flags, classifier milli-score, unigram xent, and the 63-bit
+    content hash for dedup — from a single flat-token view per batch and
+    materializes only a slim metrics table (text never moves again);
+    the per-language tertile state then costs two tiny exchanges over
+    that slim table (≤ langs × 4096 driver rows), the gate is a
+    shuffle-free filter, and dedup is ONE content-hash exchange keeping
+    min-doc_id. Output: (doc_id, lang, n_words, xent_micro, mean_milli,
+    bucket) for surviving documents."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ic, _ = _corpus_unigram_ic(sf_dir)
+    ic_ref = ray.put(ic)
+    stopset = set(GOPHER_STOPWORDS)
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        icm = _cached_broadcast("unigram_ic", ic_ref)
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        n_docs = len(df)
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        # one unique-term view feeds all three scorers
+        tok_len = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
+        chars = np.zeros(n_docs, np.int64)
+        np.add.at(chars, doc_idx, tok_len)
+        mwl_ppm = PPM * chars // n_words
+        pair_key = doc_idx * len(uniq) + term_id
+        pair_u, pair_n = np.unique(pair_key, return_counts=True)
+        top_tf = np.zeros(n_docs, np.int64)
+        np.maximum.at(top_tf, pair_u // len(uniq), pair_n)
+        top_ppm = PPM * top_tf // n_words
+        stop_mask = np.array([t in stopset for t in uniq], dtype=bool)
+        stop_hits = np.zeros(n_docs, np.int64)
+        np.add.at(stop_hits, doc_idx, stop_mask[term_id].astype(np.int64))
+        gopher_keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl_ppm >= GOPHER_MIN_MWL_PPM)
+            & (mwl_ppm <= GOPHER_MAX_MWL_PPM)
+            & (top_ppm <= GOPHER_MAX_TOP_PPM)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        )
+        w = (md5_64_array([t.encode() for t in uniq]) % np.uint64(2001)).astype(
+            np.int64
+        )
+        w_sum = np.zeros(n_docs, np.int64)
+        np.add.at(w_sum, doc_idx, w[term_id])
+        mean_milli = w_sum // n_words
+        uniq_ic = np.fromiter((icm[t] for t in uniq), np.int64, count=len(uniq))
+        ic_sum = np.zeros(n_docs, np.int64)
+        np.add.at(ic_sum, doc_idx, uniq_ic[term_id])
+        h = (
+            md5_64_array([t.encode() for t in df["text"]]) >> np.uint64(1)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"].astype(str),
+                "h": h,
+                "n_words": n_words,
+                "xent_micro": ic_sum // n_words,
+                "mean_milli": mean_milli,
+                "gate": (gopher_keep & (mean_milli >= 1000)).astype(np.int64),
+            }
+        )
+
+    scored = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .map_batches(metrics, batch_format="pandas")
+        .materialize()  # slim metrics only — text is never re-read
+    )
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            m=("xent_micro", "max"), nl=("xent_micro", "size")
+        )
+        return g.astype({"m": "int64", "nl": "int64"})
+
+    mx = bucketed_group_agg(
+        scored.map_batches(max_partial, batch_format="pandas"),
+        ["lang"],
+        {"m": ("m", "max"), "nl": ("nl", "sum")},
+    ).to_pandas()  # ≤ |langs| rows
+    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
+    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["lang"].map(width).to_numpy(dtype=np.int64)
+        b = df["xent_micro"].to_numpy(dtype=np.int64) // w
+        out = (
+            pd.DataFrame({"lang": df["lang"], "bin": b})
+            .groupby(["lang", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    hist = bucketed_group_agg(
+        scored.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # ≤ langs × 4096 rows
+    hist = hist.sort_values(["lang", "bin"])
+    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
+    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
+    state_ref = ray.put((width, n_lang, below))
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        width, n_lang, below = _cached_broadcast("qc_state", state_ref)
+        xent = df["xent_micro"].to_numpy(np.int64)
+        w = df["lang"].map(width).to_numpy(np.int64)
+        bins = xent // w
+        pct = np.fromiter(
+            (
+                below[(lg, int(b))] * PPM // n_lang[lg]
+                for lg, b in zip(df["lang"].to_numpy(), bins)
+            ),
+            np.int64,
+            count=len(df),
+        )
+        bucket = np.where(
+            pct * 3 < PPM, "head", np.where(pct * 3 < 2 * PPM, "middle", "tail")
+        )
+        keep = (df["gate"].to_numpy(np.int64) == 1) & (bucket != "tail")
+        out = df.loc[keep, ["doc_id", "lang", "h", "n_words", "xent_micro", "mean_milli"]]
+        out = out.assign(bucket=bucket[keep])
+        return out
+
+    gated = scored.map_batches(gate, batch_format="pandas")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("h", sort=False)["doc_id"].idxmin()
+        out = g.loc[idx].drop(columns=["h"])
+        return out.reset_index(drop=True)
+
+    return bucketed_group_map(gated, "h", keep_min)
