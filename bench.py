@@ -177,6 +177,21 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
             ),
         )
         timed("pagerank", lambda: pagerank(pages).to_pandas())
+        from zerox_ray.pipelines.graph import triangle_stats
+        from zerox_ray.pipelines.textqual import quality_curate
+
+        # r4 additions: the degree-oriented triangle census (pair dedup +
+        # two degree joins + one tagged co-group; unreplicated corpus —
+        # replication dedups to the same edge set, and the payload scan
+        # is already measured by ocr_documents) and the model-free
+        # quality-curation capstone (two token scans: vocab exchange +
+        # fused Gopher/classifier/xent metrics, then slim-table
+        # reductions only)
+        timed(
+            "triangle_stats",
+            lambda: triangle_stats(pages_dir_for(sf_dir)).to_pandas(),
+        )
+        timed("quality_curate", lambda: quality_curate(sf_dir).to_pandas())
         from zerox_ray.pipelines.boilerplate import paragraph_dedup
 
         # r4 addition: CCNet frequency boilerplate pass — one payload
