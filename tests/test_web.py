@@ -663,3 +663,13 @@ class TestGraphCensus:
         for pos in walks.values():
             steps = sorted(pos)
             assert steps == list(range(len(steps)))
+
+    def test_triangle_stats_join_path_matches_broadcast(self, sf_dir, monkeypatch):
+        # force the above-cap partitioned-join branch and pin it
+        # output-identical to the broadcast branch
+        import zerox_ray.pipelines.graph as G
+
+        bcast = G.triangle_stats(pages_dir_for(sf_dir)).to_pandas()
+        monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
+        joined = G.triangle_stats(pages_dir_for(sf_dir)).to_pandas()
+        assert bcast.equals(joined)

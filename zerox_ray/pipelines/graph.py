@@ -53,6 +53,11 @@ _HREF_RE = re.compile(rb'href="([^"]+)"')
 _ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
 
 PR_SCALE = 1_000_000  # rank quantization (micro-units)
+
+#: triangle_stats degree-broadcast gate: (key, deg) pairs ≈ 16 B/node,
+#: so 64M nodes ≈ 1 GiB — the same cap the dedup family's verify='auto'
+#: broadcast↔join switch uses; above it, partitioned joins attach degrees
+TRI_BCAST_CAP_NODES = 64_000_000
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 PR_ITERS = 3
 
@@ -1307,8 +1312,11 @@ def triangle_stats(
     node with 10⁷ followers generates NO candidate pairs at itself.
     Candidate wedges and oriented edges meet in ONE tagged co-group on
     the wedge source; nothing quadratic in a hub's degree ever
-    materializes. The oracle replays the count with a plain (orientation
-    -free) SQL triple join — the census is orientation-invariant."""
+    materializes. Degree attachment is the size-gated broadcast↔join
+    switch (broadcast ≤ ~64M nodes ≈ 1 GiB, partitioned joins above);
+    the node/edge/wedge census is ONE aggregate pass. The oracle replays
+    the count with a plain (orientation-free) SQL triple join — the
+    census is orientation-invariant."""
     from zerox_ray.pipelines.relational import hash_join
 
     edges = link_graph(pages, prefix) if edges is None else edges
@@ -1347,28 +1355,32 @@ def triangle_stats(
         {"deg": ("deg", "sum")},
     ).materialize()
 
-    n_edges = und.count()
-    n_nodes = deg.count()
-
-    def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
+    # node/edge/wedge census in ONE aggregate pass over deg: n_nodes =
+    # Σ1, n_edges = Σdeg / 2 (each undirected edge counted at both
+    # endpoints), n_wedges = Σ deg·(deg−1)/2
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df["deg"].to_numpy(np.int64)
-        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+        return pd.DataFrame(
+            {
+                "nn": [len(d)],
+                "ds": [int(d.sum())],
+                "w": [int((d * (d - 1) // 2).sum())],
+            }
+        )
 
-    n_wedges = int(
-        deg.map_batches(wedge_partial, batch_format="pandas").sum("w")
+    stats = (
+        deg.map_batches(stats_partial, batch_format="pandas")
+        .sum(["nn", "ds", "w"])
     )
+    n_nodes = int(stats["sum(nn)"])
+    n_edges = int(stats["sum(ds)"]) // 2
+    n_wedges = int(stats["sum(w)"])
 
-    # orient each edge from its lower-(deg, id) endpoint: two int-key joins
-    dega = deg.map_batches(
-        lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
-        batch_format="pandas",
-    )
-    degb = deg.map_batches(
-        lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
-        batch_format="pandas",
-    )
-    both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
-
+    # orient each edge from its lower-(deg, id) endpoint. The degree
+    # table is 16 bytes/node: below the broadcast cap it ships ONCE via
+    # ray.put and orientation is a shuffle-free map (the size-gated
+    # broadcast↔join switch the dedup family uses); above the cap, two
+    # partitioned int-key joins attach deg_a/deg_b — same output.
     def orient(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
@@ -1384,7 +1396,37 @@ def triangle_stats(
             }
         )
 
-    oriented = both.map_batches(orient, batch_format="pandas").materialize()
+    if n_nodes <= TRI_BCAST_CAP_NODES:
+        deg_pd = deg.to_pandas()  # bounded by the same 1 GiB cap
+        deg_ref = ray.put(
+            dict(zip(deg_pd["v"].to_numpy(np.int64), deg_pd["deg"].to_numpy(np.int64)))
+        )
+
+        def attach_and_orient(df: pd.DataFrame) -> pd.DataFrame:
+            from zerox_ray.pipelines.dataops import _cached_broadcast
+
+            dm = _cached_broadcast("tri_deg", deg_ref)
+            df = df.assign(
+                deg_a=df["a"].map(dm).astype("int64"),
+                deg_b=df["b"].map(dm).astype("int64"),
+            )
+            return orient(df)
+
+        oriented = und.map_batches(attach_and_orient, batch_format="pandas")
+    else:
+        dega = deg.map_batches(
+            lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
+            batch_format="pandas",
+        )
+        degb = deg.map_batches(
+            lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
+            batch_format="pandas",
+        )
+        both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
+        oriented = both.map_batches(orient, batch_format="pandas")
+    # NOT materialized: `und` already is, and the orient map is cheap, so
+    # the candidate and membership consumers below fold into one lazy
+    # execution (re-running the map once beats another materialize round)
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         out_u, out_v = [], []
