@@ -28,8 +28,10 @@ from zerox_ray.pipelines.dataops import (
     above_median_docs,
     importance_sample,
     cohort_retention,
+    corpus_datacard,
     corpus_mix,
     curate_corpus,
+    dup_class_sizes,
     quality_percentiles,
     decontaminate,
     dedup_exact,
@@ -107,6 +109,7 @@ from zerox_ray.pipelines.boilerplate import (
     raw_text_blocks,
 )
 from zerox_ray.pipelines.textqual import (
+    bigram_counts,
     classifier_scores,
     gopher_rules,
     inverted_index,
@@ -620,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_scores": classifier_scores,
         "inverted_index": inverted_index,
         "quality_curate": quality_curate,
+        "bigram_counts": bigram_counts,
+        "dup_class_sizes": dup_class_sizes,
+        "corpus_datacard": corpus_datacard,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -2175,6 +2181,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(n_words AS BIGINT) AS n_words, CAST(xent AS BIGINT) AS xent_micro,
        CAST(mean_milli AS BIGINT) AS mean_milli, bucket
 FROM qk WHERE rn = 1""",
+        # mirrors textqual.bigram_counts: within-doc adjacent pairs,
+        # global sum, min_count=2 filter AFTER the sum
+        "bigram_counts": """
+WITH bw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+bz AS (SELECT doc_id, unnest(list_zip(ws[:-1], ws[2:])) z FROM bw)
+SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n
+FROM bz WHERE z[2] IS NOT NULL  -- list_zip pads the longer side w/ NULL
+GROUP BY w1, w2 HAVING count(*) >= 2""",
+        # mirrors dataops.dup_class_sizes: exact-dup class size histogram
+        "dup_class_sizes": """
+WITH dc AS (SELECT text, count(*) n_copies FROM documents GROUP BY text)
+SELECT CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM dc GROUP BY n_copies""",
+        # mirrors dataops.corpus_datacard: per-(lang, source) release
+        # sheet; token count = single-space split, dup rate from exact
+        # text-distinct counts, integer micro/ppm arithmetic
+        "corpus_datacard": """
+WITH dd AS (SELECT lang, source, text,
+                   len(string_split(text, ' ')) AS nt, length(text) AS nc
+            FROM documents),
+ds AS (SELECT lang, source, count(*) n_docs, sum(nt) total_tokens,
+              sum(nc) total_chars, count(DISTINCT text) n_distinct_texts
+       FROM dd GROUP BY lang, source)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(1000000 * total_tokens // n_docs AS BIGINT) AS mean_tokens_micro,
+       CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+       CAST(1000000 * (n_docs - n_distinct_texts) // n_docs AS BIGINT)
+           AS dup_ppm
+FROM ds""",
         # mirrors dataops.tfidf_top_terms: single-space tokenize, linear
         # idf (N/df), score = floor(((1e6*tf)*N)/df) in IEEE doubles —
         # identical association on both sides, so bit-exact

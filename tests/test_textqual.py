@@ -153,3 +153,51 @@ def test_quality_curate_is_the_gate_composition(sf_dir):
     assert (m.bucket == p.loc[m.index].bucket).all()
     assert (m.mean_milli == c.loc[m.index].mean_milli).all()
     assert (m.xent_micro == p.loc[m.index].xent_micro).all()
+
+
+def test_bigram_counts_no_cross_doc_pairs(sf_dir):
+    from zerox_ray.pipelines.textqual import bigram_counts
+
+    got = bigram_counts(sf_dir).to_pandas()
+    exp = _duck(
+        sf_dir,
+        """WITH w AS (SELECT string_split(text,' ') ws FROM documents),
+        z AS (SELECT unnest(list_zip(ws[:-1], ws[2:])) z FROM w)
+        SELECT z[1] w1, z[2] w2, count(*) n FROM z
+        WHERE z[2] IS NOT NULL GROUP BY 1,2
+        HAVING count(*) >= 2""",
+    )
+    _cmp(got, exp, ["w1", "w2"])
+    assert (got.n >= 2).all()
+    # total pair mass (pre-filter) equals sum(len-1): replay on a sample
+    docs = _duck(sf_dir, "SELECT text FROM documents")
+    from collections import Counter
+
+    c = Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        c.update(zip(ws[:-1], ws[1:]))
+    want = {k: v for k, v in c.items() if v >= 2}
+    assert dict(zip(zip(got.w1, got.w2), got.n)) == want
+
+
+def test_dup_class_sizes_and_datacard(sf_dir):
+    from zerox_ray.pipelines.dataops import corpus_datacard, dup_class_sizes
+
+    sizes = dup_class_sizes(sf_dir).to_pandas()
+    docs = _duck(sf_dir, "SELECT lang, source, text FROM documents")
+    vc = docs.text.value_counts().value_counts()
+    assert dict(zip(sizes.n_copies, sizes.n_classes)) == {
+        int(k): int(v) for k, v in vc.items()
+    }
+    # histogram mass re-totals to the corpus size
+    assert (sizes.n_copies * sizes.n_classes).sum() == len(docs)
+
+    card = corpus_datacard(sf_dir).to_pandas()
+    assert card.n_docs.sum() == len(docs)
+    g = docs.groupby(["lang", "source"])
+    assert dict(zip(zip(card.lang, card.source), card.n_docs)) == g.size().to_dict()
+    assert dict(zip(zip(card.lang, card.source), card.n_distinct_texts)) == {
+        k: v for k, v in g.text.nunique().items()
+    }
+    assert ((card.dup_ppm >= 0) & (card.dup_ppm < 1_000_000)).all()

@@ -1765,3 +1765,145 @@ def importance_sample(
         "weight_ppm",
         rank_group,
     )
+
+
+def dup_class_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of exact-duplicate class sizes — the first diagnostic a
+    dedup operator reads (how much mass is in 2×, 3×, N× classes decides
+    whether dedup is worth a shuffle at all). Shape: dedup_exact's
+    per-batch (hash → partial count) combiner → ONE hash-key grouped sum
+    (class sizes) → per-batch histogram partial → ONE size-key grouped
+    sum. The second exchange moves one row per distinct class size per
+    batch — O(max class size). Output: (n_copies, n_classes)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partials = ds.map_batches(_dedup_partials, batch_format="pandas")
+    classes = bucketed_group_agg(
+        partials, ["h"], {"n_copies": ("n_copies", "sum")}
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_copies"].value_counts()
+        return pd.DataFrame(
+            {
+                "n_copies": vc.index.to_numpy(np.int64),
+                "n_classes": vc.to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_agg(
+        classes.map_batches(hist_partial, batch_format="pandas"),
+        ["n_copies"],
+        {"n_classes": ("n_classes", "sum")},
+    )
+
+
+def corpus_datacard(sf_dir: str) -> ray.data.Dataset:
+    """Per-(lang, source) corpus data card — the summary sheet a dataset
+    release ships (datasheets-for-datasets shape): document count, token
+    and char totals, mean doc length, and the exact-duplicate rate.
+
+    Shape: ONE scan emits BOTH partial kinds — per-(lang, source) sums
+    AND per-(lang, source, text-hash) presence rows — then two bounded
+    reductions: a grouped sum for the additive stats and a two-level
+    dedup-then-count for distinct texts (the standard distinct-count
+    composition). Output: (lang, source, n_docs, total_tokens,
+    total_chars, mean_tokens_micro, n_distinct_texts, dup_ppm)."""
+    from zerox_ray.functions.hashing import md5_64_array
+
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.count(" ").to_numpy(np.int64) + 1
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "source": df["source"].astype(str),
+                "n_docs": 1,
+                "total_tokens": n_tok,
+                "total_chars": df["text"].str.len().to_numpy(np.int64),
+            }
+        ).groupby(["lang", "source"], as_index=False).sum()
+        return out.astype(
+            {"n_docs": "int64", "total_tokens": "int64", "total_chars": "int64"}
+        )
+
+    sums = bucketed_group_agg(
+        ds.map_batches(sum_partial, batch_format="pandas"),
+        ["lang", "source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "total_tokens": ("total_tokens", "sum"),
+            "total_chars": ("total_chars", "sum"),
+        },
+    )
+
+    def hash_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (md5_64_array([t.encode() for t in df["text"]]) >> np.uint64(1)).astype(
+            np.int64
+        )
+        out = pd.DataFrame(
+            {"lang": df["lang"].astype(str), "source": df["source"].astype(str), "h": h}
+        ).drop_duplicates()
+        out["one"] = 1
+        return out
+
+    distinct = bucketed_group_agg(
+        ds.map_batches(hash_partial, batch_format="pandas"),
+        ["lang", "source", "h"],
+        {"one": ("one", "min")},
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "source"], as_index=False).size()
+        return out.rename(columns={"size": "n_distinct_texts"}).astype(
+            {"n_distinct_texts": "int64"}
+        )
+
+    ndist = bucketed_group_agg(
+        distinct.map_batches(count_partial, batch_format="pandas"),
+        ["lang", "source"],
+        {"n_distinct_texts": ("n_distinct_texts", "sum")},
+    )
+
+    from zerox_ray.pipelines.relational import hash_join
+
+    # both sides are O(langs × sources) — tiny; tag with an int key for
+    # the engine's int-keyed join, carrying the string keys through
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        df = df.copy()
+        df["k"] = [
+            zlib.crc32(f"{l}|{s}".encode()) for l, s in zip(df["lang"], df["source"])
+        ]
+        df["k"] = df["k"].astype("int64")
+        return df
+
+    joined = hash_join(
+        sums.map_batches(keyed, batch_format="pandas"),
+        ndist.map_batches(keyed, batch_format="pandas").drop_columns(
+            ["lang", "source"]
+        ),
+        on="k",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_docs"].to_numpy(np.int64)
+        tt = df["total_tokens"].to_numpy(np.int64)
+        nx = df["n_distinct_texts"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "source": df["source"].astype(str),
+                "n_docs": nd,
+                "total_tokens": tt,
+                "total_chars": df["total_chars"].to_numpy(np.int64),
+                "mean_tokens_micro": 1_000_000 * tt // nd,
+                "n_distinct_texts": nx,
+                "dup_ppm": 1_000_000 * (nd - nx) // nd,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -531,3 +531,43 @@ def quality_curate(sf_dir: str) -> ray.data.Dataset:
         return out.reset_index(drop=True)
 
     return bucketed_group_map(gated, "h", keep_min)
+
+
+def bigram_counts(sf_dir: str, min_count: int = 2) -> ray.data.Dataset:
+    """Adjacent-bigram count table — the data-engine half of CCNet's
+    KenLM step (the LM trains from exactly these counts): one vectorized
+    scan building within-document bigrams from the flat token view
+    (document boundaries masked, no cross-doc pairs), per-batch partial
+    counts, then ONE (w1, w2) grouped sum; pairs below ``min_count`` are
+    dropped AFTER the global sum (a pair can cross block boundaries).
+    Output: (w1, w2, n). The count table is O(distinct bigrams) — the
+    same bounded-output contract as the vocabulary pass; at open-web
+    scale the min_count filter is what keeps the tail from dominating
+    (Google n-gram corpora ship with count ≥ 40 for the same reason)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, doc_idx = _doc_token_stats(df["text"])
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype=str),
+                    "w2": pd.Series(dtype=str),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = doc_idx[:-1] == doc_idx[1:]
+        out = (
+            pd.DataFrame({"w1": flat[:-1][m], "w2": flat[1:][m]})
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    )
+    return counts.filter(expr=f"n >= {int(min_count)}")
