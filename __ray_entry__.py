@@ -115,6 +115,7 @@ from zerox_ray.pipelines.textqual import (
     inverted_index,
     perplexity_buckets,
     quality_curate,
+    tier_shards,
     unigram_logprobs,
 )
 from zerox_ray.pipelines.urls import canonical_urls, url_dedup
@@ -626,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "dup_class_sizes": dup_class_sizes,
         "corpus_datacard": corpus_datacard,
+        "tier_shards": tier_shards,
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
@@ -2189,6 +2191,36 @@ bz AS (SELECT doc_id, unnest(list_zip(ws[:-1], ws[2:])) z FROM bw)
 SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n
 FROM bz WHERE z[2] IS NOT NULL  -- list_zip pads the longer side w/ NULL
 GROUP BY w1, w2 HAVING count(*) >= 2""",
+        # mirrors textqual.tier_shards: per-lang tertile tier, then an
+        # exclusive token cumsum per tier in doc_id order // 2000
+        "tier_shards": """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) t
+             FROM documents),
+ctf AS (SELECT t, count(*) c FROM tok GROUP BY t),
+ic AS (SELECT t, (1000000 * (SELECT count(*) FROM tok)) // c AS ic FROM ctf),
+ts_sc AS (SELECT doc_id, any_value(lang) lang, count(*) nw,
+                 CAST(sum(ic.ic) // count(*) AS BIGINT) xent
+          FROM tok JOIN ic USING (t) GROUP BY doc_id),
+ts_mx AS (SELECT lang, max(xent) m, count(*) nl FROM ts_sc GROUP BY lang),
+ts_b AS (SELECT s.*, s.xent // (ts_mx.m // 4096 + 1) AS bin, ts_mx.nl
+         FROM ts_sc s JOIN ts_mx USING (lang)),
+ts_h AS (SELECT lang, bin, count(*) hn FROM ts_b GROUP BY lang, bin),
+ts_c AS (SELECT lang, bin, coalesce(sum(hn) OVER (PARTITION BY lang
+         ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         below FROM ts_h),
+ts_p AS (SELECT b.doc_id, b.nw, ts_c.below * 1000000 // b.nl AS pct
+         FROM ts_b b JOIN ts_c USING (lang, bin)),
+ts_t AS (SELECT doc_id, nw, CASE WHEN pct * 3 < 1000000 THEN 'head'
+              WHEN pct * 3 < 2000000 THEN 'middle' ELSE 'tail' END AS tier
+         FROM ts_p),
+ts_sh AS (SELECT doc_id, tier, nw,
+          coalesce(sum(nw) OVER (PARTITION BY tier ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) excl
+          FROM ts_t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tier,
+       CAST(nw AS BIGINT) AS n_tokens,
+       CAST(excl // 2000 AS BIGINT) AS shard_id
+FROM ts_sh""",
         # mirrors dataops.dup_class_sizes: exact-dup class size histogram
         "dup_class_sizes": """
 WITH dc AS (SELECT text, count(*) n_copies FROM documents GROUP BY text)

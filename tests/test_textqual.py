@@ -201,3 +201,23 @@ def test_dup_class_sizes_and_datacard(sf_dir):
         k: v for k, v in g.text.nunique().items()
     }
     assert ((card.dup_ppm >= 0) & (card.dup_ppm < 1_000_000)).all()
+
+
+def test_tier_shards_tiers_and_packing(sf_dir):
+    from zerox_ray.pipelines.textqual import tier_shards
+
+    got = tier_shards(sf_dir).to_pandas()
+    p = perplexity_buckets(sf_dir).to_pandas().set_index("doc_id")
+    m = got.set_index("doc_id")
+    # tier IS the perplexity bucket
+    assert (m.tier == p.loc[m.index].bucket).all()
+    for tier, g in got.groupby("tier"):
+        g = g.sort_values("doc_id")
+        # shard ids are contiguous from 0 and nondecreasing in doc order
+        assert g.shard_id.iloc[0] == 0
+        assert (g.shard_id.diff().fillna(0) >= 0).all()
+        assert set(g.shard_id) == set(range(g.shard_id.max() + 1))
+        # every shard except the last carries ≥ tokens_per_shard once its
+        # successor starts (exclusive-prefix packing invariant)
+        tot = g.groupby("shard_id").n_tokens.sum()
+        assert (tot.iloc[:-1].cumsum() >= 2_000 * (tot.index[:-1] + 1)).all()

@@ -571,3 +571,150 @@ def bigram_counts(sf_dir: str, min_count: int = 2) -> ray.data.Dataset:
         {"n": ("n", "sum")},
     )
     return counts.filter(expr=f"n >= {int(min_count)}")
+
+
+_TIER_RANGE = 4096  # docs per coarse prefix-sum range (see token_shards)
+_TIER_CODE = {"head": 0, "middle": 1, "tail": 2}
+
+
+def tier_shards(sf_dir: str, tokens_per_shard: int = 2_000) -> ray.data.Dataset:
+    """Tier extraction — the quality-tiered training-shard layout: every
+    document gets its CCNet tertile tier (head/middle/tail per language,
+    the perplexity_buckets assignment), then each tier is independently
+    packed into ~equal-token shards in doc_id order, so a training run
+    can draw from tiers at its own mixing ratio (curriculum / annealing
+    schedules read head-heavy, ablations read tails) without a second
+    pass over the corpus.
+
+    Scale shape: the textqual scoring passes (vocab exchange + ONE
+    metric scan, slim table materialized) → tertile state broadcast →
+    per-(tier, doc-range) distributed exclusive prefix sum — the
+    token_shards two-pass with the range key extended by the tier code,
+    so the driver scan stays ≤ 3 × n_docs/4096 rows and shard ids are
+    LOCAL to each tier. Output: (doc_id, tier, n_tokens, shard_id)."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ic, _ = _corpus_unigram_ic(sf_dir)
+    ic_ref = ray.put(ic)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = _score_batch(df, _cached_broadcast("unigram_ic", ic_ref))
+        return out[["doc_id", "lang", "n_words", "xent_micro"]]
+
+    scored = (
+        read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pandas")
+        .materialize()  # slim — text is never re-read below
+    )
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            m=("xent_micro", "max"), nl=("xent_micro", "size")
+        )
+        return g.astype({"m": "int64", "nl": "int64"})
+
+    mx = bucketed_group_agg(
+        scored.map_batches(max_partial, batch_format="pandas"),
+        ["lang"],
+        {"m": ("m", "max"), "nl": ("nl", "sum")},
+    ).to_pandas()  # ≤ |langs| rows
+    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
+    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["lang"].map(width).to_numpy(dtype=np.int64)
+        out = (
+            pd.DataFrame(
+                {"lang": df["lang"], "bin": df["xent_micro"].to_numpy(np.int64) // w}
+            )
+            .groupby(["lang", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    hist = bucketed_group_agg(
+        scored.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # ≤ langs × 4096 rows
+    hist = hist.sort_values(["lang", "bin"])
+    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
+    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
+    state_ref = ray.put((width, n_lang, below))
+
+    def tier_of(df: pd.DataFrame) -> pd.DataFrame:
+        width, n_lang, below = _cached_broadcast("tier_state", state_ref)
+        xent = df["xent_micro"].to_numpy(np.int64)
+        w = df["lang"].map(width).to_numpy(np.int64)
+        bins = xent // w
+        pct = np.fromiter(
+            (
+                below[(lg, int(b))] * PPM // n_lang[lg]
+                for lg, b in zip(df["lang"].to_numpy(), bins)
+            ),
+            np.int64,
+            count=len(df),
+        )
+        tier = np.where(
+            pct * 3 < PPM, "head", np.where(pct * 3 < 2 * PPM, "middle", "tail")
+        )
+        code = np.where(pct * 3 < PPM, 0, np.where(pct * 3 < 2 * PPM, 1, 2))
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "tier": tier,
+                "n_tokens": df["n_words"].to_numpy(np.int64),
+                # range key extended with the tier code: one prefix-sum
+                # domain per (tier, coarse doc range)
+                "rng": (doc_id // _TIER_RANGE) * 3 + code,
+            }
+        )
+
+    tiered = scored.map_batches(tier_of, batch_format="pandas").materialize()
+
+    def range_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("rng", as_index=False)["n_tokens"].sum()
+        return out.astype({"rng": "int64", "n_tokens": "int64"})
+
+    range_sums = (
+        bucketed_group_agg(
+            tiered.map_batches(range_partials, batch_format="pandas"),
+            ["rng"],
+            {"n_tokens": ("n_tokens", "sum")},
+        )
+        .to_pandas()  # ≤ 3 × n_docs/_TIER_RANGE rows — bounded driver state
+    )
+    # exclusive prefix offsets per TIER: scan ranges in (tier, doc-range)
+    # order, i.e. sorted by (rng % 3, rng // 3)
+    range_sums["tier_code"] = range_sums["rng"] % 3
+    range_sums = range_sums.sort_values(["tier_code", "rng"])
+    offsets = {}
+    for _, grp in range_sums.groupby("tier_code", sort=True):
+        tok = grp["n_tokens"].to_numpy(np.int64)
+        excl = np.concatenate([[0], np.cumsum(tok)[:-1]])
+        offsets.update(dict(zip(grp["rng"].to_numpy(), excl)))
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        # many rng keys per bucket (bucketed_group_map contract):
+        # vectorized per-key exclusive cumsum + the key's global offset
+        off = _cached_broadcast("tier_shard_off", off_ref)
+        g = g.sort_values(["rng", "doc_id"], kind="mergesort")
+        tok = g["n_tokens"].to_numpy(np.int64)
+        excl = (
+            g.groupby("rng", sort=False)["n_tokens"].cumsum().to_numpy(np.int64)
+            - tok
+            + g["rng"].map(off).to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "tier": g["tier"].astype(str),
+                "n_tokens": tok,
+                "shard_id": (excl // tokens_per_shard).astype(np.int64),
+            }
+        )
+
+    return bucketed_group_map(tiered, "rng", assign)
