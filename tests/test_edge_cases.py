@@ -280,3 +280,47 @@ def test_snapshot_delta_statuses(tmp_path):
             got.url, got.n_snapshots, got.status, got.delta_us
         )
     } == want
+
+
+def test_triangle_stats_linkless_corpus_all_zero():
+    from zerox_ray.pipelines.graph import triangle_stats
+
+    ds = _pages_ds([(f"u{i}", b"<p>no links</p>") for i in range(5)])
+    got = triangle_stats(ds, prefix="u").to_pandas()
+    assert got.iloc[0].to_dict() == {
+        "n_nodes": 0,
+        "n_edges": 0,
+        "n_wedges": 0,
+        "n_triangles": 0,
+        "global_clustering_ppm": 0,
+    }
+
+
+def test_triangle_stats_self_loops_and_dup_edges_collapse():
+    # u0–u1–u2 triangle with self-loops and duplicated hrefs: the census
+    # counts the UNDIRECTED SIMPLE graph (3 nodes, 3 edges, 1 triangle)
+    from zerox_ray.pipelines.graph import triangle_stats
+
+    ds = _pages_ds(
+        [
+            ("u0", _link_html(["u0", "u1", "u1", "u2"])),
+            ("u1", _link_html(["u2", "u2", "u1"])),
+            ("u2", _link_html(["u0"])),
+        ]
+    )
+    got = triangle_stats(ds, prefix="u").to_pandas().iloc[0]
+    assert got.n_nodes == 3 and got.n_edges == 3
+    assert got.n_wedges == 3 and got.n_triangles == 1
+    assert got.global_clustering_ppm == 1_000_000
+
+
+def test_random_walks_dangling_seeds_stop_at_step_zero():
+    from zerox_ray.pipelines.graph import random_walks
+
+    # seed_mod=1: every url seeds a walk; no page has out-links, so every
+    # walk is exactly its step-0 row
+    ds = _pages_ds([(f"u{i}", b"<p>no links</p>") for i in range(4)])
+    got = random_walks(ds, seed_mod=1, prefix="u").to_pandas()
+    assert len(got) == 4
+    assert (got.step == 0).all()
+    assert sorted(got.url) == [f"u{i}" for i in range(4)]

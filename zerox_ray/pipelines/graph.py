@@ -1372,6 +1372,20 @@ def triangle_stats(
         deg.map_batches(stats_partial, batch_format="pandas")
         .sum(["nn", "ds", "w"])
     )
+    # linkless corpus: Ray sum over zero rows yields None (or Nones)
+    if not stats or stats.get("sum(nn)") is None:
+        zero = pa.array([0], pa.int64())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_nodes": zero,
+                    "n_edges": zero,
+                    "n_wedges": zero,
+                    "n_triangles": zero,
+                    "global_clustering_ppm": zero,
+                }
+            )
+        )
     n_nodes = int(stats["sum(nn)"])
     n_edges = int(stats["sum(ds)"]) // 2
     n_wedges = int(stats["sum(w)"])
