@@ -1867,29 +1867,42 @@ def corpus_datacard(sf_dir: str) -> ray.data.Dataset:
         {"n_distinct_texts": ("n_distinct_texts", "sum")},
     )
 
+    from zerox_ray.functions.hashing import md5_64_array
     from zerox_ray.pipelines.relational import hash_join
 
-    # both sides are O(langs × sources) — tiny; tag with an int key for
-    # the engine's int-keyed join, carrying the string keys through
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
+    # both sides are O(langs × sources) — tiny; tag with the engine's
+    # 63-bit md5 key convention on a \x1f-delimited pair (the separator
+    # cannot occur in parquet string values that tokenized as text), and
+    # carry BOTH sides' key columns through the join so a key collision
+    # is filtered by string equality instead of silently cross-matching
+    def keyed(prefix: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(
+                columns={"lang": f"{prefix}lang", "source": f"{prefix}source"}
+            )
+            df["k"] = (
+                md5_64_array(
+                    [
+                        f"{l}\x1f{s}".encode()
+                        for l, s in zip(df[f"{prefix}lang"], df[f"{prefix}source"])
+                    ]
+                )
+                >> np.uint64(1)
+            ).astype(np.int64)
+            return df
 
-        df = df.copy()
-        df["k"] = [
-            zlib.crc32(f"{l}|{s}".encode()) for l, s in zip(df["lang"], df["source"])
-        ]
-        df["k"] = df["k"].astype("int64")
-        return df
+        return f
 
     joined = hash_join(
-        sums.map_batches(keyed, batch_format="pandas"),
-        ndist.map_batches(keyed, batch_format="pandas").drop_columns(
-            ["lang", "source"]
-        ),
+        sums.map_batches(keyed(""), batch_format="pandas"),
+        ndist.map_batches(keyed("r_"), batch_format="pandas"),
         on="k",
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            (df["lang"] == df["r_lang"]) & (df["source"] == df["r_source"])
+        ]
         nd = df["n_docs"].to_numpy(np.int64)
         tt = df["total_tokens"].to_numpy(np.int64)
         nx = df["n_distinct_texts"].to_numpy(np.int64)

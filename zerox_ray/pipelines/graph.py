@@ -1437,10 +1437,12 @@ def triangle_stats(
             batch_format="pandas",
         )
         both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
-        oriented = both.map_batches(orient, batch_format="pandas")
-    # NOT materialized: `und` already is, and the orient map is cheap, so
-    # the candidate and membership consumers below fold into one lazy
-    # execution (re-running the map once beats another materialize round)
+        # the join branch MUST materialize: two consumers below would
+        # otherwise re-run both O(edges) degree-attach shuffles
+        oriented = both.map_batches(orient, batch_format="pandas").materialize()
+    # broadcast branch stays lazy: `und` is materialized and the orient
+    # map is cheap, so the candidate and membership consumers fold into
+    # one execution (re-running the map once beats a materialize round)
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         out_u, out_v = [], []

@@ -283,7 +283,10 @@ def hash_join(
         (merge suffixes _x/_y map back to their source side)."""
         prefer = (lschema, rschema)
         base = c
-        if c.endswith(("_x", "_y")) and c[:-2] in set(lcols) | set(rcols):
+        # pandas adds _x/_y suffixes only for columns present on BOTH
+        # sides — an intersection test, not union (a genuine left-side
+        # column literally named 'score_x' must NOT be stripped)
+        if c.endswith(("_x", "_y")) and c[:-2] in set(lcols) & set(rcols):
             base = c[:-2]
             prefer = (lschema, rschema) if c.endswith("_x") else (rschema, lschema)
         for sch in prefer:

@@ -78,28 +78,13 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
     not a per-row Counter. Output: one row per doc with integer
     micro-unit metrics and 0/1 flags."""
     ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    stopset = set(GOPHER_STOPWORDS)
 
     def flags(df: pd.DataFrame) -> pd.DataFrame:
         flat, n_words, doc_idx = _doc_token_stats(df["text"])
-        n_docs = len(df)
-        # chars per doc: token lengths summed into doc slots
-        tok_len = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
-        chars = np.zeros(n_docs, np.int64)
-        np.add.at(chars, doc_idx, tok_len)
-        mwl_ppm = PPM * chars // n_words
-        # max term frequency per doc: one unique over (doc, term) pairs
         uniq, term_id = np.unique(flat, return_inverse=True)
-        pair_key = doc_idx * len(uniq) + term_id
-        pair_u, pair_n = np.unique(pair_key, return_counts=True)
-        top_tf = np.zeros(n_docs, np.int64)
-        np.maximum.at(top_tf, pair_u // len(uniq), pair_n)
-        top_ppm = PPM * top_tf // n_words
-        # stopword hits (token occurrences, repeats count — Gopher's rule)
-        stop_mask = np.array([t in stopset for t in uniq], dtype=bool)
-        stop_hits = np.zeros(n_docs, np.int64)
-        np.add.at(stop_hits, doc_idx, stop_mask[term_id].astype(np.int64))
-
+        mwl_ppm, top_ppm, stop_hits = _gopher_metric_arrays(
+            flat, n_words, doc_idx, uniq, term_id
+        )
         f_words = (
             (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
         ).astype(np.int64)
@@ -172,6 +157,131 @@ def _score_batch(df: pd.DataFrame, ic: dict) -> pd.DataFrame:
     )
 
 
+def _gopher_metric_arrays(
+    flat: np.ndarray,
+    n_words: np.ndarray,
+    doc_idx: np.ndarray,
+    uniq: np.ndarray,
+    term_id: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The ONE Gopher metric kernel (mean word length, top-term
+    fraction, stopword hits) over a batch's flat token view — shared by
+    ``gopher_rules`` and the fused ``quality_curate`` scan so the
+    standalone operator and the capstone gate can never drift."""
+    n_docs = len(n_words)
+    tok_len = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
+    chars = np.zeros(n_docs, np.int64)
+    np.add.at(chars, doc_idx, tok_len)
+    mwl_ppm = PPM * chars // n_words
+    pair_key = doc_idx * len(uniq) + term_id
+    pair_u, pair_n = np.unique(pair_key, return_counts=True)
+    top_tf = np.zeros(n_docs, np.int64)
+    np.maximum.at(top_tf, pair_u // len(uniq), pair_n)
+    top_ppm = PPM * top_tf // n_words
+    stopset = set(GOPHER_STOPWORDS)
+    stop_mask = np.array([t in stopset for t in uniq], dtype=bool)
+    stop_hits = np.zeros(n_docs, np.int64)
+    np.add.at(stop_hits, doc_idx, stop_mask[term_id].astype(np.int64))
+    return mwl_ppm, top_ppm, stop_hits
+
+
+def _gopher_keep(
+    n_words: np.ndarray,
+    mwl_ppm: np.ndarray,
+    top_ppm: np.ndarray,
+    stop_hits: np.ndarray,
+) -> np.ndarray:
+    """Conjunction of the four Gopher rule thresholds (bool array)."""
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mwl_ppm >= GOPHER_MIN_MWL_PPM)
+        & (mwl_ppm <= GOPHER_MAX_MWL_PPM)
+        & (top_ppm <= GOPHER_MAX_TOP_PPM)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+
+
+def _hashed_weights(uniq: np.ndarray) -> np.ndarray:
+    """fastText-style hashed weights per unique term (milli-units)."""
+    return (md5_64_array([t.encode() for t in uniq]) % np.uint64(2001)).astype(
+        np.int64
+    )
+
+
+def _tertile_state(scores: ray.data.Dataset):
+    """Per-language tertile state from a slim (lang, xent_micro, …)
+    table — the broadcast-histogram percentile machinery shared by
+    ``perplexity_buckets``, ``quality_curate`` and ``tier_shards``:
+    ONE grouped-max exchange (bin widths + per-lang counts, ≤ |langs|
+    rows on the driver) then ONE (lang, bin) histogram exchange
+    (≤ langs × 4096 rows), reduced into DENSE per-lang cumulative
+    arrays so the per-row assignment is pure numpy indexing.
+
+    Returns a ``ray.put`` ref of ({lang: bin width}, {lang: n_docs},
+    {lang: int64[4096] strictly-below counts})."""
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            m=("xent_micro", "max"), nl=("xent_micro", "size")
+        )
+        return g.astype({"m": "int64", "nl": "int64"})
+
+    mx = bucketed_group_agg(
+        scores.map_batches(max_partial, batch_format="pandas"),
+        ["lang"],
+        {"m": ("m", "max"), "nl": ("nl", "sum")},
+    ).to_pandas()  # ≤ |langs| rows
+    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
+    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["lang"].map(width).to_numpy(dtype=np.int64)
+        b = df["xent_micro"].to_numpy(dtype=np.int64) // w
+        out = (
+            pd.DataFrame({"lang": df["lang"], "bin": b})
+            .groupby(["lang", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"bin": "int64", "n": "int64"})
+
+    hist = bucketed_group_agg(
+        scores.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # ≤ langs × 4096 rows — bounded driver state
+    below = {}
+    for lang, grp in hist.groupby("lang"):
+        counts = np.zeros(_PPLX_BINS, np.int64)
+        counts[grp["bin"].to_numpy(np.int64)] = grp["n"].to_numpy(np.int64)
+        below[lang] = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return ray.put((width, n_lang, below))
+
+
+def _pct_ppm(df: pd.DataFrame, state) -> np.ndarray:
+    """Vectorized tertile percentile per row: one numpy gather per
+    language present in the batch (dense cumulative array indexing) —
+    no per-row Python in the streaming scan."""
+    width, n_lang, below = state
+    xent = df["xent_micro"].to_numpy(np.int64)
+    langs = df["lang"].to_numpy()
+    pct = np.empty(len(df), np.int64)
+    for lg in pd.unique(df["lang"]):
+        m = langs == lg
+        bins = xent[m] // width[lg]
+        pct[m] = below[lg][bins] * PPM // n_lang[lg]
+    return pct
+
+
+def _tertile_bucket(pct: np.ndarray) -> np.ndarray:
+    """head (<1/3), middle (<2/3), tail — the 3·pct integer form the
+    oracles replay."""
+    return np.where(
+        pct * 3 < PPM, "head", np.where(pct * 3 < 2 * PPM, "middle", "tail")
+    )
+
+
 def unigram_logprobs(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style LM fluency scoring with a corpus unigram model:
     pass 1 reduces the vocabulary (one bounded exchange,
@@ -227,63 +337,17 @@ def perplexity_buckets(sf_dir: str) -> ray.data.Dataset:
         .materialize()  # slim 3-column table; payload text is NOT re-read below
     )
 
-    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lang", as_index=False).agg(
-            m=("xent_micro", "max"), nl=("xent_micro", "size")
-        )
-        return g.astype({"m": "int64", "nl": "int64"})
-
-    mx = bucketed_group_agg(
-        scores.map_batches(max_partial, batch_format="pandas"),
-        ["lang"],
-        {"m": ("m", "max"), "nl": ("nl", "sum")},
-    ).to_pandas()  # ≤ |langs| rows
-    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
-    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["lang"].map(width).to_numpy(dtype=np.int64)
-        b = df["xent_micro"].to_numpy(dtype=np.int64) // w
-        g = pd.DataFrame({"lang": df["lang"], "bin": b}).groupby(
-            ["lang", "bin"], as_index=False
-        )
-        out = g.size().rename(columns={"size": "n"})
-        return out.astype({"bin": "int64", "n": "int64"})
-
-    hist = bucketed_group_agg(
-        scores.map_batches(hist_partial, batch_format="pandas"),
-        ["lang", "bin"],
-        {"n": ("n", "sum")},
-    ).to_pandas()  # ≤ langs × 4096 rows — bounded driver state
-    hist = hist.sort_values(["lang", "bin"])
-    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
-    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
-    state_ref = ray.put((width, n_lang, below))
+    state_ref = _tertile_state(scores)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        width, n_lang, below = _cached_broadcast("pplx_state", state_ref)
-        xent = df["xent_micro"].to_numpy(dtype=np.int64)
-        langs = df["lang"].to_numpy()
-        w = df["lang"].map(width).to_numpy(dtype=np.int64)
-        bins = xent // w
-        pct = np.fromiter(
-            (
-                below[(lg, int(b))] * PPM // n_lang[lg]
-                for lg, b in zip(langs, bins)
-            ),
-            np.int64,
-            count=len(df),
-        )
-        bucket = np.where(
-            pct < PPM // 3 + 1, "head", np.where(pct < 2 * PPM // 3 + 1, "middle", "tail")
-        )
+        pct = _pct_ppm(df, _cached_broadcast("pplx_state", state_ref))
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
                 "lang": df["lang"].astype(str),
-                "xent_micro": xent,
+                "xent_micro": df["xent_micro"].to_numpy(np.int64),
                 "pct_ppm": pct,
-                "bucket": bucket,
+                "bucket": _tertile_bucket(pct),
             }
         )
 
@@ -308,11 +372,8 @@ def classifier_scores(sf_dir: str) -> ray.data.Dataset:
     def score(df: pd.DataFrame) -> pd.DataFrame:
         flat, n_words, doc_idx = _doc_token_stats(df["text"])
         uniq, term_id = np.unique(flat, return_inverse=True)
-        w = (
-            md5_64_array([t.encode() for t in uniq]) % np.uint64(2001)
-        ).astype(np.int64)
         w_sum = np.zeros(len(df), np.int64)
-        np.add.at(w_sum, doc_idx, w[term_id])
+        np.add.at(w_sum, doc_idx, _hashed_weights(uniq)[term_id])
         mean_milli = w_sum // n_words
         return pd.DataFrame(
             {
@@ -409,39 +470,21 @@ def quality_curate(sf_dir: str) -> ray.data.Dataset:
 
     ic, _ = _corpus_unigram_ic(sf_dir)
     ic_ref = ray.put(ic)
-    stopset = set(GOPHER_STOPWORDS)
 
     def metrics(df: pd.DataFrame) -> pd.DataFrame:
         icm = _cached_broadcast("unigram_ic", ic_ref)
         flat, n_words, doc_idx = _doc_token_stats(df["text"])
         n_docs = len(df)
+        # one unique-term view feeds all three scorers (shared kernels —
+        # the standalone operators use the same functions, so the fused
+        # gate can never drift from gopher_rules / classifier_scores)
         uniq, term_id = np.unique(flat, return_inverse=True)
-        # one unique-term view feeds all three scorers
-        tok_len = np.fromiter((len(t) for t in flat), np.int64, count=len(flat))
-        chars = np.zeros(n_docs, np.int64)
-        np.add.at(chars, doc_idx, tok_len)
-        mwl_ppm = PPM * chars // n_words
-        pair_key = doc_idx * len(uniq) + term_id
-        pair_u, pair_n = np.unique(pair_key, return_counts=True)
-        top_tf = np.zeros(n_docs, np.int64)
-        np.maximum.at(top_tf, pair_u // len(uniq), pair_n)
-        top_ppm = PPM * top_tf // n_words
-        stop_mask = np.array([t in stopset for t in uniq], dtype=bool)
-        stop_hits = np.zeros(n_docs, np.int64)
-        np.add.at(stop_hits, doc_idx, stop_mask[term_id].astype(np.int64))
-        gopher_keep = (
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-            & (mwl_ppm >= GOPHER_MIN_MWL_PPM)
-            & (mwl_ppm <= GOPHER_MAX_MWL_PPM)
-            & (top_ppm <= GOPHER_MAX_TOP_PPM)
-            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        mwl_ppm, top_ppm, stop_hits = _gopher_metric_arrays(
+            flat, n_words, doc_idx, uniq, term_id
         )
-        w = (md5_64_array([t.encode() for t in uniq]) % np.uint64(2001)).astype(
-            np.int64
-        )
+        gopher_keep = _gopher_keep(n_words, mwl_ppm, top_ppm, stop_hits)
         w_sum = np.zeros(n_docs, np.int64)
-        np.add.at(w_sum, doc_idx, w[term_id])
+        np.add.at(w_sum, doc_idx, _hashed_weights(uniq)[term_id])
         mean_milli = w_sum // n_words
         uniq_ic = np.fromiter((icm[t] for t in uniq), np.int64, count=len(uniq))
         ic_sum = np.zeros(n_docs, np.int64)
@@ -467,57 +510,11 @@ def quality_curate(sf_dir: str) -> ray.data.Dataset:
         .materialize()  # slim metrics only — text is never re-read
     )
 
-    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lang", as_index=False).agg(
-            m=("xent_micro", "max"), nl=("xent_micro", "size")
-        )
-        return g.astype({"m": "int64", "nl": "int64"})
-
-    mx = bucketed_group_agg(
-        scored.map_batches(max_partial, batch_format="pandas"),
-        ["lang"],
-        {"m": ("m", "max"), "nl": ("nl", "sum")},
-    ).to_pandas()  # ≤ |langs| rows
-    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
-    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["lang"].map(width).to_numpy(dtype=np.int64)
-        b = df["xent_micro"].to_numpy(dtype=np.int64) // w
-        out = (
-            pd.DataFrame({"lang": df["lang"], "bin": b})
-            .groupby(["lang", "bin"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
-        )
-        return out.astype({"bin": "int64", "n": "int64"})
-
-    hist = bucketed_group_agg(
-        scored.map_batches(hist_partial, batch_format="pandas"),
-        ["lang", "bin"],
-        {"n": ("n", "sum")},
-    ).to_pandas()  # ≤ langs × 4096 rows
-    hist = hist.sort_values(["lang", "bin"])
-    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
-    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
-    state_ref = ray.put((width, n_lang, below))
+    state_ref = _tertile_state(scored)
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
-        width, n_lang, below = _cached_broadcast("qc_state", state_ref)
-        xent = df["xent_micro"].to_numpy(np.int64)
-        w = df["lang"].map(width).to_numpy(np.int64)
-        bins = xent // w
-        pct = np.fromiter(
-            (
-                below[(lg, int(b))] * PPM // n_lang[lg]
-                for lg, b in zip(df["lang"].to_numpy(), bins)
-            ),
-            np.int64,
-            count=len(df),
-        )
-        bucket = np.where(
-            pct * 3 < PPM, "head", np.where(pct * 3 < 2 * PPM, "middle", "tail")
-        )
+        pct = _pct_ppm(df, _cached_broadcast("qc_state", state_ref))
+        bucket = _tertile_bucket(pct)
         keep = (df["gate"].to_numpy(np.int64) == 1) & (bucket != "tail")
         out = df.loc[keep, ["doc_id", "lang", "h", "n_words", "xent_micro", "mean_milli"]]
         out = out.assign(bucket=bucket[keep])
@@ -607,58 +604,11 @@ def tier_shards(sf_dir: str, tokens_per_shard: int = 2_000) -> ray.data.Dataset:
         .materialize()  # slim — text is never re-read below
     )
 
-    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lang", as_index=False).agg(
-            m=("xent_micro", "max"), nl=("xent_micro", "size")
-        )
-        return g.astype({"m": "int64", "nl": "int64"})
-
-    mx = bucketed_group_agg(
-        scored.map_batches(max_partial, batch_format="pandas"),
-        ["lang"],
-        {"m": ("m", "max"), "nl": ("nl", "sum")},
-    ).to_pandas()  # ≤ |langs| rows
-    width = {r.lang: int(r.m) // _PPLX_BINS + 1 for r in mx.itertuples()}
-    n_lang = {r.lang: int(r.nl) for r in mx.itertuples()}
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["lang"].map(width).to_numpy(dtype=np.int64)
-        out = (
-            pd.DataFrame(
-                {"lang": df["lang"], "bin": df["xent_micro"].to_numpy(np.int64) // w}
-            )
-            .groupby(["lang", "bin"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
-        )
-        return out.astype({"bin": "int64", "n": "int64"})
-
-    hist = bucketed_group_agg(
-        scored.map_batches(hist_partial, batch_format="pandas"),
-        ["lang", "bin"],
-        {"n": ("n", "sum")},
-    ).to_pandas()  # ≤ langs × 4096 rows
-    hist = hist.sort_values(["lang", "bin"])
-    hist["below"] = hist.groupby("lang")["n"].cumsum() - hist["n"]
-    below = {(r.lang, int(r.bin)): int(r.below) for r in hist.itertuples()}
-    state_ref = ray.put((width, n_lang, below))
+    state_ref = _tertile_state(scored)
 
     def tier_of(df: pd.DataFrame) -> pd.DataFrame:
-        width, n_lang, below = _cached_broadcast("tier_state", state_ref)
-        xent = df["xent_micro"].to_numpy(np.int64)
-        w = df["lang"].map(width).to_numpy(np.int64)
-        bins = xent // w
-        pct = np.fromiter(
-            (
-                below[(lg, int(b))] * PPM // n_lang[lg]
-                for lg, b in zip(df["lang"].to_numpy(), bins)
-            ),
-            np.int64,
-            count=len(df),
-        )
-        tier = np.where(
-            pct * 3 < PPM, "head", np.where(pct * 3 < 2 * PPM, "middle", "tail")
-        )
+        pct = _pct_ppm(df, _cached_broadcast("tier_state", state_ref))
+        tier = _tertile_bucket(pct)
         code = np.where(pct * 3 < PPM, 0, np.where(pct * 3 < 2 * PPM, 1, 2))
         doc_id = df["doc_id"].to_numpy(np.int64)
         return pd.DataFrame(
