@@ -65,6 +65,7 @@ from zerox_ray.pipelines.dedup import (
     fuzzy_match,
     minhash_dedup_docs,
     minhash_lsh_pairs,
+    neardup_cluster_sizes,
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
@@ -707,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle-free corpus probe with exact-Jaccard verify in place
         "fuzzy_match": fuzzy_match,
         "dedup_minhash_keepers": minhash_dedup_docs,
+        "neardup_cluster_sizes": neardup_cluster_sizes,
         "dedup_simhash": simhash_pairs,
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -2816,6 +2818,33 @@ FROM f
         # min-label closure; survivors = docs that are not a non-min
         # member of any component (dedup.minhash_dedup_docs semantics:
         # cluster_id == doc_id for every surviving row)
+        # near-dup cluster-size histogram over the same components;
+        # docs in no verified pair are singleton clusters
+        "neardup_cluster_sizes": "WITH RECURSIVE "
+        + _minhash_pairs_ctes()
+        + """,
+mh_edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+mh_comp(node, label) AS (
+  SELECT s, s FROM mh_edges
+  UNION
+  SELECT e.d, c.label FROM mh_comp c JOIN mh_edges e ON e.s = c.node
+),
+mh_lab AS (SELECT node, min(label) AS label FROM mh_comp GROUP BY node),
+mh_sizes AS (SELECT label, count(*) sz FROM mh_lab GROUP BY label),
+mh_hist AS (SELECT sz, count(*) nc FROM mh_sizes GROUP BY sz),
+mh_single AS (SELECT (SELECT count(*) FROM documents)
+                     - (SELECT count(*) FROM mh_lab) AS n)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+FROM (
+  SELECT sz AS cluster_size, nc AS n_clusters FROM mh_hist
+  UNION ALL
+  SELECT 1, n FROM mh_single WHERE n > 0
+) GROUP BY cluster_size""",
         "dedup_minhash_keepers": "WITH RECURSIVE "
         + _minhash_pairs_ctes()
         + """,

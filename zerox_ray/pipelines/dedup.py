@@ -1174,3 +1174,67 @@ def fuzzy_match(
     return read_table(path, columns=["doc_id", "text"]).map_batches(
         probe, batch_format="pandas"
     )
+
+
+def neardup_cluster_sizes(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
+    """Near-duplicate cluster-size histogram — the dedup family's
+    release diagnostic (how much of the corpus sits in 2×, 3×, N×
+    near-dup clusters decides the dedup budget): MinHash-LSH verified
+    pairs → distributed min-label components → per-label size (combiner
+    → ONE grouped sum) → size histogram (ONE tiny exchange); documents
+    in no pair count as singleton clusters, folded in from two scalar
+    counts. Output: (cluster_size, n_clusters)."""
+    import pyarrow as pa
+
+    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    comp = minlabel_components(pairs)  # (node, label); materialized, tiny
+    from zerox_ray.sources.tables import read_table
+
+    n_docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    n_nodes = comp.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cluster_size": pa.array([1], pa.int64()),
+                    "n_clusters": pa.array([n_docs], pa.int64()),
+                }
+            )
+        )
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False).size()
+        return out.rename(columns={"size": "sz"}).astype({"sz": "int64"})
+
+    sizes = bucketed_group_agg(
+        comp.map_batches(size_partial, batch_format="pandas"),
+        ["label"],
+        {"sz": ("sz", "sum")},
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["sz"].value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": vc.index.to_numpy(np.int64),
+                "n_clusters": vc.to_numpy(np.int64),
+            }
+        )
+
+    hist = bucketed_group_agg(
+        sizes.map_batches(hist_partial, batch_format="pandas"),
+        ["cluster_size"],
+        {"n_clusters": ("n_clusters", "sum")},
+    ).to_pandas()  # O(distinct cluster sizes) rows — bounded driver state
+    singles = n_docs - n_nodes
+    if singles > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"cluster_size": [1], "n_clusters": [singles]})]
+        )
+        hist = hist.groupby("cluster_size", as_index=False).sum()
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(
+            hist.astype({"cluster_size": "int64", "n_clusters": "int64"}),
+            preserve_index=False,
+        )
+    )
