@@ -111,6 +111,7 @@ from zerox_ray.pipelines.boilerplate import (
 )
 from zerox_ray.pipelines.textqual import (
     bigram_counts,
+    bigram_logprobs,
     classifier_scores,
     gopher_rules,
     inverted_index,
@@ -626,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": inverted_index,
         "quality_curate": quality_curate,
         "bigram_counts": bigram_counts,
+        "bigram_logprobs": bigram_logprobs,
         "dup_class_sizes": dup_class_sizes,
         "corpus_datacard": corpus_datacard,
         "tier_shards": tier_shards,
@@ -2193,6 +2195,30 @@ bz AS (SELECT doc_id, unnest(list_zip(ws[:-1], ws[2:])) z FROM bw)
 SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n
 FROM bz WHERE z[2] IS NOT NULL  -- list_zip pads the longer side w/ NULL
 GROUP BY w1, w2 HAVING count(*) >= 2""",
+        # mirrors textqual.bigram_logprobs: stupid-backoff bigram LM —
+        # seen (count>=2) pair ic = (1e6*ctf(w1)) // c(w1,w2); pruned
+        # pair backs off to 2*((1e6*T) // ctf(w2))
+        "bigram_logprobs": """
+WITH bw AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents),
+tok AS (SELECT unnest(ws) t FROM bw),
+c1 AS (SELECT t, count(*) c FROM tok GROUP BY t),
+tot AS (SELECT count(*) n FROM tok),
+bz AS (SELECT doc_id, lang, unnest(list_zip(ws[:-1], ws[2:])) z FROM bw),
+bp AS (SELECT doc_id, lang, z[1] w1, z[2] w2 FROM bz WHERE z[2] IS NOT NULL),
+c2 AS (SELECT w1, w2, count(*) c FROM bp GROUP BY w1, w2
+       HAVING count(*) >= 2),
+sc AS (SELECT bp.doc_id, bp.lang,
+              coalesce((1000000 * u1.c) // c2.c,
+                       2 * ((1000000 * (SELECT n FROM tot)) // u2.c)) AS ic
+       FROM bp
+       JOIN c1 u1 ON u1.t = bp.w1
+       JOIN c1 u2 ON u2.t = bp.w2
+       LEFT JOIN c2 ON c2.w1 = bp.w1 AND c2.w2 = bp.w2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, any_value(lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ic) AS BIGINT) AS ic2_sum,
+       CAST(sum(ic) // count(*) AS BIGINT) AS xent2_micro
+FROM sc GROUP BY doc_id""",
         # mirrors textqual.tier_shards: per-lang tertile tier, then an
         # exclusive token cumsum per tier in doc_id order // 2000
         "tier_shards": """

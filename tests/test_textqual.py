@@ -221,3 +221,39 @@ def test_tier_shards_tiers_and_packing(sf_dir):
         # successor starts (exclusive-prefix packing invariant)
         tot = g.groupby("shard_id").n_tokens.sum()
         assert (tot.iloc[:-1].cumsum() >= 2_000 * (tot.index[:-1] + 1)).all()
+
+
+def test_bigram_logprobs_matches_python_model(sf_dir):
+    from zerox_ray.pipelines.textqual import bigram_logprobs
+
+    got = bigram_logprobs(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    docs = _duck(sf_dir, "SELECT doc_id, text FROM documents ORDER BY doc_id")
+    # brute-force reference model in pure python
+    from collections import Counter
+
+    c1, c2 = Counter(), Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        c1.update(ws)
+        c2.update(zip(ws[:-1], ws[1:]))
+    total = sum(c1.values())
+    seen_hits = back_hits = 0
+    for doc_id, t in zip(docs.doc_id, docs.text):
+        ws = t.split(" ")
+        if len(ws) < 2:
+            assert doc_id not in got.index
+            continue
+        s = 0
+        for a, b in zip(ws[:-1], ws[1:]):
+            if c2[(a, b)] >= 2:
+                s += (1_000_000 * c1[a]) // c2[(a, b)]
+                seen_hits += 1
+            else:
+                s += 2 * ((1_000_000 * total) // c1[b])
+                back_hits += 1
+        row = got.loc[doc_id]
+        assert row.n_bigrams == len(ws) - 1
+        assert row.ic2_sum == s
+        assert row.xent2_micro == s // (len(ws) - 1)
+    # both the seen-pair path and the backoff path must carry mass
+    assert seen_hits > 0 and back_hits > 0

@@ -570,6 +570,141 @@ def bigram_counts(sf_dir: str, min_count: int = 2) -> ray.data.Dataset:
     return counts.filter(expr=f"n >= {int(min_count)}")
 
 
+#: joins a bigram's two words into one flat key for np.unique grouping;
+#: '\x1f' (ASCII unit separator) cannot appear in the space-split token
+#: stream — and unlike '\x00' it survives numpy's fixed-width unicode
+#: arrays, which treat NUL as a terminator and silently truncate it
+_BG_SEP = "\x1f"
+
+
+def _corpus_bigram_model(
+    sf_dir: str, min_count: int
+) -> tuple[dict, dict, int]:
+    """Pass 1 of the bigram LM: ONE fused scan emits both unigram and
+    adjacent-bigram partial counts (unigram rows carry the ``_BG_SEP``
+    sentinel in w2, which no real token can contain), then ONE (w1, w2)
+    grouped sum — the vocabulary and the n-gram table come out of a
+    single exchange instead of two payload scans. Bigrams below
+    ``min_count`` are dropped AFTER the global sum (they take the
+    backoff path at scoring time — so the backoff branch is exercised,
+    not dead code). Driver state is O(|vocab| + distinct bigrams), the
+    bounded-model contract of ``_corpus_unigram_ic``; at open-web scale
+    the same Misra-Gries cap + higher min_count apply (KenLM prunes its
+    n-gram tables identically).
+
+    Returns ({w: ctf}, {(w1, w2): n}, total_tokens)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, doc_idx = _doc_token_stats(df["text"])
+        uniq, counts = np.unique(flat, return_counts=True)
+        uni = pd.DataFrame(
+            {"w1": uniq, "w2": _BG_SEP, "n": counts.astype(np.int64)}
+        )
+        if len(flat) < 2:
+            return uni
+        m = doc_idx[:-1] == doc_idx[1:]
+        bi = (
+            pd.DataFrame({"w1": flat[:-1][m], "w2": flat[1:][m]})
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .astype({"n": "int64"})
+        )
+        return pd.concat([uni, bi], ignore_index=True)
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # O(|vocab| + distinct bigrams) — bounded driver state
+    is_uni = counts["w2"] == _BG_SEP
+    c1 = dict(
+        zip(counts.loc[is_uni, "w1"], counts.loc[is_uni, "n"].astype(int))
+    )
+    bi = counts.loc[~is_uni]
+    bi = bi.loc[bi["n"] >= min_count]
+    c2 = {
+        (w1, w2): int(n)
+        for w1, w2, n in zip(bi["w1"], bi["w2"], bi["n"])
+    }
+    return c1, c2, int(sum(c1.values()))
+
+
+def bigram_logprobs(sf_dir: str, min_count: int = 2) -> ray.data.Dataset:
+    """Bigram-LM fluency scoring with stupid backoff — the order-2 step
+    from ``unigram_logprobs`` toward CCNet's KenLM scorer (Wenzek et
+    al. 2020; backoff per Brants et al. 2007 "Large Language Models in
+    Machine Translation"). Each within-document adjacent pair (w1, w2)
+    scores an integer conditional information content:
+
+    - seen pair (count ≥ min_count):  ic = (1e6 · ctf(w1)) // c(w1, w2)
+      — the micro-unit inverse of p(w2|w1);
+    - unseen pair (pruned tail):      ic = 2 · ((1e6 · T) // ctf(w2))
+      — stupid backoff to the unigram model with α = 1/2 (the ×2 is
+      the integer mirror of the +log 2 penalty).
+
+    Scale shape: pass 1 is the fused ONE-exchange count pass
+    (``_corpus_bigram_model``); pass 2 broadcasts the model via ray.put
+    and scores every document in one streaming scan — per batch, pairs
+    collapse through np.unique on a sentinel-joined key so model
+    lookups run once per DISTINCT pair in the batch, never per token.
+    The text is read exactly twice and never shuffled.
+
+    Output: (doc_id, lang, n_bigrams, ic2_sum, xent2_micro) — one row
+    per document with ≥ 2 words (a 1-word doc has no bigram to score,
+    exactly the rows the SQL mirror's pair-unnest drops)."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    c1, c2, total = _corpus_bigram_model(sf_dir, min_count)
+    ic2 = {
+        w1 + _BG_SEP + w2: (PPM * c1[w1]) // n for (w1, w2), n in c2.items()
+    }
+    back = {w: 2 * ((PPM * total) // n) for w, n in c1.items()}
+    model_ref = ray.put((ic2, back))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ic2_b, back_b = _cached_broadcast("bigram_model", model_ref)
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        m = (
+            doc_idx[:-1] == doc_idx[1:]
+            if len(flat) >= 2
+            else np.zeros(0, dtype=bool)
+        )
+        keys = np.char.add(
+            np.char.add(flat[:-1][m].astype(str), _BG_SEP),
+            flat[1:][m].astype(str),
+        )
+        d = doc_idx[:-1][m] if len(flat) >= 2 else np.zeros(0, np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        uniq_ic = np.fromiter(
+            (
+                ic2_b.get(k) or back_b[k.rsplit(_BG_SEP, 1)[1]]
+                for k in uniq
+            ),
+            np.int64,
+            count=len(uniq),
+        )
+        ic_sum = np.zeros(len(df), np.int64)
+        np.add.at(ic_sum, d, uniq_ic[inv])
+        nb = np.zeros(len(df), np.int64)
+        np.add.at(nb, d, 1)
+        keep = nb > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "lang": df["lang"].astype(str).to_numpy()[keep],
+                "n_bigrams": nb[keep],
+                "ic2_sum": ic_sum[keep],
+                "xent2_micro": ic_sum[keep] // nb[keep],
+            }
+        )
+
+    return read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(score, batch_format="pandas")
+
+
 _TIER_RANGE = 4096  # docs per coarse prefix-sum range (see token_shards)
 _TIER_CODE = {"head": 0, "middle": 1, "tail": 2}
 
