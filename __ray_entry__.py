@@ -83,6 +83,7 @@ from zerox_ray.pipelines.media import (
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.graph import (
     anchor_texts,
+    cocitation_counts,
     crawl_depth,
     crawl_frontier,
     crawl_timeline,
@@ -274,6 +275,10 @@ def _q_hits(sf_dir: str):
 
 def _q_reciprocal_links(sf_dir: str):
     return reciprocal_links(pages_dir_for(sf_dir))
+
+
+def _q_cocitation_counts(sf_dir: str):
+    return cocitation_counts(pages_dir_for(sf_dir))
 
 
 def _q_anchor_texts(sf_dir: str):
@@ -589,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_incremental": _q_ocr_incremental,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
+        "cocitation_counts": _q_cocitation_counts,
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
         "leaf_pages": _q_leaf_pages,
@@ -1538,6 +1544,21 @@ rl_e AS (
 SELECT a.s AS url_a, a.d AS url_b
 FROM rl_e a JOIN rl_e b ON a.s = b.d AND a.d = b.s
 WHERE a.s < a.d"""
+)
+
+
+#: mirror of pipelines/graph.py::cocitation_counts — per-source distinct
+#: url targets, lexicographic pairs, count of citing sources, min 2
+_COCITATION_SQL = (
+    _PR_EDGES_CTE
+    + """,
+cc_e AS (
+  SELECT DISTINCT src, 'https://example.org/doc/' || dst AS u
+  FROM pr_edges
+)
+SELECT a.u AS url_a, b.u AS url_b, CAST(count(*) AS BIGINT) AS n_sources
+FROM cc_e a JOIN cc_e b ON a.src = b.src AND a.u < b.u
+GROUP BY a.u, b.u HAVING count(*) >= 2"""
 )
 
 
@@ -3171,6 +3192,7 @@ mqr AS (
 SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "hits": _hits_sql(),
         "reciprocal_links": _RECIPROCAL_LINKS_SQL,
+        "cocitation_counts": _COCITATION_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

@@ -491,3 +491,47 @@ def test_token_chunks_windows_and_tail(tmp_path):
     d1 = got[got.doc_id == 1]
     assert list(d1.n_tok) == [2] and d1.chunk_text.iloc[0] == "one two"
     assert (got.doc_id == 2).sum() == 0  # empty doc emits nothing
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=24,
+    ),
+)
+def test_cocitation_counts_random_graphs_match_counter_replica(n, raw_edges):
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from zerox_ray.pipelines.graph import cocitation_counts
+
+    edges = {(a % n, b % n) for a, b in raw_edges}
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    want = Counter()
+    for i in range(n):
+        ts = sorted(set(out[i]), key=lambda t: f"n{t}")
+        for x in range(len(ts)):
+            for y in range(x + 1, len(ts)):
+                want[(f"n{ts[x]}", f"n{ts[y]}")] += 1
+    for min_sources in (1, 2):
+        got = cocitation_counts(ds, prefix="n", min_sources=min_sources).to_pandas()
+        got_m = (
+            {}
+            if got.empty
+            else dict(zip(zip(got["url_a"], got["url_b"]), got["n_sources"]))
+        )
+        assert got_m == {k: v for k, v in want.items() if v >= min_sources}

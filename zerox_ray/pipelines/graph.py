@@ -977,6 +977,69 @@ def reciprocal_links(
     )
 
 
+#: cocitation_counts per-page out-degree cap: a page linking to
+#: thousands of targets would emit O(deg²) pairs; capping at the first
+#: 256 (sorted) outlinks bounds a page's pair contribution at ~32k rows
+#: — the standard guard in co-citation studies (hub pages carry little
+#: per-pair signal anyway, the same reason ranking discounts them)
+COCITE_MAX_DEGREE = 256
+
+
+def cocitation_counts(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    min_sources: int = 2,
+    max_degree: int = COCITE_MAX_DEGREE,
+) -> ray.data.Dataset:
+    """Co-citation counts (Small 1973, the original link-similarity
+    measure): for each unordered page pair {a, b}, the number of corpus
+    pages that link to BOTH — the classic related-page / topical-cluster
+    signal (two pages repeatedly cited together are about the same
+    thing, whatever their own text says).
+
+    Scale shape: pair generation is SHUFFLE-FREE — each page's in-corpus
+    outlinks are already in hand during the payload scan, so the scan
+    itself emits the page's C(deg, 2) sorted pairs (outlinks deduped,
+    degree capped at ``max_degree``; see COCITE_MAX_DEGREE) with a
+    per-batch combiner count, then ONE (url_a, url_b) grouped sum.
+    Pairs below ``min_sources`` are dropped AFTER the global sum (a
+    pair's citers span batches); the default 2 keeps the output at
+    actually-co-cited pairs rather than the O(pages · deg²) singleton
+    tail. Pair order is lexicographic by url so the key is canonical.
+
+    Output: (url_a, url_b, n_sources) with url_a < url_b."""
+    ds = read_pages(pages, columns=["html"]) if isinstance(pages, str) else pages
+    pfx = prefix.encode()
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for payload in t["html"].to_pylist():
+            hrefs = sorted(
+                {
+                    h.decode("utf-8", errors="replace")
+                    for h in _HREF_RE.findall(payload)
+                    if h.startswith(pfx)
+                }
+            )[:max_degree]
+            for i in range(len(hrefs)):
+                for j in range(i + 1, len(hrefs)):
+                    a_out.append(hrefs[i])
+                    b_out.append(hrefs[j])
+        out = pd.DataFrame({"url_a": a_out, "url_b": b_out})
+        out = out.groupby(["url_a", "url_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_sources"}).astype(
+            {"n_sources": "int64"}
+        )
+
+    counts = bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["url_a", "url_b"],
+        {"n_sources": ("n_sources", "sum")},
+    )
+    return counts.filter(expr=f"n_sources >= {int(min_sources)}")
+
+
 # ---------------------------------------------------------------------------
 # Host-level graph family: the domain/host granularity every production
 # crawl pipeline aggregates to (per-domain politeness quotas, host-level
