@@ -85,6 +85,7 @@ from zerox_ray.pipelines.graph import (
     anchor_texts,
     cocitation_counts,
     crawl_depth,
+    kcore,
     crawl_frontier,
     crawl_timeline,
     degree_distribution,
@@ -279,6 +280,10 @@ def _q_reciprocal_links(sf_dir: str):
 
 def _q_cocitation_counts(sf_dir: str):
     return cocitation_counts(pages_dir_for(sf_dir))
+
+
+def _q_kcore(sf_dir: str):
+    return kcore(pages_dir_for(sf_dir))
 
 
 def _q_anchor_texts(sf_dir: str):
@@ -595,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "cocitation_counts": _q_cocitation_counts,
+        "kcore": _q_kcore,
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
         "leaf_pages": _q_leaf_pages,
@@ -1559,6 +1565,37 @@ cc_e AS (
 SELECT a.u AS url_a, b.u AS url_b, CAST(count(*) AS BIGINT) AS n_sources
 FROM cc_e a JOIN cc_e b ON a.src = b.src AND a.u < b.u
 GROUP BY a.u, b.u HAVING count(*) >= 2"""
+)
+
+
+#: mirror of pipelines/graph.py::kcore — symmetrized distinct edges,
+#: exactly KCORE_ROUNDS=3 unrolled peels at k=KCORE_K=4, final degree
+#: counted in the surviving induced subgraph
+_KCORE_SQL = (
+    _PR_EDGES_CTE
+    + """,
+kc_e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM pr_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM pr_edges WHERE src <> dst
+  )
+),
+kc_d1 AS (SELECT a, count(*) d FROM kc_e0 GROUP BY a),
+kc_s1 AS (SELECT a FROM kc_d1 WHERE d >= 4),
+kc_e1 AS (SELECT e.a, e.b FROM kc_e0 e
+          JOIN kc_s1 x ON e.a = x.a JOIN kc_s1 y ON e.b = y.a),
+kc_d2 AS (SELECT a, count(*) d FROM kc_e1 GROUP BY a),
+kc_s2 AS (SELECT a FROM kc_d2 WHERE d >= 4),
+kc_e2 AS (SELECT e.a, e.b FROM kc_e1 e
+          JOIN kc_s2 x ON e.a = x.a JOIN kc_s2 y ON e.b = y.a),
+kc_d3 AS (SELECT a, count(*) d FROM kc_e2 GROUP BY a),
+kc_s3 AS (SELECT a FROM kc_d3 WHERE d >= 4),
+kc_e3 AS (SELECT e.a, e.b FROM kc_e2 e
+          JOIN kc_s3 x ON e.a = x.a JOIN kc_s3 y ON e.b = y.a)
+SELECT 'https://example.org/doc/' || a AS url,
+       CAST(count(*) AS BIGINT) AS degree
+FROM kc_e3 GROUP BY a"""
 )
 
 
@@ -3193,6 +3230,7 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "hits": _hits_sql(),
         "reciprocal_links": _RECIPROCAL_LINKS_SQL,
         "cocitation_counts": _COCITATION_SQL,
+        "kcore": _KCORE_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

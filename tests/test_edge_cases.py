@@ -324,3 +324,33 @@ def test_random_walks_dangling_seeds_stop_at_step_zero():
     assert len(got) == 4
     assert (got.step == 0).all()
     assert sorted(got.url) == [f"u{i}" for i in range(4)]
+
+
+def test_kcore_linkless_corpus_empty():
+    from zerox_ray.pipelines.graph import kcore
+
+    ds = _pages_ds([(f"u{i}", b"<p>no links</p>") for i in range(5)])
+    got = kcore(ds, prefix="u").to_pandas()
+    # rowless (possibly schemaless — Ray's to_pandas drops the schema
+    # of an all-empty dataset), same contract as reciprocal_links
+    assert got.empty
+
+
+def test_kcore_clique_survives_peel():
+    # K5 survives a k=4 peel intact (every degree is exactly 4);
+    # a pendant node hanging off it is removed in round 1
+    from zerox_ray.pipelines.graph import kcore
+
+    rows = []
+    for i in range(5):
+        targets = [f"u{j}" for j in range(5) if j != i]
+        if i == 0:
+            targets.append("u5")  # pendant
+        rows.append(
+            (f"u{i}", "".join(f'<a href="{t}">x</a>' for t in targets).encode())
+        )
+    rows.append(("u5", b'<a href="u0">back</a>'))
+    ds = _pages_ds(rows)
+    got = kcore(ds, k=4, prefix="u").to_pandas().sort_values("url")
+    assert list(got.url) == [f"u{i}" for i in range(5)]
+    assert (got.degree == 4).all()

@@ -535,3 +535,47 @@ def test_cocitation_counts_random_graphs_match_counter_replica(n, raw_edges):
             else dict(zip(zip(got["url_a"], got["url_b"]), got["n_sources"]))
         )
         assert got_m == {k: v for k, v in want.items() if v >= min_sources}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_kcore_random_graphs_match_peel_replica(n, raw_edges, k):
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from zerox_ray.pipelines.graph import kcore
+
+    edges = {(a % n, b % n) for a, b in raw_edges if a % n != b % n}
+    und = edges | {(b, a) for a, b in edges}
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    # 3-round fixed peel replica
+    E = set(und)
+    for _ in range(3):
+        deg = Counter(a for a, b in E)
+        surv = {v for v, d in deg.items() if d >= k}
+        if len(surv) == len(deg):
+            break
+        E = {(a, b) for a, b in E if a in surv and b in surv}
+    want = dict(Counter(f"n{a}" for a, b in E))
+    got = kcore(ds, k=k, prefix="n").to_pandas()
+    got_m = {} if got.empty else dict(zip(got.url, got.degree))
+    assert got_m == want

@@ -977,7 +977,123 @@ def reciprocal_links(
     )
 
 
-#: cocitation_counts per-page out-degree cap: a page linking to
+KCORE_K = 4  # default core order; removals cascade for rounds (tested)
+KCORE_ROUNDS = 3  # fixed peel rounds — the SQL mirror unrolls exactly 3
+
+
+def kcore(
+    pages: ray.data.Dataset | str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Fixed-round k-core peel over the undirected corpus link graph —
+    the standard dense-subgraph / link-farm detector (Seidman 1983;
+    crawl pipelines use the high-k cores to find spam rings and the
+    low-k shell to find expendable frontier). Each round removes every
+    node whose degree in the CURRENT subgraph is < ``k``; the semantics
+    are exactly ``rounds`` peels (NOT to-convergence), so a
+    ``rounds``-unrolled SQL oracle replays the output bit-for-bit —
+    the pagerank/crawl_depth fixed-iteration contract. Full peeling is
+    the same loop with a convergence bound; the early-exit below
+    already makes converged graphs free.
+
+    Scale shape: the directed edge list is symmetrized and de-duped via
+    ONE (a, b)-key grouped distinct (orientation rows carry the source
+    url so output needs no extra join); each round is ONE grouped
+    degree count + TWO partitioned semi joins restricting edges to
+    surviving endpoints — per-round cost O(m) like PageRank, state in
+    the object store, per-round coalesce. A round that removes nothing
+    ends the loop (every later round is a no-op by definition).
+
+    Output: (url, degree) for nodes with ≥ 1 induced edge after the
+    final restriction — degree is counted in the surviving subgraph."""
+    from zerox_ray.pipelines.relational import hash_join
+    from zerox_ray.stages.classify import default_num_partitions
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    raw = link_graph(ds, prefix) if edges is None else edges
+
+    def orient(t: pa.Table) -> pd.DataFrame:
+        src = t["src"].to_pylist()
+        dst = t["dst"].to_pylist()
+        df = pd.DataFrame(
+            {"a_url": src + dst, "b_url": dst + src}
+        )
+        df = df[df["a_url"] != df["b_url"]].drop_duplicates()
+        df["ak"] = _h63(df["a_url"].tolist())
+        df["bk"] = _h63(df["b_url"].tolist())
+        df["n"] = np.int64(1)
+        return df[["ak", "bk", "a_url", "n"]]
+
+    # global orientation de-dupe: ONE (ak, bk) grouped reduce; a_url
+    # rides along (all rows in a group share it — 63-bit key contract)
+    E = bucketed_group_agg(
+        raw.map_batches(orient, batch_format="pyarrow"),
+        ["ak", "bk"],
+        {"a_url": ("a_url", "max"), "n": ("n", "max")},
+    ).materialize()
+
+    if E.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "degree": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    n_buckets = max(8, min(default_num_partitions(), E.count() // 10_000 + 8))
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("ak", as_index=False).agg(
+            degree=("n", "sum"), url=("a_url", "max")
+        )
+        return out.astype({"degree": "int64"})
+
+    for _ in range(rounds):
+        deg = bucketed_group_agg(
+            E.map_batches(deg_partial, batch_format="pandas"),
+            ["ak"],
+            {"degree": ("degree", "sum"), "url": ("url", "max")},
+            num_buckets=n_buckets,
+        )
+        surv = deg.filter(expr=f"degree >= {int(k)}").select_columns(["ak"]).materialize()
+        if surv.count() == deg.count():
+            break  # fixpoint: every further round is a no-op
+        surv_b = surv.map_batches(
+            lambda df: df.rename(columns={"ak": "bk"}), batch_format="pandas"
+        )
+        n_parts = max(8, min(1024, E.count() // 250_000 + 8))
+        E = (
+            hash_join(
+                hash_join(E, surv, on="ak", how="semi", num_buckets=n_buckets),
+                surv_b,
+                on="bk",
+                how="semi",
+                num_buckets=n_buckets,
+            )
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    final = bucketed_group_agg(
+        E.map_batches(deg_partial, batch_format="pandas"),
+        ["ak"],
+        {"degree": ("degree", "sum"), "url": ("url", "max")},
+        num_buckets=n_buckets,
+    )
+    return final.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "degree": df["degree"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
 #: thousands of targets would emit O(deg²) pairs; capping at the first
 #: 256 (sorted) outlinks bounds a page's pair contribution at ~32k rows
 #: — the standard guard in co-citation studies (hub pages carry little
