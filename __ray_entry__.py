@@ -145,6 +145,7 @@ from zerox_ray.pipelines.similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_radius_search,
+    embedding_moments,
     kmeans_clusters,
     semantic_dedup,
 )
@@ -739,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wire, bit-exact via quantized integer arithmetic
         "kmeans_clusters": kmeans_clusters,
         "semantic_dedup": semantic_dedup,
+        "embedding_moments": embedding_moments,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
         # force — so the full IVF machinery (centroid assignment, probe
@@ -3400,6 +3402,21 @@ SELECT k.vec_id, k.cluster,
        CAST(COALESCE(d.m, -1) AS BIGINT) AS dup_of
 FROM km_assign k LEFT JOIN sd_d d ON k.vec_id = d.vb
 """,
+        # mirrors similarity.embedding_moments: milli-quantized one-pass
+        # covariance sufficient statistics, upper-triangle dim pairs
+        "embedding_moments": """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT CAST(a.i - 1 AS BIGINT) AS dim_i, CAST(b.i - 1 AS BIGINT) AS dim_j,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(a.q) AS BIGINT) AS s_i,
+       CAST(sum(b.q) AS BIGINT) AS s_j,
+       CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
+FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY dim_i, dim_j""",
         # DSIR: hashed-feature rarity weights + global top-10% selection
         "dsir_sample": """
 WITH ds_tok AS (

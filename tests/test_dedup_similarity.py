@@ -673,3 +673,39 @@ class TestImportanceSample:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_moments_match_numpy(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.similarity import embedding_moments
+
+    got = (
+        embedding_moments(sf_dir)
+        .to_pandas()
+        .sort_values(["dim_i", "dim_j"])
+        .reset_index(drop=True)
+    )
+    mat = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column(0)
+        .to_pylist()
+    )
+    q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+    iu, ju = np.triu_indices(q.shape[1])
+    assert len(got) == len(iu)
+    assert (got.n_rows == len(q)).all()
+    g = q.T @ q
+    s1 = q.sum(axis=0)
+    assert (got.s_i.to_numpy() == s1[iu]).all()
+    assert (got.s_j.to_numpy() == s1[ju]).all()
+    assert (got.s_ij.to_numpy() == g[iu, ju]).all()
+    # covariance recovered from the moments tracks numpy's (quantization
+    # noise is ≤ ~1e-3 per element at the milli scale)
+    n = len(q)
+    cov_q = (n * got.s_ij.to_numpy() - got.s_i.to_numpy() * got.s_j.to_numpy()) / (
+        n * n * 1e6
+    )
+    cov_f = np.cov(mat.astype(np.float64).T, bias=True)
+    assert np.abs(cov_q - cov_f[iu, ju]).max() < 2e-3

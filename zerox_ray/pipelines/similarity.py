@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from zerox_ray.pipelines.agg import bucketed_group_agg
 from zerox_ray.sources.tables import read_table
 
 
@@ -561,4 +562,60 @@ def semantic_dedup(
         _semantic_group,
         batch_format="pandas",
         fn_kwargs={"threshold_ppm": threshold_ppm},
+    )
+
+
+#: embedding_moments quantization — milli-units, not the _Q_SCALE micro
+#: used by the distance kernels: moment sums accumulate over EVERY row
+#: of the corpus, and |q| ≤ 1e3 keeps Σ q_i·q_j inside int64 out to
+#: ~3.7e13 rows (micro-units would cap exactness at ~9e6 rows)
+_MOM_SCALE = 1_000
+
+
+def embedding_moments(sf_dir: str) -> ray.data.Dataset:
+    """Distributed covariance sufficient statistics over the embedding
+    column — the (n, Σx_i, Σx_j, Σx_i·x_j) moment table feeding PCA /
+    whitening / drift monitoring of an embedding corpus (LeCun-style
+    input normalization, SemDeDup's pre-clustering whitening step).
+    Consumers form cov(i,j) = (n·s_ij − s_i·s_j) / n² without ever
+    touching the vectors again.
+
+    Scale shape: the classic one-pass moment reduce — each batch
+    contributes one d×d integer Gram matrix (ONE int64 matmul, fully
+    vectorized) flattened to its d(d+1)/2 upper triangle, then ONE
+    grouped sum on (dim_i, dim_j). The exchange moves ≤ 2,080 rows per
+    batch (d = 64) regardless of corpus size, and the result is 2,080
+    rows total — never a driver pull of data rows. Values are
+    floor(1e3·x) milli-units so numpy int64 and DuckDB HUGEINT agree
+    bit-for-bit (see _MOM_SCALE for the exactness bound).
+
+    Output: (dim_i, dim_j, n_rows, s_i, s_j, s_ij) for dim_i ≤ dim_j."""
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * _MOM_SCALE).astype(np.int64)
+        g = q.T @ q
+        s1 = q.sum(axis=0)
+        iu, ju = np.triu_indices(q.shape[1])
+        return pd.DataFrame(
+            {
+                "dim_i": iu.astype(np.int64),
+                "dim_j": ju.astype(np.int64),
+                "n_rows": np.int64(len(q)),
+                "s_i": s1[iu],
+                "s_j": s1[ju],
+                "s_ij": g[iu, ju],
+            }
+        )
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["dim_i", "dim_j"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "s_i": ("s_i", "sum"),
+            "s_j": ("s_j", "sum"),
+            "s_ij": ("s_ij", "sum"),
+        },
     )
