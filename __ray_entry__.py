@@ -114,6 +114,7 @@ from zerox_ray.pipelines.boilerplate import (
 from zerox_ray.pipelines.textqual import (
     bigram_counts,
     bigram_logprobs,
+    vocab_growth,
     classifier_scores,
     gopher_rules,
     inverted_index,
@@ -641,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_curate": quality_curate,
         "bigram_counts": bigram_counts,
         "bigram_logprobs": bigram_logprobs,
+        "vocab_growth": vocab_growth,
         "dup_class_sizes": dup_class_sizes,
         "corpus_datacard": corpus_datacard,
         "tier_shards": tier_shards,
@@ -2279,6 +2281,23 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, any_value(lang) AS lang,
        CAST(sum(ic) AS BIGINT) AS ic2_sum,
        CAST(sum(ic) // count(*) AS BIGINT) AS xent2_micro
 FROM sc GROUP BY doc_id""",
+        # mirrors textqual.vocab_growth: Heaps curve via the
+        # min-first-occurrence trick at 8 even doc-id checkpoints
+        "vocab_growth": """
+WITH vg_n AS (SELECT count(*) c FROM documents),
+vg_b AS (SELECT m, ((m + 1) * (SELECT c FROM vg_n)) // 8 AS nd
+         FROM (SELECT unnest(range(8)) AS m)),
+vg_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+vg_fd AS (SELECT t, min(doc_id) f FROM vg_tok GROUP BY t),
+vg_vs AS (SELECT b.m, count(*) v FROM vg_b b JOIN vg_fd ON vg_fd.f < b.nd
+          GROUP BY b.m),
+vg_tk AS (SELECT b.m, count(*) nt FROM vg_b b JOIN vg_tok
+          ON vg_tok.doc_id < b.nd GROUP BY b.m)
+SELECT CAST(b.m AS BIGINT) AS checkpoint, CAST(b.nd AS BIGINT) AS n_docs,
+       CAST(coalesce(tk.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(vs.v, 0) AS BIGINT) AS vocab_size
+FROM vg_b b LEFT JOIN vg_tk tk ON tk.m = b.m
+LEFT JOIN vg_vs vs ON vs.m = b.m""",
         # mirrors textqual.tier_shards: per-lang tertile tier, then an
         # exclusive token cumsum per tier in doc_id order // 2000
         "tier_shards": """

@@ -257,3 +257,22 @@ def test_bigram_logprobs_matches_python_model(sf_dir):
         assert row.xent2_micro == s // (len(ws) - 1)
     # both the seen-pair path and the backoff path must carry mass
     assert seen_hits > 0 and back_hits > 0
+
+
+def test_vocab_growth_monotone_and_final_totals(sf_dir):
+    from zerox_ray.pipelines.textqual import vocab_growth
+
+    got = vocab_growth(sf_dir).to_pandas().sort_values("checkpoint")
+    assert len(got) == 8
+    # cumulative curves are nondecreasing; the last checkpoint covers
+    # the whole corpus
+    assert (got.n_tokens.diff().dropna() >= 0).all()
+    assert (got.vocab_size.diff().dropna() >= 0).all()
+    exp = _duck(
+        sf_dir,
+        """SELECT count(*) nt, count(DISTINCT t) v FROM
+           (SELECT unnest(string_split(text,' ')) t FROM documents)""",
+    )
+    assert got.n_tokens.iloc[-1] == exp.nt[0]
+    assert got.vocab_size.iloc[-1] == exp.v[0]
+    assert got.n_docs.iloc[-1] == _duck(sf_dir, "SELECT count(*) c FROM documents").c[0]

@@ -803,3 +803,87 @@ def tier_shards(sf_dir: str, tokens_per_shard: int = 2_000) -> ray.data.Dataset:
         )
 
     return bucketed_group_map(tiered, "rng", assign)
+
+
+VOCAB_GROWTH_CHECKPOINTS = 8
+
+
+def vocab_growth(
+    sf_dir: str, n_checkpoints: int = VOCAB_GROWTH_CHECKPOINTS
+) -> ray.data.Dataset:
+    """Heaps'-law vocabulary growth curve — distinct-token count and
+    total-token count at ``n_checkpoints`` evenly spaced doc-id prefixes
+    of the corpus (checkpoint m covers doc_id < ((m+1)·n_docs) //
+    n_checkpoints). This is the tokenizer-sizing / corpus-saturation
+    diagnostic: where the V(N) curve flattens tells you how much more
+    crawl adds vocabulary versus repetition.
+
+    Prefix-distinct counting is inherently sequential done naively; the
+    distributed form is the min-first-occurrence trick: vocab_size at
+    checkpoint m = #terms whose MIN doc_id falls under the boundary, so
+    the whole curve needs only (1) the term → min(doc_id) table — ONE
+    bounded vocabulary exchange, the `_corpus_unigram_ic` contract —
+    and (2) two ≤ n_checkpoints-row histograms (per-batch partial
+    counts per checkpoint slot → ONE grouped sum → a driver cumsum over
+    ≤ n_checkpoints rows). The text is read once; nothing row-scale
+    ever reaches the driver.
+
+    Output: (checkpoint, n_docs, n_tokens, vocab_size), one row per
+    checkpoint, cumulative."""
+    n = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    bounds = np.array(
+        [((m + 1) * n) // n_checkpoints for m in range(n_checkpoints)],
+        dtype=np.int64,
+    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        # per-term min doc id within the batch
+        term_first = (
+            pd.DataFrame({"t": flat, "f": ids[doc_idx]})
+            .groupby("t", as_index=False)
+            .min()
+        )
+        # token mass per checkpoint slot (first slot whose bound covers
+        # the doc; suffix-cumsum happens on the tiny final table)
+        slot = np.searchsorted(bounds, ids, side="right")
+        tok = np.zeros(len(bounds) + 1, np.int64)
+        np.add.at(tok, slot, n_words)
+        out_tok = pd.DataFrame(
+            {
+                "t": [f"\x00tok{m}" for m in range(len(bounds))],
+                "f": -np.int64(1),
+                "n_tok": tok[: len(bounds)],
+                "slot": np.arange(len(bounds), dtype=np.int64),
+            }
+        )
+        term_first["n_tok"] = np.int64(0)
+        term_first["slot"] = -np.int64(1)
+        return pd.concat([term_first, out_tok], ignore_index=True)
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["t"],
+        {"f": ("f", "min"), "n_tok": ("n_tok", "sum"), "slot": ("slot", "max")},
+    ).to_pandas()  # O(|vocab| + n_checkpoints) — bounded driver state
+
+    tok_rows = agg[agg["slot"] >= 0].sort_values("slot")
+    n_tokens = np.cumsum(tok_rows["n_tok"].to_numpy(np.int64))
+    vocab_slot = np.searchsorted(bounds, agg.loc[agg["slot"] < 0, "f"], side="right")
+    vc = np.zeros(len(bounds) + 1, np.int64)
+    np.add.at(vc, vocab_slot, 1)
+    vocab_size = np.cumsum(vc[: len(bounds)])
+    import pyarrow as _pa
+
+    return ray.data.from_arrow(
+        _pa.table(
+            {
+                "checkpoint": _pa.array(range(len(bounds)), _pa.int64()),
+                "n_docs": _pa.array(bounds, _pa.int64()),
+                "n_tokens": _pa.array(n_tokens, _pa.int64()),
+                "vocab_size": _pa.array(vocab_size, _pa.int64()),
+            }
+        )
+    )
