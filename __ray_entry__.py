@@ -114,6 +114,7 @@ from zerox_ray.pipelines.boilerplate import (
 from zerox_ray.pipelines.textqual import (
     bigram_counts,
     bigram_logprobs,
+    pmi_pairs,
     vocab_growth,
     classifier_scores,
     gopher_rules,
@@ -643,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "bigram_logprobs": bigram_logprobs,
         "vocab_growth": vocab_growth,
+        "pmi_pairs": pmi_pairs,
         "dup_class_sizes": dup_class_sizes,
         "corpus_datacard": corpus_datacard,
         "tier_shards": tier_shards,
@@ -2281,6 +2283,31 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, any_value(lang) AS lang,
        CAST(sum(ic) AS BIGINT) AS ic2_sum,
        CAST(sum(ic) // count(*) AS BIGINT) AS xent2_micro
 FROM sc GROUP BY doc_id""",
+        # mirrors textqual.pmi_pairs: window-3 canonical pairs,
+        # HUGEINT PMI ratio (1e6*c_ab*T^2) // (P*c_a*c_b), min_count=2
+        "pmi_pairs": """
+WITH pw AS (SELECT string_split(text, ' ') ws FROM documents),
+tok AS (SELECT unnest(ws) t FROM pw),
+c1 AS (SELECT t, count(*) c FROM tok GROUP BY t),
+tot AS (SELECT count(*) n FROM tok),
+pz AS (
+  SELECT unnest(list_zip(ws[:-1], ws[2:])) z FROM pw
+  UNION ALL
+  SELECT unnest(list_zip(ws[:-2], ws[3:])) z FROM pw
+  UNION ALL
+  SELECT unnest(list_zip(ws[:-3], ws[4:])) z FROM pw
+),
+pp AS (SELECT least(z[1], z[2]) w1, greatest(z[1], z[2]) w2
+       FROM pz WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+ptot AS (SELECT count(*) p FROM pp),
+c2 AS (SELECT w1, w2, count(*) c FROM pp GROUP BY w1, w2
+       HAVING count(*) >= 2)
+SELECT w1, w2, CAST(c2.c AS BIGINT) AS n,
+       CAST((1000000 * c2.c::HUGEINT * (SELECT n FROM tot)::HUGEINT
+             * (SELECT n FROM tot)::HUGEINT)
+            // ((SELECT p FROM ptot)::HUGEINT * u1.c * u2.c)
+            AS BIGINT) AS pmi_ratio_ppm
+FROM c2 JOIN c1 u1 ON u1.t = c2.w1 JOIN c1 u2 ON u2.t = c2.w2""",
         # mirrors textqual.vocab_growth: Heaps curve via the
         # min-first-occurrence trick at 8 even doc-id checkpoints
         "vocab_growth": """

@@ -276,3 +276,36 @@ def test_vocab_growth_monotone_and_final_totals(sf_dir):
     assert got.n_tokens.iloc[-1] == exp.nt[0]
     assert got.vocab_size.iloc[-1] == exp.v[0]
     assert got.n_docs.iloc[-1] == _duck(sf_dir, "SELECT count(*) c FROM documents").c[0]
+
+
+def test_pmi_pairs_matches_python_replica(sf_dir):
+    from collections import Counter
+
+    from zerox_ray.pipelines.textqual import pmi_pairs
+
+    got = pmi_pairs(sf_dir).to_pandas()
+    docs = _duck(sf_dir, "SELECT text FROM documents ORDER BY doc_id")
+    c1, c2 = Counter(), Counter()
+    p_total = 0
+    for t in docs.text:
+        ws = t.split(" ")
+        c1.update(ws)
+        for off in (1, 2, 3):
+            for a, b in zip(ws[:-off], ws[off:]):
+                c2[(min(a, b), max(a, b))] += 1
+                p_total += 1
+    t_total = sum(c1.values())
+    want = {
+        k: (v, (1_000_000 * v * t_total * t_total) // (p_total * c1[k[0]] * c1[k[1]]))
+        for k, v in c2.items()
+        if v >= 2
+    }
+    got_m = {
+        (a, b): (n, r)
+        for a, b, n, r in zip(got.w1, got.w2, got.n, got.pmi_ratio_ppm)
+    }
+    assert got_m == want
+    # stopword-adjacent pairs carry high counts but PMI near/below 1e6;
+    # the corpus must exercise both positive and negative association
+    assert (got.pmi_ratio_ppm > 1_000_000).any()
+    assert (got.pmi_ratio_ppm < 1_000_000).any()

@@ -887,3 +887,113 @@ def vocab_growth(
             }
         )
     )
+
+
+PMI_WINDOW = 3
+
+
+def pmi_pairs(
+    sf_dir: str, window: int = PMI_WINDOW, min_count: int = 2
+) -> ray.data.Dataset:
+    """Windowed token co-occurrence with pointwise-mutual-information
+    scoring (Church & Hanks 1990; the word2vec/GloVe context-count
+    table): unordered token pairs within a ``window``-token intra-doc
+    span, counted corpus-wide, each scored with the exact integer PMI
+    ratio  pmi_ratio_ppm = ⌊1e6 · p(a,b) / (p(a)·p(b))⌋
+                        = (1e6 · c_ab · T²) // (P · c_a · c_b)
+    where T is total tokens and P total window slots. Values > 1e6 mean
+    positive association — the collocation / multi-word-expression
+    signal a tokenizer-merges or phrase-mining pass ranks by.
+
+    Scale shape: per-batch vectorized pair partials (one shifted-mask
+    compare per offset — no Python loop over tokens) → ONE (w1, w2)
+    grouped sum; P is a scalar aggregate of that same table BEFORE the
+    min_count filter; the unigram model rides the bounded-vocab
+    contract (`_corpus_unigram_ic`) and broadcasts. The PMI arithmetic
+    runs per row of the MODEL table (O(distinct surviving pairs), not
+    corpus-scale) in exact Python ints — the numerator c_ab·T² can
+    exceed int64 at web scale, which DuckDB mirrors in HUGEINT.
+
+    Output: (w1, w2, n, pmi_ratio_ppm) with w1 ≤ w2."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, doc_idx = _doc_token_stats(df["text"])
+        frames = []
+        for off in range(1, window + 1):
+            if len(flat) <= off:
+                break
+            m = doc_idx[:-off] == doc_idx[off:]
+            a = flat[:-off][m]
+            b = flat[off:][m]
+            swap = a > b  # canonical lexicographic order (np.minimum
+            frames.append(  # has no unicode loop; np.where does)
+                pd.DataFrame(
+                    {"w1": np.where(swap, b, a), "w2": np.where(swap, a, b)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype=str),
+                    "w2": pd.Series(dtype=str),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype({"n": "int64"})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    ).materialize()  # model table: O(distinct window pairs), reused twice
+    p_total = int(counts.sum("n") or 0)
+    c1, t_total = _raw_unigram_counts(sf_dir)
+    model_ref = ray.put((c1, t_total, p_total))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c1_b, t_b, p_b = _cached_broadcast("pmi_model", model_ref)
+        df = df[df["n"] >= min_count]
+        # exact big-int PMI per MODEL row (bounded table, not corpus
+        # scale): c_ab·T² overflows int64 at web scale, so Python ints
+        ratios = [
+            (PPM * int(n) * t_b * t_b) // (p_b * c1_b[a] * c1_b[b])
+            for a, b, n in zip(df["w1"], df["w2"], df["n"])
+        ]
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].astype(object),
+                "w2": df["w2"].astype(object),
+                "n": df["n"].astype("int64"),
+                "pmi_ratio_ppm": pd.Series(ratios, dtype="int64", index=df.index),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pandas")
+
+
+def _raw_unigram_counts(sf_dir: str) -> tuple[dict, int]:
+    """{term: corpus count} + total tokens — the raw-count twin of
+    ``_corpus_unigram_ic`` (same ONE bounded vocabulary exchange)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, _ = _doc_token_stats(df["text"])
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"term": uniq, "n": cnt.astype(np.int64)})
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(vocab_partial, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # O(|vocab|) — bounded driver state
+    counts = {t: int(n) for t, n in zip(vocab["term"], vocab["n"])}
+    return counts, int(vocab["n"].sum())
