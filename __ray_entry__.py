@@ -84,6 +84,7 @@ from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.graph import (
     anchor_texts,
     cocitation_counts,
+    coupling_counts,
     crawl_depth,
     kcore,
     crawl_frontier,
@@ -283,6 +284,10 @@ def _q_reciprocal_links(sf_dir: str):
 
 def _q_cocitation_counts(sf_dir: str):
     return cocitation_counts(pages_dir_for(sf_dir))
+
+
+def _q_coupling_counts(sf_dir: str):
+    return coupling_counts(pages_dir_for(sf_dir))
 
 
 def _q_kcore(sf_dir: str):
@@ -603,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
         "cocitation_counts": _q_cocitation_counts,
+        "coupling_counts": _q_coupling_counts,
         "kcore": _q_kcore,
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
@@ -1571,6 +1577,24 @@ cc_e AS (
 SELECT a.u AS url_a, b.u AS url_b, CAST(count(*) AS BIGINT) AS n_sources
 FROM cc_e a JOIN cc_e b ON a.src = b.src AND a.u < b.u
 GROUP BY a.u, b.u HAVING count(*) >= 2"""
+)
+
+
+#: mirror of pipelines/graph.py::coupling_counts — per-target distinct
+#: citers (first 256 by url), lexicographic source pairs, min 2 targets
+_COUPLING_SQL = (
+    _PR_EDGES_CTE
+    + """,
+bc_e AS (
+  SELECT DISTINCT 'https://example.org/doc/' || src AS s, dst
+  FROM pr_edges
+),
+bc_r AS (SELECT s, dst, row_number() OVER (PARTITION BY dst ORDER BY s) rn
+         FROM bc_e),
+bc_k AS (SELECT s, dst FROM bc_r WHERE rn <= 256)
+SELECT a.s AS url_a, b.s AS url_b, CAST(count(*) AS BIGINT) AS n_targets
+FROM bc_k a JOIN bc_k b ON a.dst = b.dst AND a.s < b.s
+GROUP BY a.s, b.s HAVING count(*) >= 2"""
 )
 
 
@@ -3279,6 +3303,7 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "reciprocal_links": _RECIPROCAL_LINKS_SQL,
         "cocitation_counts": _COCITATION_SQL,
         "kcore": _KCORE_SQL,
+        "coupling_counts": _COUPLING_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

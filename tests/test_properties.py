@@ -579,3 +579,50 @@ def test_kcore_random_graphs_match_peel_replica(n, raw_edges, k):
     got = kcore(ds, k=k, prefix="n").to_pandas()
     got_m = {} if got.empty else dict(zip(got.url, got.degree))
     assert got_m == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=24,
+    ),
+)
+def test_coupling_counts_random_graphs_match_counter_replica(n, raw_edges):
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from zerox_ray.pipelines.graph import coupling_counts
+
+    edges = {(a % n, b % n) for a, b in raw_edges}
+    urls = [f"n{i}" for i in range(n)]
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    html = [
+        ("".join(f'<a href="n{t}">x</a>' for t in out[i]) or "<p>leaf</p>").encode()
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(html, pa.binary())})
+    )
+    by_dst = {}
+    for a, b in edges:
+        by_dst.setdefault(b, set()).add(f"n{a}")
+    want = Counter()
+    for srcs in by_dst.values():
+        ss = sorted(srcs)
+        for x in range(len(ss)):
+            for y in range(x + 1, len(ss)):
+                want[(ss[x], ss[y])] += 1
+    for min_targets in (1, 2):
+        got = coupling_counts(ds, prefix="n", min_targets=min_targets).to_pandas()
+        got_m = (
+            {}
+            if got.empty
+            else dict(zip(zip(got["url_a"], got["url_b"]), got["n_targets"]))
+        )
+        assert got_m == {k: v for k, v in want.items() if v >= min_targets}

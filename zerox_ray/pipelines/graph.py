@@ -1156,6 +1156,67 @@ def cocitation_counts(
     return counts.filter(expr=f"n_sources >= {int(min_sources)}")
 
 
+#: coupling_counts per-target citer cap (dual of COCITE_MAX_DEGREE): a
+#: page cited by millions of sources would emit O(indeg²) pairs; only
+#: the lexicographically-first 256 citers per target generate pairs —
+#: deterministic, SQL-replayable, and hub targets carry little per-pair
+#: signal anyway (same discount rationale as co-citation's degree cap)
+COUPLE_MAX_CITERS = 256
+
+
+def coupling_counts(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    min_targets: int = 2,
+    max_citers: int = COUPLE_MAX_CITERS,
+) -> ray.data.Dataset:
+    """Bibliographic coupling counts (Kessler 1963) — the dual of
+    ``cocitation_counts``: for each unordered SOURCE pair {a, b}, the
+    number of targets both link to. Where co-citation clusters pages by
+    who cites them, coupling clusters them by what they cite — the
+    outlink-profile similarity a crawl prioritizer or mirror detector
+    uses (two pages with near-identical outlink sets are usually
+    templates or mirrors of each other).
+
+    Scale shape: unlike co-citation, the pair generation key (the
+    shared TARGET) is not in hand during the payload scan, so this op
+    pays ONE grouped exchange: edges de-duped per batch → coarse-bucket
+    groupby(dst) → within each reduce task, per-target sorted-unique
+    citers capped at ``max_citers`` emit their C(k, 2) pairs (per-task
+    pair volume ≤ targets-in-bucket · max_citers²/2, bounded) → ONE
+    (url_a, url_b) grouped sum. ``min_targets`` filters after the
+    global sum. Output: (url_a, url_b, n_targets) with url_a < url_b."""
+    edges = link_graph(pages, prefix)
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for _, grp in g.groupby("dst", sort=False):
+            srcs = sorted(set(grp["src"]))[:max_citers]
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    a_out.append(srcs[i])
+                    b_out.append(srcs[j])
+        out = pd.DataFrame({"url_a": a_out, "url_b": b_out})
+        out = out.groupby(["url_a", "url_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_targets"}).astype(
+            {"n_targets": "int64"}
+        )
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    partials = bucketed_group_map(
+        edges.map_batches(dedupe, batch_format="pandas"), "dst", pairs_of_bucket
+    )
+    counts = bucketed_group_agg(
+        partials, ["url_a", "url_b"], {"n_targets": ("n_targets", "sum")}
+    )
+    return counts.filter(expr=f"n_targets >= {int(min_targets)}")
+
+
 # ---------------------------------------------------------------------------
 # Host-level graph family: the domain/host granularity every production
 # crawl pipeline aggregates to (per-domain politeness quotas, host-level
