@@ -204,6 +204,16 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
                 os.path.join(out_root, "paragraph_dedup")
             ),
         )
+        from zerox_ray.pipelines.graph import kcore
+        from zerox_ray.pipelines.textqual import bigram_logprobs
+
+        # r4 second wave: the fixed-round peel (per round one degree
+        # count + two semi joins — the densest iterative-join shape in
+        # the graph family; unreplicated corpus, same rationale as the
+        # census) and the stupid-backoff bigram LM (fused two-table
+        # count exchange + broadcast-scored streaming pass)
+        timed("kcore", lambda: kcore(pages_dir_for(sf_dir)).to_pandas())
+        timed("bigram_logprobs", lambda: bigram_logprobs(sf_dir).to_pandas())
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",

@@ -673,3 +673,24 @@ class TestGraphCensus:
         monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
         joined = G.triangle_stats(pages_dir_for(sf_dir)).to_pandas()
         assert bcast.equals(joined)
+
+
+def test_kcore_join_path_matches_broadcast(sf_dir, monkeypatch):
+    # force the above-cap two-semi-join branch and pin it
+    # output-identical to the survivor-broadcast branch
+    import zerox_ray.pipelines.graph as G
+
+    bcast = (
+        G.kcore(pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", -1)
+    joined = (
+        G.kcore(pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert bcast.equals(joined)

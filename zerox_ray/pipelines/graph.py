@@ -971,10 +971,20 @@ def reciprocal_links(
         ["url_a", "url_b"],
         {"fwd": ("fwd", "max"), "rev": ("rev", "max")},
     )
-    return pairs.map_batches(
-        lambda df: df.loc[(df["fwd"] == 1) & (df["rev"] == 1), ["url_a", "url_b"]],
-        batch_format="pandas",
-    )
+    def keep_mutual(df: pd.DataFrame):
+        out = df.loc[(df["fwd"] == 1) & (df["rev"] == 1), ["url_a", "url_b"]]
+        if len(out) == 0:
+            # typed empty block: Ray's pandas size estimator warns on
+            # size-0 object columns (same fix as hash_join._typed_empty)
+            return pa.table(
+                {
+                    "url_a": pa.array([], pa.string()),
+                    "url_b": pa.array([], pa.string()),
+                }
+            )
+        return out
+
+    return pairs.map_batches(keep_mutual, batch_format="pandas")
 
 
 KCORE_K = 4  # default core order; removals cascade for rounds (tested)
@@ -1001,11 +1011,14 @@ def kcore(
 
     Scale shape: the directed edge list is symmetrized and de-duped via
     ONE (a, b)-key grouped distinct (orientation rows carry the source
-    url so output needs no extra join); each round is ONE grouped
-    degree count + TWO partitioned semi joins restricting edges to
-    surviving endpoints — per-round cost O(m) like PageRank, state in
-    the object store, per-round coalesce. A round that removes nothing
-    ends the loop (every later round is a no-op by definition).
+    url so output needs no extra join); each round is ONE slim
+    (key, degree) grouped exchange, then the survivor key set restricts
+    E — broadcast via ray.put + one shuffle-free searchsorted filter
+    when ≤ TRI_BCAST_CAP_NODES (8 B/node), TWO partitioned semi joins
+    above it (both paths pinned output-identical in pytest) — per-round
+    cost O(m) like PageRank, state in the object store, per-round
+    coalesce. A round that removes nothing ends the loop (every later
+    round is a no-op by definition).
 
     Output: (url, degree) for nodes with ≥ 1 induced edge after the
     final restriction — degree is counted in the surviving subgraph."""
@@ -1048,52 +1061,123 @@ def kcore(
     n_buckets = max(8, min(default_num_partitions(), E.count() // 10_000 + 8))
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("ak", as_index=False).agg(degree=("n", "sum"))
+        return out.astype({"degree": "int64"})
+
+    # per round: ONE slim (ak, degree) exchange — the url column stays
+    # out of the loop's shuffles — then the survivor set restricts E.
+    # Survivor sets up to the triangle-census broadcast cap ship once
+    # via ray.put and filter E in one shuffle-free map (8 B/node, 64M
+    # nodes ≈ 512 MiB); above the cap, TWO partitioned semi joins do
+    # the same restriction (pinned output-identical in pytest by
+    # forcing the cap to 0). Per-round execution count is what made
+    # pagerank 9.5× faster — same lesson applied here.
+    for _ in range(rounds):
+        deg = bucketed_group_agg(
+            E.map_batches(deg_partial, batch_format="pandas"),
+            ["ak"],
+            {"degree": ("degree", "sum")},
+            num_buckets=n_buckets,
+        )
+        n_parts = max(8, min(1024, E.count() // 250_000 + 8))
+        if E.count() // 2 <= TRI_BCAST_CAP_NODES:
+            deg_df = deg.to_pandas()  # ≤ cap rows by the edge bound
+            if deg_df.empty:
+                break  # E already rowless: nothing left to peel
+            surv_np = deg_df.loc[deg_df["degree"] >= k, "ak"].to_numpy(
+                np.int64
+            )
+            if len(surv_np) == len(deg_df):
+                break  # fixpoint: every further round is a no-op
+            surv_np.sort()
+            surv_ref = ray.put(surv_np)
+
+            def restrict(df: pd.DataFrame, ref=surv_ref):
+                keys = ray.get(ref)  # zero-copy plasma read per task
+                out = df.iloc[0:0]
+                if len(keys):
+                    ak = df["ak"].to_numpy(np.int64)
+                    bk = df["bk"].to_numpy(np.int64)
+                    ia = np.searchsorted(keys, ak)
+                    ib = np.searchsorted(keys, bk)
+                    m = (
+                        (ia < len(keys))
+                        & (ib < len(keys))
+                        & (keys[np.minimum(ia, len(keys) - 1)] == ak)
+                        & (keys[np.minimum(ib, len(keys) - 1)] == bk)
+                    )
+                    out = df[m]
+                if len(out) == 0:
+                    # typed empty block (the hash_join._typed_empty fix:
+                    # Ray's size estimator warns on size-0 object cols)
+                    return pa.table(
+                        {
+                            "ak": pa.array([], pa.int64()),
+                            "bk": pa.array([], pa.int64()),
+                            "a_url": pa.array([], pa.string()),
+                            "n": pa.array([], pa.int64()),
+                        }
+                    )
+                return out[["ak", "bk", "a_url", "n"]]
+
+            E = (
+                E.map_batches(restrict, batch_format="pandas")
+                .repartition(n_parts)
+                .materialize()
+            )
+        else:
+            surv = (
+                deg.filter(expr=f"degree >= {int(k)}")
+                .select_columns(["ak"])
+                .materialize()
+            )
+            if surv.count() == deg.count():
+                break
+            surv_b = surv.map_batches(
+                lambda df: df.rename(columns={"ak": "bk"}),
+                batch_format="pandas",
+            )
+            E = (
+                hash_join(
+                    hash_join(E, surv, on="ak", how="semi", num_buckets=n_buckets),
+                    surv_b,
+                    on="bk",
+                    how="semi",
+                    num_buckets=n_buckets,
+                )
+                .repartition(n_parts)
+                .materialize()
+            )
+
+    def deg_url_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("ak", as_index=False).agg(
             degree=("n", "sum"), url=("a_url", "max")
         )
         return out.astype({"degree": "int64"})
 
-    for _ in range(rounds):
-        deg = bucketed_group_agg(
-            E.map_batches(deg_partial, batch_format="pandas"),
-            ["ak"],
-            {"degree": ("degree", "sum"), "url": ("url", "max")},
-            num_buckets=n_buckets,
-        )
-        surv = deg.filter(expr=f"degree >= {int(k)}").select_columns(["ak"]).materialize()
-        if surv.count() == deg.count():
-            break  # fixpoint: every further round is a no-op
-        surv_b = surv.map_batches(
-            lambda df: df.rename(columns={"ak": "bk"}), batch_format="pandas"
-        )
-        n_parts = max(8, min(1024, E.count() // 250_000 + 8))
-        E = (
-            hash_join(
-                hash_join(E, surv, on="ak", how="semi", num_buckets=n_buckets),
-                surv_b,
-                on="bk",
-                how="semi",
-                num_buckets=n_buckets,
-            )
-            .repartition(n_parts)
-            .materialize()
-        )
-
     final = bucketed_group_agg(
-        E.map_batches(deg_partial, batch_format="pandas"),
+        E.map_batches(deg_url_partial, batch_format="pandas"),
         ["ak"],
         {"degree": ("degree", "sum"), "url": ("url", "max")},
         num_buckets=n_buckets,
     )
-    return final.map_batches(
-        lambda df: pd.DataFrame(
+
+    def project(df: pd.DataFrame):
+        if len(df) == 0 or "url" not in df.columns:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "degree": pa.array([], pa.int64()),
+                }
+            )
+        return pd.DataFrame(
             {
                 "url": df["url"].astype(object),
                 "degree": df["degree"].astype("int64"),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    return final.map_batches(project, batch_format="pandas")
 #: thousands of targets would emit O(deg²) pairs; capping at the first
 #: 256 (sorted) outlinks bounds a page's pair contribution at ~32k rows
 #: — the standard guard in co-citation studies (hub pages carry little
