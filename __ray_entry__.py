@@ -82,6 +82,7 @@ from zerox_ray.pipelines.media import (
 )
 from zerox_ray.pipelines.ocr import extracted_pages, logprob_stats
 from zerox_ray.pipelines.graph import (
+    anchor_augment,
     anchor_texts,
     cocitation_counts,
     coupling_counts,
@@ -296,6 +297,10 @@ def _q_kcore(sf_dir: str):
 
 def _q_anchor_texts(sf_dir: str):
     return anchor_texts(pages_dir_for(sf_dir))
+
+
+def _q_anchor_augment(sf_dir: str):
+    return anchor_augment(pages_dir_for(sf_dir))
 
 
 def _q_leaf_pages(sf_dir: str):
@@ -612,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
+        "anchor_augment": _q_anchor_augment,
         "leaf_pages": _q_leaf_pages,
         "inlink_summaries": _q_inlink_summaries,
         "page_metadata": _q_page_metadata,
@@ -1697,6 +1703,24 @@ _INLINK_SUMMARIES_SQL = _ANCHOR_CTES + """
 SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
        string_agg(anchor, '|' ORDER BY anchor, src) AS anchors
 FROM an_t GROUP BY dst
+"""
+
+#: mirror of pipelines/graph.py::anchor_augment — the inlink anchor
+#: rollup left-joined onto the pages text (pages.text is documents.text
+#: verbatim, testgen.make_pages)
+_ANCHOR_AUGMENT_SQL = _ANCHOR_CTES + """,
+an_roll AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+         string_agg(anchor, '|' ORDER BY anchor, src) AS anchors
+  FROM an_t GROUP BY dst
+)
+SELECT 'https://example.org/doc/' || d.doc_id AS url,
+       CAST(coalesce(r.n_inlinks, 0) AS BIGINT) AS n_anchors,
+       CASE WHEN r.dst IS NULL THEN d.text
+            ELSE d.text || chr(10) || chr(10) || '[anchors] ' || r.anchors
+       END AS aug_text
+FROM documents d
+LEFT JOIN an_roll r ON r.dst = 'https://example.org/doc/' || d.doc_id
 """
 
 #: mirror of pipelines/graph.py::page_metadata — kind/title/link-count/
@@ -3306,6 +3330,7 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "coupling_counts": _COUPLING_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
+        "anchor_augment": _ANCHOR_AUGMENT_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,
         "inlink_summaries": _INLINK_SUMMARIES_SQL,
         "page_metadata": _PAGE_METADATA_SQL,

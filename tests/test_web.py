@@ -694,3 +694,30 @@ def test_kcore_join_path_matches_broadcast(sf_dir, monkeypatch):
         .reset_index(drop=True)
     )
     assert bcast.equals(joined)
+
+
+def test_anchor_augment_fuses_anchor_rollup_into_text(sf_dir):
+    from zerox_ray.pipelines.graph import anchor_augment, inlink_summaries
+    from zerox_ray.sources.pages import read_pages
+
+    roll = inlink_summaries(pages_dir_for(sf_dir)).to_pandas()
+    want = {d: (n, a) for d, n, a in zip(roll.dst, roll.n_inlinks, roll.anchors)}
+    texts = dict(
+        read_pages(pages_dir_for(sf_dir), columns=("url", "text"))
+        .to_pandas()[["url", "text"]]
+        .itertuples(index=False, name=None)
+    )
+    got = anchor_augment(pages_dir_for(sf_dir)).to_pandas()
+    assert len(got) == len(texts)  # one row per page, linked or not
+    # the synthetic link targets (id*31+7j+3 mod n) blanket the id space,
+    # so every page has inlinks here; the n_anchors==0 branch is covered
+    # by the hash_join empty/unmatched paths in compose (linkless-corpus
+    # guard) rather than by this corpus
+    assert (got.n_anchors > 0).all()
+    for url, n, aug in zip(got.url, got.n_anchors, got.aug_text):
+        if url in want:
+            exp_n, anchors = want[url]
+            assert n == exp_n
+            assert aug == texts[url] + "\n\n[anchors] " + anchors
+        else:
+            assert n == 0 and aug == texts[url]

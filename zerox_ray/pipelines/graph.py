@@ -237,6 +237,94 @@ def inlink_summaries(
     return bucketed_group_map(anchor_texts(pages, prefix), "dst", summarize)
 
 
+def anchor_augment(
+    pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
+) -> ray.data.Dataset:
+    """Anchor-text training augmentation: each page's text extended with
+    the anchor texts of its in-corpus inlinks — the graph→text fusion
+    pass behind anchor-augmented pretraining / retrieval corpora (link
+    text describes the TARGET page, so appending it enriches sparse
+    pages with how the web refers to them). Output: (url, n_anchors,
+    aug_text) where aug_text = text ++ "\\n\\n[anchors] " ++ the
+    '|'-joined inlink anchors in (anchor, src) order, or the text
+    unchanged when nothing links here (n_anchors = 0).
+
+    Scale shape: the ``inlink_summaries`` rollup (one dst-keyed
+    exchange over O(links) short strings) LEFT-joined onto the pages
+    text via the partitioned 63-bit-url-key hash join — the join moves
+    each text exactly once and the anchor side is O(linked pages); at
+    the small-graph extreme the anchor rollup fits a size-gated
+    broadcast instead (the dedup verify='auto' idiom), kept out here
+    because the general corpus has anchor mass proportional to the
+    corpus. Collision guard: the rollup side carries its url, rows are
+    dropped unless the urls match (same posture as rank_curate)."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "text"]) if isinstance(pages, str) else pages
+    rollup = inlink_summaries(pages, prefix)
+
+    def key_text(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": pd.Series(_h63(df["url"].tolist()), dtype="int64"),
+                "url": df["url"].astype(object),
+                "text": df["text"].astype(object),
+            }
+        )
+
+    def key_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": pd.Series(_h63(df["dst"].tolist()), dtype="int64"),
+                "url_a": df["dst"].astype(object),
+                "n_inlinks": df["n_inlinks"].astype("int64"),
+                "anchors": df["anchors"].astype(object),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(key_text, batch_format="pandas"),
+        rollup.map_batches(key_rollup, batch_format="pandas"),
+        on="k",
+        how="left",
+    )
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        # linkless corpus: hash_join resolves a schemaless empty right
+        # side by returning the left unchanged — no anchor columns at all
+        if "url_a" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "url": df["url"].astype(object),
+                    "n_anchors": pd.Series(0, index=df.index, dtype="int64"),
+                    "aug_text": df["text"].astype(object),
+                }
+            )
+        # left join: unmatched rows carry NaN on the anchor side; a 63-bit
+        # collision pairs the text with ANOTHER url's anchors — treat it
+        # as unmatched (url inequality), never corrupt the text (at the
+        # ~3e9-url birthday bound a collided pairing ALSO duplicates the
+        # left row: the 128-bit two-column key is the documented upgrade
+        # path, module docstring)
+        hit = df["url_a"].notna() & (df["url_a"] == df["url"])
+        anchors = df["anchors"].where(hit, "")
+        aug = df["text"].astype(object).where(
+            ~hit, df["text"].astype(object) + "\n\n[anchors] " + anchors
+        )
+        n = df["n_inlinks"].where(hit, 0)
+        return pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "n_anchors": pd.Series(
+                    n.to_numpy(dtype="float64").astype("int64"), dtype="int64"
+                ),
+                "aug_text": aug.astype(object),
+            }
+        )
+
+    return joined.map_batches(compose, batch_format="pandas")
+
+
 def leaf_pages(
     pages: ray.data.Dataset | str, prefix: str = "https://example.org/doc/"
 ) -> ray.data.Dataset:
