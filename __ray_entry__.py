@@ -116,6 +116,7 @@ from zerox_ray.pipelines.boilerplate import (
 from zerox_ray.pipelines.textqual import (
     bigram_counts,
     bigram_logprobs,
+    ngram_novelty,
     pmi_pairs,
     vocab_growth,
     classifier_scores,
@@ -656,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "bigram_logprobs": bigram_logprobs,
         "vocab_growth": vocab_growth,
+        "ngram_novelty": ngram_novelty,
         "pmi_pairs": pmi_pairs,
         "dup_class_sizes": dup_class_sizes,
         "corpus_datacard": corpus_datacard,
@@ -2307,6 +2309,25 @@ bz AS (SELECT doc_id, unnest(list_zip(ws[:-1], ws[2:])) z FROM bw)
 SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n
 FROM bz WHERE z[2] IS NOT NULL  -- list_zip pads the longer side w/ NULL
 GROUP BY w1, w2 HAVING count(*) >= 2""",
+        # mirrors textqual.ngram_novelty: distinct per-doc bigram keys
+        # (63-bit md5 of w1||US||w2), df over those keys, novelty =
+        # bigrams seen in no other doc; bigram-less docs get 0s
+        "ngram_novelty": """
+WITH nw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+nz AS (SELECT doc_id, unnest(list_zip(ws[:-1], ws[2:])) z FROM nw),
+nk AS (SELECT DISTINCT doc_id,
+              ('0x'||substring(md5(z[1] || chr(31) || z[2]),1,16))::UBIGINT // 2 AS k
+       FROM nz WHERE z[2] IS NOT NULL),
+ndf AS (SELECT k, count(*) c FROM nk GROUP BY k),
+nagg AS (SELECT doc_id, count(*) nb,
+                sum(CASE WHEN ndf.c >= 2 THEN 1 ELSE 0 END) nc
+         FROM nk JOIN ndf USING (k) GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.nb - a.nc, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN a.nb IS NULL THEN 0
+            ELSE ((a.nb - a.nc) * 1000000) // a.nb END AS BIGINT) AS novelty_ppm
+FROM documents d LEFT JOIN nagg a ON a.doc_id = d.doc_id""",
         # mirrors textqual.bigram_logprobs: stupid-backoff bigram LM —
         # seen (count>=2) pair ic = (1e6*ctf(w1)) // c(w1,w2); pruned
         # pair backs off to 2*((1e6*T) // ctf(w2))

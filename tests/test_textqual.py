@@ -309,3 +309,31 @@ def test_pmi_pairs_matches_python_replica(sf_dir):
     # the corpus must exercise both positive and negative association
     assert (got.pmi_ratio_ppm > 1_000_000).any()
     assert (got.pmi_ratio_ppm < 1_000_000).any()
+
+
+def test_ngram_novelty_matches_pure_python_replay(sf_dir):
+    import duckdb
+
+    from zerox_ray.pipelines.textqual import ngram_novelty
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    df = {}  # bigram -> set of docs
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        bgs = {(a, b) for a, b in zip(toks, toks[1:])}
+        per_doc[doc_id] = bgs
+        for bg in bgs:
+            df.setdefault(bg, set()).add(doc_id)
+    got = ngram_novelty(sf_dir).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for doc_id, bgs in per_doc.items():
+        nb = len(bgs)
+        novel = sum(1 for bg in bgs if len(df[bg]) == 1)
+        row = got.loc[doc_id]
+        assert row.n_bigrams == nb and row.n_novel == novel, doc_id
+        assert row.novelty_ppm == (novel * 1_000_000) // nb if nb else 0
+    # both signal directions present on the synthetic corpus
+    assert (got.n_novel > 0).any() and (got.n_novel < got.n_bigrams).any()
