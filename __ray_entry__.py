@@ -90,6 +90,7 @@ from zerox_ray.pipelines.graph import (
     kcore,
     crawl_frontier,
     crawl_timeline,
+    degree_assortativity,
     degree_distribution,
     hits,
     random_walks,
@@ -266,6 +267,10 @@ def _q_pagerank(sf_dir: str):
 
 def _q_triangle_stats(sf_dir: str):
     return triangle_stats(pages_dir_for(sf_dir))
+
+
+def _q_degree_assortativity(sf_dir: str):
+    return degree_assortativity(pages_dir_for(sf_dir))
 
 
 def _q_random_walks(sf_dir: str):
@@ -603,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_schedule": _q_host_schedule,
         "degree_distribution": _q_degree_distribution,
         "triangle_stats": _q_triangle_stats,
+        "degree_assortativity": _q_degree_assortativity,
         "random_walks": _q_random_walks,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3239,6 +3245,30 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
                  THEN 3 * n_triangles * 1000000 // n_wedges
                  ELSE 0 END AS BIGINT) AS global_clustering_ppm
 FROM tr""",
+        # degree assortativity: Pearson over endpoint degrees counted
+        # once per direction — Σx=Σy makes the ratio exact-integer;
+        # DuckDB // truncates toward zero, mirrored by the engine
+        "degree_assortativity": _PR_EDGES_CTE
+        + """,
+da_e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM pr_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM pr_edges WHERE src <> dst
+  )
+),
+da_d AS (SELECT a, count(*) AS d FROM da_e GROUP BY a),
+da_x AS (SELECT x.d AS dx, y.d AS dy
+         FROM da_e e JOIN da_d x ON e.a = x.a JOIN da_d y ON e.b = y.a),
+da_s AS (SELECT count(*)::HUGEINT AS n, sum(dx)::HUGEINT AS sx,
+                sum(dx * dx)::HUGEINT AS sxx, sum(dx * dy)::HUGEINT AS sxy
+         FROM da_x)
+SELECT CAST((SELECT count(*) FROM da_d) AS BIGINT) AS n_nodes,
+       CAST(n // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE (1000 * (n * sxy - sx * sx)) // (n * sxx - sx * sx)
+            END AS BIGINT) AS assortativity_milli
+FROM da_s""",
         # deterministic walks: seed at h63(url) % 16 = 0, step s picks
         # out-edge rank (h63(cur)+s) mod outdeg in dst-url order —
         # unrolled to the engine's 3 steps; walks stop at leaf pages

@@ -696,6 +696,39 @@ def test_kcore_join_path_matches_broadcast(sf_dir, monkeypatch):
     assert bcast.equals(joined)
 
 
+def test_degree_assortativity_join_path_matches_broadcast(sf_dir, monkeypatch):
+    # force the above-cap degree-attach hash-join branch and pin it
+    # output-identical to the broadcast-map branch
+    import zerox_ray.pipelines.graph as G
+
+    bcast = G.degree_assortativity(pages_dir_for(sf_dir)).to_pandas()
+    monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
+    joined = G.degree_assortativity(pages_dir_for(sf_dir)).to_pandas()
+    assert bcast.equals(joined)
+
+
+def test_degree_assortativity_known_graph():
+    # star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import degree_assortativity
+
+    html = b"".join(b'<a href="u%c">x</a>' % c for c in b"abc")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["uh", "ua", "ub", "uc"], pa.string()),
+                "html": pa.array([html, b"", b"", b""], pa.binary()),
+            }
+        )
+    )
+    got = degree_assortativity(ds, prefix="u").to_pandas().iloc[0]
+    assert int(got["n_nodes"]) == 4
+    assert int(got["n_edges"]) == 3
+    assert int(got["assortativity_milli"]) == -1000
+
+
 def test_anchor_augment_fuses_anchor_rollup_into_text(sf_dir):
     from zerox_ray.pipelines.graph import anchor_augment, inlink_summaries
     from zerox_ray.sources.pages import read_pages

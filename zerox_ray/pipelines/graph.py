@@ -1922,6 +1922,142 @@ def triangle_stats(
     )
 
 
+def degree_assortativity(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Degree assortativity of the undirected corpus link graph — the
+    Pearson correlation of endpoint degrees over edges (Newman 2002):
+    positive = hubs link hubs (social/citation shape), negative = hubs
+    link leaves (the typical web/spam-farm shape). One row:
+    (n_nodes, n_edges, assortativity_milli) with the coefficient in
+    exact milli-units.
+
+    All arithmetic is integer: with edges counted once per DIRECTION
+    (the symmetric convention), Σx = Σy and Σx² = Σy², so
+    r = (n·Σxy − Σx²ᵗᵒᵗ) / (n·Σx² − (Σx)²) is an exact integer ratio —
+    no float sqrt — and assortativity_milli = trunc(1000·num/den),
+    matching DuckDB's truncating ``//`` so the oracle replays it
+    bit-for-bit.
+
+    Scale shape: distinct undirected pairs via ONE (a, b) exchange,
+    degrees via ONE grouped sum (triangle_stats' front half), degree
+    attachment via the same size-gated broadcast↔join switch, then ONE
+    aggregate pass reduces everything to four scalars on the driver.
+    Honest cap: the int64 partial sums overflow when m·d_max² exceeds
+    2⁶³ (~10¹⁰ edges with 30k-degree hubs) — the upgrade path is
+    hi/lo-split accumulators through the same aggregate."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    raw = link_graph(pages, prefix) if edges is None else edges
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = _h63(t["src"].to_pylist())
+        d = _h63(t["dst"].to_pylist())
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        m = a != b
+        df = pd.DataFrame({"a": a[m], "b": b[m]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    und = (
+        bucketed_group_agg(
+            raw.map_batches(canon, batch_format="pyarrow").map_batches(
+                lambda df: df.assign(n=1), batch_format="pandas"
+            ),
+            ["a", "b"],
+            {"n": ("n", "sum")},
+        )
+        .drop_columns(["n"])
+        .materialize()
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([df["a"], df["b"]]).value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = bucketed_group_agg(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["v"],
+        {"deg": ("deg", "sum")},
+    ).materialize()
+
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        zero = pa.array([0], pa.int64())
+        return ray.data.from_arrow(
+            pa.table(
+                {"n_nodes": zero, "n_edges": zero, "assortativity_milli": zero}
+            )
+        )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        # symmetric convention: each undirected edge contributes both
+        # (da, db) and (db, da) — folded in closed form per row
+        return pd.DataFrame(
+            {
+                "n": [2 * len(df)],
+                "sx": [int(da.sum() + db.sum())],
+                "sxx": [int((da * da).sum() + (db * db).sum())],
+                "sxy": [int(2 * (da * db).sum())],
+            }
+        )
+
+    if n_nodes <= TRI_BCAST_CAP_NODES:
+        deg_pd = deg.to_pandas()  # bounded by the broadcast cap (16 B/node)
+        deg_ref = ray.put(
+            dict(zip(deg_pd["v"].to_numpy(np.int64), deg_pd["deg"].to_numpy(np.int64)))
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            from zerox_ray.pipelines.dataops import _cached_broadcast
+
+            dm = _cached_broadcast("assort_deg", deg_ref)
+            return moments(
+                df.assign(
+                    deg_a=df["a"].map(dm).astype("int64"),
+                    deg_b=df["b"].map(dm).astype("int64"),
+                )
+            )
+
+        parts = und.map_batches(attach, batch_format="pandas")
+    else:
+        dega = deg.map_batches(
+            lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
+            batch_format="pandas",
+        )
+        degb = deg.map_batches(
+            lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
+            batch_format="pandas",
+        )
+        parts = hash_join(hash_join(und, dega, on="a"), degb, on="b").map_batches(
+            moments, batch_format="pandas"
+        )
+
+    s = parts.sum(["n", "sx", "sxx", "sxy"])
+    n, sx = int(s["sum(n)"]), int(s["sum(sx)"])
+    sxx, sxy = int(s["sum(sxx)"]), int(s["sum(sxy)"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    # truncate toward zero (DuckDB // semantics; Python // floors)
+    r_milli = 0 if den == 0 else (abs(1000 * num) // den) * (1 if num >= 0 else -1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_edges": pa.array([n // 2], pa.int64()),
+                "assortativity_milli": pa.array([r_milli], pa.int64()),
+            }
+        )
+    )
+
+
 def random_walks(
     pages: ray.data.Dataset | str,
     steps: int = 3,
