@@ -92,6 +92,7 @@ from zerox_ray.pipelines.graph import (
     crawl_timeline,
     degree_assortativity,
     degree_distribution,
+    lpa_communities,
     hits,
     random_walks,
     triangle_stats,
@@ -271,6 +272,10 @@ def _q_triangle_stats(sf_dir: str):
 
 def _q_degree_assortativity(sf_dir: str):
     return degree_assortativity(pages_dir_for(sf_dir))
+
+
+def _q_lpa_communities(sf_dir: str):
+    return lpa_communities(pages_dir_for(sf_dir))
 
 
 def _q_random_walks(sf_dir: str):
@@ -609,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _q_degree_distribution,
         "triangle_stats": _q_triangle_stats,
         "degree_assortativity": _q_degree_assortativity,
+        "lpa_communities": _q_lpa_communities,
         "random_walks": _q_random_walks,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1679,6 +1685,46 @@ lc_rep AS (
 SELECT h2.url AS url, r.component AS component
 FROM lc_rep r JOIN lc_h h2 USING (doc_id)
 """
+)
+
+
+#: mirror of pipelines/graph.py::lpa_communities — 3 synchronous
+#: label-propagation rounds over the symmetrized distinct edge set;
+#: per round each node takes its neighbors' modal label (tie → min
+#: 63-bit key); linkless pages are their own community
+_LPA_ROUND = """
+lp{r} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) rn
+    FROM (SELECT e.v, l.lab, count(*) AS c
+          FROM lp_e e JOIN lp{p} l ON l.v = e.u GROUP BY e.v, l.lab)
+  ) WHERE rn = 1
+)"""
+
+_LPA_SQL = (
+    _PR_EDGES_CTE
+    + """,
+lp_h AS (
+  SELECT doc_id,
+         'https://example.org/doc/' || doc_id AS url,
+         ('0x'||substring(md5('https://example.org/doc/' || doc_id),1,16))::UBIGINT // 2 AS h
+  FROM documents
+),
+lp_e AS (
+  SELECT DISTINCT ha.h AS v, hb.h AS u
+  FROM (
+    SELECT src AS a, dst AS b FROM pr_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM pr_edges WHERE src <> dst
+  ) e JOIN lp_h ha ON ha.doc_id = e.a JOIN lp_h hb ON hb.doc_id = e.b
+),
+lp0 AS (SELECT DISTINCT v, v AS lab FROM lp_e),"""
+    + ",".join(_LPA_ROUND.format(r=r, p=r - 1) for r in (1, 2, 3))
+    + """
+SELECT h.url AS url, coalesce(hl.url, h.url) AS community
+FROM lp_h h
+LEFT JOIN lp3 l ON l.v = h.h
+LEFT JOIN lp_h hl ON hl.h = l.lab"""
 )
 
 
@@ -3380,6 +3426,7 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "kcore": _KCORE_SQL,
         "coupling_counts": _COUPLING_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
+        "lpa_communities": _LPA_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "anchor_augment": _ANCHOR_AUGMENT_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

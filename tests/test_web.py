@@ -754,3 +754,66 @@ def test_anchor_augment_fuses_anchor_rollup_into_text(sf_dir):
             assert aug == texts[url] + "\n\n[anchors] " + anchors
         else:
             assert n == 0 and aug == texts[url]
+
+def test_lpa_join_path_matches_broadcast(sf_dir, monkeypatch):
+    # force the above-cap label-attach hash-join branch and pin it
+    # output-identical to the broadcast searchsorted branch
+    import zerox_ray.pipelines.graph as G
+
+    key = ["url", "community"]
+    bcast = (
+        G.lpa_communities(pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
+    joined = (
+        G.lpa_communities(pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert bcast.equals(joined)
+
+
+def test_lpa_two_triangles_converge_to_min_member():
+    # a triangle converges to its min-63-bit-key member in 2 synchronous
+    # rounds; two disjoint triangles -> two communities; the linkless
+    # page stays its own community
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import _h63, lpa_communities
+
+    tri1, tri2, lone = ["ua", "ub", "uc"], ["ud", "ue", "uf"], "ug"
+
+    def html_for(group, me):
+        return b"".join(
+            b'<a href="%s">x</a>' % o.encode() for o in group if o != me
+        )
+
+    urls = tri1 + tri2 + [lone]
+    htmls = (
+        [html_for(tri1, u) for u in tri1]
+        + [html_for(tri2, u) for u in tri2]
+        + [b""]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+    )
+    got = dict(
+        zip(*(lambda d: (d["url"], d["community"]))(
+            lpa_communities(ds, prefix="u").to_pandas()
+        ))
+    )
+    rep1 = tri1[int(__import__("numpy").argmin(_h63(tri1)))]
+    rep2 = tri2[int(__import__("numpy").argmin(_h63(tri2)))]
+    assert all(got[u] == rep1 for u in tri1)
+    assert all(got[u] == rep2 for u in tri2)
+    assert got[lone] == lone

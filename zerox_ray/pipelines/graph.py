@@ -2058,6 +2058,194 @@ def degree_assortativity(
     )
 
 
+LPA_ROUNDS = 3  # fixed synchronous label-propagation rounds (SQL-unrolled)
+
+
+def lpa_communities(
+    pages: ray.data.Dataset | str,
+    rounds: int = LPA_ROUNDS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    undirected corpus link graph — the near-linear community detector
+    crawl pipelines use between connected components (too coarse: one
+    giant component) and modularity methods (too expensive at web
+    scale). Each node starts labeled with itself; each SYNCHRONOUS
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest 63-bit key — fully
+    deterministic, so a ``rounds``-unrolled SQL oracle replays it
+    bit-for-bit (the pagerank/kcore fixed-iteration contract; classic
+    LPA randomizes order and runs to convergence).
+
+    Output: (url, community) for EVERY page — community = the url whose
+    63-bit md5 key is the node's final label; linkless/isolated pages
+    are their own community (link_components' output contract, so the
+    two compose as coarse/fine views of the same corpus).
+
+    Scale shape: symmetrized distinct edges via ONE (v, u) exchange;
+    per round the O(nodes) label table attaches to the neighbor side —
+    shuffle-free via a ray.put'd sorted key/label array pair +
+    searchsorted when ≤ TRI_BCAST_CAP_NODES (16 B/node), ONE
+    partitioned hash join above it (both paths pinned
+    output-identical in pytest) — then per-batch partial (v, label)
+    counts and ONE v-bucketed reduce picking the argmax label; two
+    label→url back-joins finish (link_components' tail). Per-round
+    cost is O(m) rows of 24 B, state in the object store."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.relational import hash_join
+    from zerox_ray.stages.classify import default_num_partitions
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    raw = link_graph(ds, prefix) if edges is None else edges
+
+    slim = (
+        ds.select_columns(["url"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nk": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                    "url": t["url"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def orient(t: pa.Table) -> pd.DataFrame:
+        s = _h63(t["src"].to_pylist())
+        d = _h63(t["dst"].to_pylist())
+        v = np.concatenate([s, d])
+        u = np.concatenate([d, s])
+        m = v != u
+        df = pd.DataFrame({"v": v[m], "u": u[m]}).drop_duplicates()
+        df["n"] = np.int64(1)
+        return df
+
+    E = (
+        bucketed_group_agg(
+            raw.map_batches(orient, batch_format="pyarrow"),
+            ["v", "u"],
+            {"n": ("n", "max")},
+        )
+        .drop_columns(["n"])
+        .materialize()
+    )
+
+    def own(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"], "community": t["url"]})
+
+    if E.count() == 0:  # linkless corpus: every page is its own community
+        return slim.map_batches(own, batch_format="pyarrow")
+
+    # initial labels lab(v) = v over edge endpoints (ONE slim exchange)
+    labels = bucketed_group_agg(
+        E.map_batches(
+            lambda df: pd.DataFrame({"v": df["v"], "lab": df["v"]}),
+            batch_format="pandas",
+        ),
+        ["v"],
+        {"lab": ("lab", "max")},
+    ).materialize()
+    n_nodes = labels.count()
+
+    # size-aware widths, the pagerank lesson: don't fan tiny per-round
+    # tables into cluster-width buckets
+    n_buckets = max(8, min(default_num_partitions(), E.count() // 10_000 + 8))
+    n_parts = max(8, min(1024, E.count() // 250_000 + 8))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["v", "lab"], as_index=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["v", "lab"], as_index=False)["c"].sum()
+        s = s.sort_values(["v", "c", "lab"], ascending=[True, False, True])
+        w = s.drop_duplicates("v", keep="first")
+        return pd.DataFrame(
+            {
+                "v": w["v"].to_numpy(np.int64),
+                "lab": w["lab"].to_numpy(np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        if n_nodes <= TRI_BCAST_CAP_NODES:
+            lab_pd = labels.to_pandas()  # ≤ cap rows (16 B/node)
+            keys = lab_pd["v"].to_numpy(np.int64)
+            order = np.argsort(keys, kind="stable")
+            keys_ref = ray.put(keys[order])
+            labs_ref = ray.put(lab_pd["lab"].to_numpy(np.int64)[order])
+
+            def attach(df: pd.DataFrame, kr=keys_ref, lr=labs_ref):
+                keys = ray.get(kr)  # zero-copy plasma reads per task
+                labs = ray.get(lr)
+                iu = np.searchsorted(keys, df["u"].to_numpy(np.int64))
+                return count_partial(
+                    pd.DataFrame({"v": df["v"], "lab": labs[iu]})
+                )
+
+            parts = E.map_batches(attach, batch_format="pandas")
+        else:
+            lu = labels.map_batches(
+                lambda df: df.rename(columns={"v": "u"}), batch_format="pandas"
+            )
+            parts = hash_join(E, lu, on="u", num_buckets=n_buckets).map_batches(
+                count_partial, batch_format="pandas"
+            )
+        labels = (
+            bucketed_group_map(parts, "v", pick, num_buckets=n_buckets)
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    # label → representative url, node → url (link_components' tail)
+    lab_url = slim.map_batches(
+        lambda t: pa.table({"lab": t["nk"], "community": t["url"]}),
+        batch_format="pyarrow",
+    )
+    node_url = slim.map_batches(
+        lambda t: pa.table({"v": t["nk"], "url": t["url"]}),
+        batch_format="pyarrow",
+    )
+    resolved = hash_join(
+        hash_join(labels, lab_url, on="lab", num_buckets=n_buckets),
+        node_url,
+        on="v",
+        num_buckets=n_buckets,
+    ).select_columns(["url", "community"])
+
+    # linkless pages are their own community: anti-join via the labeled
+    # key set (O(nodes) — same broadcast gate as the rounds)
+    if n_nodes <= TRI_BCAST_CAP_NODES:
+        lab_keys = np.sort(labels.select_columns(["v"]).to_pandas()["v"].to_numpy(np.int64))
+        lk_ref = ray.put(lab_keys)
+
+        def lonely(df: pd.DataFrame, ref=lk_ref):
+            keys = ray.get(ref)
+            nk = df["nk"].to_numpy(np.int64)
+            i = np.searchsorted(keys, nk)
+            hit = (i < len(keys)) & (keys[np.minimum(i, len(keys) - 1)] == nk)
+            out = df.loc[~hit, ["url"]]
+            return pa.table(
+                {
+                    "url": pa.array(out["url"].astype(str).tolist(), pa.string()),
+                    "community": pa.array(out["url"].astype(str).tolist(), pa.string()),
+                }
+            )
+
+        rest = slim.map_batches(lonely, batch_format="pandas")
+    else:
+        lv = labels.map_batches(
+            lambda df: pd.DataFrame({"nk": df["v"]}), batch_format="pandas"
+        )
+        rest = hash_join(
+            slim, lv, on="nk", how="anti", num_buckets=n_buckets
+        ).map_batches(own, batch_format="pyarrow")
+    return resolved.union(rest)
+
+
 def random_walks(
     pages: ray.data.Dataset | str,
     steps: int = 3,
