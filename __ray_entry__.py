@@ -90,6 +90,7 @@ from zerox_ray.pipelines.graph import (
     kcore,
     crawl_frontier,
     crawl_timeline,
+    bowtie_census,
     degree_assortativity,
     degree_distribution,
     lpa_communities,
@@ -276,6 +277,10 @@ def _q_degree_assortativity(sf_dir: str):
 
 def _q_lpa_communities(sf_dir: str):
     return lpa_communities(pages_dir_for(sf_dir))
+
+
+def _q_bowtie_census(sf_dir: str):
+    return bowtie_census(pages_dir_for(sf_dir))
 
 
 def _q_random_walks(sf_dir: str):
@@ -615,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stats": _q_triangle_stats,
         "degree_assortativity": _q_degree_assortativity,
         "lpa_communities": _q_lpa_communities,
+        "bowtie_census": _q_bowtie_census,
         "random_walks": _q_random_walks,
         "raw_text_blocks": _q_raw_text_blocks,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1725,6 +1731,46 @@ SELECT h.url AS url, coalesce(hl.url, h.url) AS community
 FROM lp_h h
 LEFT JOIN lp3 l ON l.v = h.h
 LEFT JOIN lp_h hl ON hl.h = l.lab"""
+)
+
+
+#: mirror of pipelines/graph.py::bowtie_census — K=4 bounded BFS both
+#: directions from the max-inlink seed (tie → min url), then the
+#: CORE/IN/OUT/OTHER census over set sizes
+_BT_ROUND = """
+{s}{r} AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM {s}{p}
+    UNION ALL
+    SELECT e.{emit} AS v FROM pr_edges e JOIN {s}{p} x ON x.v = e.{probe}
+  )
+)"""
+
+_BOWTIE_SQL = (
+    _PR_EDGES_CTE
+    + """,
+bt_in AS (SELECT dst, count(*) AS c FROM pr_edges GROUP BY dst),
+bt_seed AS (SELECT dst AS s FROM bt_in
+            ORDER BY c DESC, 'https://example.org/doc/' || dst ASC LIMIT 1),
+f0 AS (SELECT s AS v FROM bt_seed),
+b0 AS (SELECT s AS v FROM bt_seed),"""
+    + ",".join(
+        _BT_ROUND.format(s=s, r=r, p=r - 1, emit=emit, probe=probe)
+        for s, emit, probe in (("f", "dst", "src"), ("b", "src", "dst"))
+        for r in (1, 2, 3, 4)
+    )
+    + """,
+bt_ct AS (SELECT
+  (SELECT count(*) FROM f4 JOIN b4 USING (v)) AS core,
+  (SELECT count(*) FROM f4) AS nf,
+  (SELECT count(*) FROM b4) AS nb,
+  (SELECT count(*) FROM documents) AS np)
+SELECT (SELECT 'https://example.org/doc/' || s FROM bt_seed) AS seed_url,
+       CAST(core AS BIGINT) AS core_pages,
+       CAST(nb - core AS BIGINT) AS in_pages,
+       CAST(nf - core AS BIGINT) AS out_pages,
+       CAST(np - nf - nb + core AS BIGINT) AS other_pages
+FROM bt_ct"""
 )
 
 
@@ -3427,6 +3473,7 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "coupling_counts": _COUPLING_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
         "lpa_communities": _LPA_SQL,
+        "bowtie_census": _BOWTIE_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "anchor_augment": _ANCHOR_AUGMENT_SQL,
         "leaf_pages": _LEAF_PAGES_SQL,

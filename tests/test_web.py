@@ -817,3 +817,62 @@ def test_lpa_two_triangles_converge_to_min_member():
     assert all(got[u] == rep1 for u in tri1)
     assert all(got[u] == rep2 for u in tri2)
     assert got[lone] == lone
+
+def test_bowtie_census_known_graph():
+    # seed = max-inlink node ua (2 inlinks); F={ua,ub,uo}, B={ua,ub,ui}
+    # -> core {ua,ub}, in {ui}, out {uo}, other {ux}
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import bowtie_census
+
+    pages = {
+        "ua": b'<a href="ub">x</a>',
+        "ub": b'<a href="ua">x</a><a href="uo">x</a>',
+        "ui": b'<a href="ua">x</a>',
+        "uo": b"",
+        "ux": b"",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(list(pages), pa.string()),
+                "html": pa.array(list(pages.values()), pa.binary()),
+            }
+        )
+    )
+    got = bowtie_census(ds, prefix="u").to_pandas().iloc[0]
+    assert got["seed_url"] == "ua"
+    assert int(got["core_pages"]) == 2
+    assert int(got["in_pages"]) == 1
+    assert int(got["out_pages"]) == 1
+    assert int(got["other_pages"]) == 1
+
+
+def test_bowtie_join_path_matches_broadcast(sf_dir, monkeypatch):
+    import zerox_ray.pipelines.graph as G
+
+    bcast = G.bowtie_census(pages_dir_for(sf_dir)).to_pandas()
+    monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
+    joined = G.bowtie_census(pages_dir_for(sf_dir)).to_pandas()
+    assert bcast.equals(joined)
+
+
+def test_bowtie_linkless_corpus_is_all_other():
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import bowtie_census
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["ua", "ub"], pa.string()),
+                "html": pa.array([b"", b""], pa.binary()),
+            }
+        )
+    )
+    got = bowtie_census(ds, prefix="u").to_pandas().iloc[0]
+    assert got["seed_url"] == ""
+    assert int(got["other_pages"]) == 2
+    assert int(got["core_pages"]) == 0

@@ -2246,6 +2246,121 @@ def lpa_communities(
     return resolved.union(rest)
 
 
+BOWTIE_HOPS = 4  # fixed BFS radius both directions (SQL-unrolled)
+
+
+def bowtie_census(
+    pages: ray.data.Dataset | str,
+    max_hops: int = BOWTIE_HOPS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """K-bounded bowtie decomposition of the directed corpus link graph
+    (Broder et al. 2000, "Graph structure in the Web"): pick the
+    highest-inlink page as the hub seed, BFS ``max_hops`` forward and
+    backward, and census the corpus into CORE (both directions — the
+    strongly-connected heart within radius K), IN (reaches the hub, not
+    reached), OUT (reached, doesn't reach back) and OTHER (tendrils,
+    disconnected islands, linkless pages). The IN/OUT/CORE balance is
+    the standard macro health check on a crawl: a starved IN region
+    means seed lists aren't feeding the core, a bloated OUT is crawler
+    traps. One row: (seed_url, core_pages, in_pages, out_pages,
+    other_pages). Bounded radius (NOT full reachability) keeps the
+    semantics fixed-round so a K-unrolled SQL oracle replays it
+    bit-for-bit — the pagerank/kcore/LPA contract; Broder's regions are
+    the K→∞ limit.
+
+    Scale shape: the payload is scanned ONCE — the (src, dst) edge
+    table is materialized and shared by the seed pick, the forward BFS
+    and (column-swapped) the backward BFS (each a ``crawl_depth`` run:
+    per round ONE partitioned hash join + ONE grouped min). Seed pick =
+    per-batch top-1 partials over the inlink rollup (≤1 row per block
+    reaches the driver). The CORE intersection ships the forward key
+    set via ray.put + searchsorted membership partials under
+    TRI_BCAST_CAP_NODES (8 B/node), ONE semi hash-join count above it
+    (paths pinned identical in pytest); everything else is dataset
+    counts — four scalars on the driver."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    E = (link_graph(ds, prefix) if edges is None else edges).materialize()
+    n_pages = ds.count()
+
+    def one_row(seed: str, core: int, inn: int, out: int) -> ray.data.Dataset:
+        other = n_pages - core - inn - out
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "seed_url": pa.array([seed], pa.string()),
+                    "core_pages": pa.array([core], pa.int64()),
+                    "in_pages": pa.array([inn], pa.int64()),
+                    "out_pages": pa.array([out], pa.int64()),
+                    "other_pages": pa.array([other], pa.int64()),
+                }
+            )
+        )
+
+    if E.count() == 0:  # linkless corpus: everything is OTHER
+        return one_row("", 0, 0, 0)
+
+    inl = bucketed_group_agg(
+        E.map_batches(
+            lambda df: df.groupby("dst", as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+            .astype({"c": "int64"}),
+            batch_format="pandas",
+        ),
+        ["dst"],
+        {"c": ("c", "sum")},
+    )
+    # global top-1: per-block partials, ≤1 row each, tiny driver merge
+    tops = inl.map_batches(
+        lambda df: df.sort_values(["c", "dst"], ascending=[False, True]).head(1),
+        batch_format="pandas",
+    ).to_pandas()
+    tops = tops.sort_values(["c", "dst"], ascending=[False, True])
+    seed = str(tops.iloc[0]["dst"])
+
+    E_rev = E.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    fw = crawl_depth(ds, [seed], max_hops, prefix, edges=E).materialize()
+    bw = crawl_depth(ds, [seed], max_hops, prefix, edges=E_rev).materialize()
+    n_f, n_b = fw.count(), bw.count()
+
+    fkeys = fw.map_batches(
+        lambda t: pa.table(
+            {"fk": pa.array(_h63(t["url"].to_pylist()), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    bkeys = bw.map_batches(
+        lambda t: pa.table(
+            {"fk": pa.array(_h63(t["url"].to_pylist()), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    if n_f <= TRI_BCAST_CAP_NODES:
+        fk = np.sort(fkeys.to_pandas()["fk"].to_numpy(np.int64))
+        fk_ref = ray.put(fk)
+
+        def member(df: pd.DataFrame, ref=fk_ref) -> pd.DataFrame:
+            keys = ray.get(ref)  # zero-copy plasma read per task
+            bk = df["fk"].to_numpy(np.int64)
+            i = np.searchsorted(keys, bk)
+            hit = (i < len(keys)) & (keys[np.minimum(i, len(keys) - 1)] == bk)
+            return pd.DataFrame({"n": [np.int64(hit.sum())]})
+
+        core = int(
+            bkeys.map_batches(member, batch_format="pandas").sum("n") or 0
+        )
+    else:
+        core = hash_join(bkeys, fkeys, on="fk", how="semi").count()
+    return one_row(seed, core, n_b - core, n_f - core)
+
+
 def random_walks(
     pages: ray.data.Dataset | str,
     steps: int = 3,
