@@ -154,6 +154,7 @@ from zerox_ray.pipelines.similarity import (
     ann_ivf_topk,
     ann_radius_search,
     embedding_moments,
+    embedding_principal,
     kmeans_clusters,
     semantic_dedup,
 )
@@ -777,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": kmeans_clusters,
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
+        "embedding_principal": embedding_principal,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
         # force — so the full IVF machinery (centroid assignment, probe
@@ -1731,6 +1733,43 @@ SELECT h.url AS url, coalesce(hl.url, h.url) AS community
 FROM lp_h h
 LEFT JOIN lp3 l ON l.v = h.h
 LEFT JOIN lp_h hl ON hl.h = l.lab"""
+)
+
+
+#: mirror of pipelines/similarity.py::embedding_principal — 3 unrolled
+#: integer power-iteration rounds over the scaled covariance
+#: n·s_ij − s_i·s_j, renormalized to max-abs 1000 with trunc-toward-zero
+_PCA_ROUND = """
+w{r} AS (SELECT c.i, sum(c.c * v.v) AS w FROM pc_cf c
+         JOIN v{p} v ON v.i = c.j GROUP BY c.i),
+m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+v{r} AS (SELECT i, CASE WHEN m = 0 THEN 0::HUGEINT
+                        WHEN w >= 0 THEN (1000 * w) // m
+                        ELSE -((1000 * (-w)) // m) END AS v
+         FROM w{r}, m{r})"""
+
+_PCA_SQL = (
+    """
+WITH pc_ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+pc_mom AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j,
+         count(*)::HUGEINT AS n, sum(a.q)::HUGEINT AS si,
+         sum(b.q)::HUGEINT AS sj, sum(a.q * b.q)::HUGEINT AS sij
+  FROM pc_ev a JOIN pc_ev b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+pc_cm AS (SELECT i, j, n * sij - si * sj AS c FROM pc_mom),
+pc_cf AS (SELECT i, j, c FROM pc_cm
+          UNION ALL SELECT j AS i, i AS j, c FROM pc_cm WHERE i <> j),
+v0 AS (SELECT DISTINCT i, 1000::HUGEINT AS v FROM pc_cf),"""
+    + ",".join(_PCA_ROUND.format(r=r, p=r - 1) for r in (1, 2, 3))
+    + """
+SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS component_milli
+FROM v3"""
 )
 
 
@@ -3658,6 +3697,7 @@ SELECT CAST(a.i - 1 AS BIGINT) AS dim_i, CAST(b.i - 1 AS BIGINT) AS dim_j,
        CAST(sum(a.q * b.q) AS BIGINT) AS s_ij
 FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY dim_i, dim_j""",
+        "embedding_principal": _PCA_SQL,
         # DSIR: hashed-feature rarity weights + global top-10% selection
         "dsir_sample": """
 WITH ds_tok AS (

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -618,4 +619,69 @@ def embedding_moments(sf_dir: str) -> ray.data.Dataset:
             "s_j": ("s_j", "sum"),
             "s_ij": ("s_ij", "sum"),
         },
+    )
+
+
+PCA_ROUNDS = 3  # fixed power-iteration rounds (SQL-unrolled)
+
+
+def embedding_principal(sf_dir: str, rounds: int = PCA_ROUNDS) -> ray.data.Dataset:
+    """Top principal direction of the embedding corpus via fixed-round
+    integer power iteration over the one-pass covariance — the
+    drift-monitoring / whitening primitive downstream of
+    ``embedding_moments`` (ABBA/mean-shift detectors track this vector
+    across corpus snapshots; SemDeDup-style pipelines whiten along it).
+    Output: (dim, component_milli) — the iterate after ``rounds``
+    multiplications by the scaled covariance n·Σxx − ΣxΣxᵀ, renormalized
+    each round to max-abs = 1000 with truncation toward zero, from the
+    all-1000 start vector. Fully deterministic integer arithmetic, so a
+    ``rounds``-unrolled SQL oracle (HUGEINT) replays it bit-for-bit; the
+    float eigenvector is the rounds→∞ limit of component_milli / 1000.
+
+    Scale shape: ALL the data-proportional work is ``embedding_moments``
+    (per batch ONE int64 Gram matmul, exchange ≤ d(d+1)/2 rows/batch);
+    the driver pull is the d(d+1)/2-row moment table (2,080 rows at
+    d = 64 — a scalar-sized model, never data rows) and the iteration is
+    O(rounds·d²) Python big-int work on the driver, exactly the k-means
+    "model on driver, data in the cluster" contract. Big-int covariance
+    entries are REQUIRED at scale: n·s_ij overflows int64 beyond ~10⁹
+    rows, which pandas would silently wrap — hence the object-dtype
+    pull."""
+    mom = embedding_moments(sf_dir).to_pandas()
+    if len(mom) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "component_milli": pa.array([], pa.int64()),
+                }
+            )
+        )
+    d = int(mom["dim_j"].max()) + 1
+    # exact big-int scaled covariance: C = n·s_ij − s_i·s_j (symmetric)
+    C = [[0] * d for _ in range(d)]
+    for dim_i, dim_j, n_rows, s_i, s_j, s_ij in mom[
+        ["dim_i", "dim_j", "n_rows", "s_i", "s_j", "s_ij"]
+    ].itertuples(index=False):
+        c = int(n_rows) * int(s_ij) - int(s_i) * int(s_j)
+        C[int(dim_i)][int(dim_j)] = c
+        C[int(dim_j)][int(dim_i)] = c
+
+    v = [1000] * d
+    for _ in range(rounds):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            v = [0] * d
+            break
+        # truncate toward zero (DuckDB // semantics; Python // floors)
+        v = [(1000 * abs(x) // m) * (1 if x >= 0 else -1) for x in w]
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array(list(range(d)), pa.int64()),
+                "component_milli": pa.array(v, pa.int64()),
+            }
+        )
     )
