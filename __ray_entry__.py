@@ -468,6 +468,12 @@ def _q_crawl_depth(sf_dir: str):
     return crawl_depth(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
 
 
+def _q_personalized_pagerank(sf_dir: str):
+    from zerox_ray.pipelines.graph import personalized_pagerank
+
+    return personalized_pagerank(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
+
+
 def _q_crawl_timeline(sf_dir: str):
     return crawl_timeline(pages_dir_for(sf_dir))
 
@@ -612,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
@@ -1536,6 +1543,38 @@ def _pagerank_sql(iters: int = 3) -> str:
         + f"""
 SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM pr_r{iters}"""
     )
+
+
+def _ppr_sql(iters: int = 3) -> str:
+    """Mirror of pipelines/graph.py::personalized_pagerank — fixed
+    rounds unrolled; teleport mass concentrated on the seed set (every
+    50th doc, matching _crawl_seeds); floor arithmetic end-to-end (all
+    operands non-negative, so DuckDB's // equals numpy's)."""
+    parts = [
+        _PR_EDGES_CTE
+        + """,
+ppr_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pr_edges GROUP BY src),
+ppr_r0 AS (SELECT doc_id,
+                  CAST(CASE WHEN doc_id % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+           FROM documents)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ppr_c{i} AS (
+  SELECT e.dst AS doc_id, CAST(sum(r.r // g.outdeg) AS BIGINT) AS s
+  FROM pr_edges e
+  JOIN ppr_deg g ON e.src = g.src
+  JOIN ppr_r{i - 1} r ON e.src = r.doc_id
+  GROUP BY e.dst
+),
+ppr_r{i} AS (
+  SELECT n.doc_id,
+         CAST(CASE WHEN n.doc_id % 50 = 0 THEN 150000 ELSE 0 END
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM documents n LEFT JOIN ppr_c{i} c USING (doc_id)
+)""")
+    return "".join(parts) + f"""
+SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM ppr_r{iters}"""
 
 
 def _hits_sql(iters: int = 2) -> str:
@@ -3335,6 +3374,7 @@ SELECT 'https://example.org/doc/' || dst AS dst,
 FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
+        "personalized_pagerank": _ppr_sql(),
         # host family: multihost corpus (testgen.mh_url — 23 hosts);
         # every edge replayable from doc_id via related_links + host map
         "host_graph": _MH_EDGES_CTE

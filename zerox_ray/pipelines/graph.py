@@ -691,35 +691,26 @@ def link_components(
     )
 
 
-def pagerank(
-    pages: ray.data.Dataset | str,
-    iters: int = PR_ITERS,
-    prefix: str = "https://example.org/doc/",
-    edges: ray.data.Dataset | None = None,
-) -> ray.data.Dataset:
-    """Integer-exact PageRank over the in-corpus link graph.
+def _pagerank_state(
+    ds: ray.data.Dataset,
+    prefix: str,
+    edges: ray.data.Dataset | None,
+) -> tuple[ray.data.Dataset, ray.data.Dataset, ray.data.Dataset, int, int]:
+    """Shared int-key state for the PageRank-family iterative loops:
+    (nodes, edges_deg, zeros, n_parts, n_buckets).
 
-    r0(v) = PR_SCALE; each round:
-      contrib(e: u→v) = r(u) // outdeg(u)
-      r'(v) = (1-d)·PR_SCALE + (d_num · Σ contrib(·→v)) // d_den
-    computed with floor divisions throughout, so DuckDB replays it
-    exactly. Output: (url, rank) with rank in micro-units.
+    Everything iterative runs on int64 url-keys: urls are hashed ONCE
+    at the edges (63-bit md5), shuffled as 8-byte ints through every
+    round, and joined back to strings once at the end. The first
+    version carried url strings through each round and re-md5'd them
+    per round; worse, each round's output block count compounded
+    (64→640 blocks over 3 rounds at 5k nodes) so round wall time grew
+    10→57 s. Int keys + a per-round coalesce hold it flat.
 
-    ``edges``: optional pre-extracted (src, dst) edge table — pass
-    ``link_graph(...).materialize()`` when another consumer shares the
-    graph (crawl_frontier does) so the payload bytes are regex-scanned
-    exactly once per query."""
+    ``zeros`` is one (k, c=0) row per node — unioned into each round's
+    grouped sum so dangling receivers emit without a second shuffle."""
     from zerox_ray.pipelines.relational import hash_join
 
-    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
-
-    # Everything iterative runs on int64 url-keys: urls are hashed ONCE
-    # at the edges (63-bit md5), shuffled as 8-byte ints through every
-    # round, and joined back to strings once at the end. The first
-    # version carried url strings through each round and re-md5'd them
-    # per round; worse, each round's output block count compounded
-    # (64→640 blocks over 3 rounds at 5k nodes) so round wall time grew
-    # 10→57 s. Int keys + a per-round coalesce hold it flat.
     nodes = ds.select_columns(["url"]).map_batches(
         lambda t: pa.table(
             {
@@ -768,22 +759,48 @@ def pagerank(
     n_edges = edges_deg.count()
     n_parts = max(8, min(1024, n_nodes // 250_000 + 8))
     n_buckets = max(8, min(default_num_partitions(), n_edges // 10_000 + 8))
-    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·S
 
     edges_deg = edges_deg.repartition(
         max(8, min(1024, n_edges // 250_000 + 8))
     ).materialize()
-    ranks = (
+    zeros = (
         nodes.map_batches(
-            lambda t: pa.table({"sk": t["k"], "r": pa.array([PR_SCALE] * t.num_rows, pa.int64())}),
+            lambda t: pa.table({"k": t["k"], "c": pa.array([0] * t.num_rows, pa.int64())}),
             batch_format="pyarrow",
         )
         .repartition(n_parts)
         .materialize()
     )
-    zeros = (
+    return nodes, edges_deg, zeros, n_parts, n_buckets
+
+
+def pagerank(
+    pages: ray.data.Dataset | str,
+    iters: int = PR_ITERS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Integer-exact PageRank over the in-corpus link graph.
+
+    r0(v) = PR_SCALE; each round:
+      contrib(e: u→v) = r(u) // outdeg(u)
+      r'(v) = (1-d)·PR_SCALE + (d_num · Σ contrib(·→v)) // d_den
+    computed with floor divisions throughout, so DuckDB replays it
+    exactly. Output: (url, rank) with rank in micro-units.
+
+    ``edges``: optional pre-extracted (src, dst) edge table — pass
+    ``link_graph(...).materialize()`` when another consumer shares the
+    graph (crawl_frontier does) so the payload bytes are regex-scanned
+    exactly once per query."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    nodes, edges_deg, zeros, n_parts, n_buckets = _pagerank_state(ds, prefix, edges)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·S
+
+    ranks = (
         nodes.map_batches(
-            lambda t: pa.table({"k": t["k"], "c": pa.array([0] * t.num_rows, pa.int64())}),
+            lambda t: pa.table({"sk": t["k"], "r": pa.array([PR_SCALE] * t.num_rows, pa.int64())}),
             batch_format="pyarrow",
         )
         .repartition(n_parts)
@@ -833,6 +850,111 @@ def pagerank(
                 ),
                 batch_format="pyarrow",
             )
+            .repartition(n_parts)
+            .materialize()
+        )
+
+    final = hash_join(
+        ranks.map_batches(
+            lambda t: pa.table({"k": t["sk"], "r": t["r"]}),
+            batch_format="pyarrow",
+        ),
+        nodes,
+        on="k",
+    )
+    return final.map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["url"].astype(object), "rank": df["r"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def personalized_pagerank(
+    pages: ray.data.Dataset | str,
+    seeds: list[str],
+    iters: int = PR_ITERS,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Integer-exact personalized PageRank: the random surfer teleports
+    to the SEED set instead of uniformly — the topic-/trust-focused
+    authority signal (TrustRank-style seed propagation; Haveliwala 2002
+    topic-sensitive PageRank) a curator uses to rank pages by proximity
+    to a trusted whitelist rather than by global popularity.
+
+      r0(v)  = PR_SCALE·[v ∈ seeds]
+      r'(v)  = (1-d)·PR_SCALE·[v ∈ seeds] + (d_num·Σ contrib(·→v)) // d_den
+
+    Floor division throughout, so the fixed-round unrolled SQL oracle
+    replays it bit-for-bit. Output: (url, rank) for EVERY page — pages
+    unreachable from the seeds hold rank 0 (the distillation filter
+    ``rank > 0`` is then shuffle-free).
+
+    Scale shape: identical to ``pagerank`` — per round ONE partitioned
+    hash join + ONE grouped sum over int64 url-keys, state in the
+    object store; the seed set is a workload input (trusted lists are
+    small), shipped ONCE via ``ray.put`` and probed with a vectorized
+    ``np.isin`` when the per-round base term is added. Zero-valued
+    contributions are dropped before the exchange, so early rounds
+    shuffle O(reached frontier) rows, not O(edges)."""
+    import ray as _ray
+
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    nodes, edges_deg, zeros, n_parts, n_buckets = _pagerank_state(ds, prefix, edges)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·S
+    seed_keys = np.sort(_h63(list(seeds))) if seeds else np.array([], np.int64)
+    seed_ref = _ray.put(seed_keys)
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        sk = _ray.get(seed_ref)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.where(np.isin(k, sk), np.int64(PR_SCALE), np.int64(0))
+        return pa.table({"sk": pa.array(k), "r": pa.array(r)})
+
+    ranks = (
+        nodes.map_batches(init_ranks, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def contrib(df: pd.DataFrame) -> pa.Table:
+        # clean Arrow out (unions with the Arrow zeros table — see
+        # pagerank); zero contributions carry no mass, drop them here so
+        # sparse early rounds exchange only the reached frontier
+        c = df["r"].to_numpy(np.int64) // df["outdeg"].to_numpy(np.int64)
+        m = c > 0
+        return pa.table(
+            {
+                "k": pa.array(df["dk"].to_numpy(np.int64)[m]),
+                "c": pa.array(c[m]),
+            }
+        )
+
+    def renorm(t: pa.Table) -> pa.Table:
+        sk = _ray.get(seed_ref)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.where(np.isin(k, sk), np.int64(base), np.int64(0))
+        return pa.table(
+            {
+                "sk": pa.array(k),
+                "r": pa.array(b + PR_DAMP_NUM * c // PR_DAMP_DEN),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_join(edges_deg, ranks, on="sk", num_buckets=n_buckets)
+        total = bucketed_group_agg(
+            joined.map_batches(contrib, batch_format="pandas").union(zeros),
+            ["k"],
+            {"c": ("c", "sum")},
+            num_buckets=n_buckets,
+        )
+        ranks = (
+            total.map_batches(renorm, batch_format="pyarrow")
             .repartition(n_parts)
             .materialize()
         )
