@@ -474,6 +474,12 @@ def _q_personalized_pagerank(sf_dir: str):
     return personalized_pagerank(pages_dir_for(sf_dir), seeds=_crawl_seeds(sf_dir))
 
 
+def _q_local_clustering(sf_dir: str):
+    from zerox_ray.pipelines.graph import local_clustering
+
+    return local_clustering(pages_dir_for(sf_dir))
+
+
 def _q_crawl_timeline(sf_dir: str):
     return crawl_timeline(pages_dir_for(sf_dir))
 
@@ -619,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_inlinks": _q_page_inlinks,
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
+        "local_clustering": _q_local_clustering,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
@@ -1575,6 +1582,38 @@ ppr_r{i} AS (
 )""")
     return "".join(parts) + f"""
 SELECT 'https://example.org/doc/' || doc_id AS url, r AS rank FROM ppr_r{iters}"""
+
+
+#: mirror of pipelines/graph.py::local_clustering — per-node closed-wedge
+#: count over the distinct undirected edge set (orientation-free triple
+#: join; the engine's degree-oriented count is orientation-invariant),
+#: zero-filled for linkless pages
+_LOCAL_CLUSTERING_SQL = (
+    _PR_EDGES_CTE
+    + """,
+lc_ud AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM pr_edges WHERE src <> dst
+),
+lc_sym AS (SELECT a AS u, b AS v FROM lc_ud UNION ALL SELECT b AS u, a AS v FROM lc_ud),
+lc_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM lc_sym GROUP BY u),
+lc_tri AS (
+  SELECT w1.u AS node, CAST(count(*) AS BIGINT) AS t
+  FROM lc_sym w1
+  JOIN lc_sym w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN lc_ud e ON e.a = w1.v AND e.b = w2.v
+  GROUP BY w1.u
+)
+SELECT 'https://example.org/doc/' || d.doc_id AS url,
+       COALESCE(g.deg, 0) AS degree,
+       COALESCE(t.t, 0) AS n_triangles,
+       CASE WHEN COALESCE(g.deg, 0) >= 2
+            THEN (2 * COALESCE(t.t, 0) * 1000000) // (g.deg * (g.deg - 1))
+            ELSE 0 END AS clustering_ppm
+FROM documents d
+LEFT JOIN lc_deg g ON g.u = d.doc_id
+LEFT JOIN lc_tri t ON t.node = d.doc_id"""
+)
 
 
 def _hits_sql(iters: int = 2) -> str:
@@ -3375,6 +3414,7 @@ FROM pr_edges GROUP BY dst
 """,
         "pagerank": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),
+        "local_clustering": _LOCAL_CLUSTERING_SQL,
         # host family: multihost corpus (testgen.mh_url — 23 hosts);
         # every edge replayable from doc_id via related_links + host map
         "host_graph": _MH_EDGES_CTE

@@ -664,6 +664,101 @@ class TestGraphCensus:
             steps = sorted(pos)
             assert steps == list(range(len(steps)))
 
+    def test_local_clustering_matches_pure_python(self, sf_dir):
+        from zerox_ray.pipelines.graph import local_clustering
+
+        und = set()
+        for s, d in self._edges(sf_dir):
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = {}
+        for a, b in und:
+            for c in adj[a] & adj[b]:
+                for x in (a, b, c):
+                    tri[x] = tri.get(x, 0) + 1
+        # each triangle visited once per edge = 3 times; corners credited
+        # 3x each → divide by 3
+        tri = {k: v // 3 for k, v in tri.items()}
+
+        got = local_clustering(pages_dir_for(sf_dir)).to_pandas()
+        assert got.url.is_unique
+        for r in got.itertuples():
+            deg = len(adj.get(r.url, ()))
+            t = tri.get(r.url, 0)
+            assert r.degree == deg, r.url
+            assert r.n_triangles == t, r.url
+            want_c = 2 * t * 1_000_000 // (deg * (deg - 1)) if deg >= 2 else 0
+            assert r.clustering_ppm == want_c, r.url
+        # signal is real: some node closes a triangle
+        assert got.n_triangles.sum() > 0
+
+    def test_local_clustering_join_path_matches_broadcast(self, sf_dir, monkeypatch):
+        import zerox_ray.pipelines.graph as G
+
+        bcast = (
+            G.local_clustering(pages_dir_for(sf_dir))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", -1)
+        joined = (
+            G.local_clustering(pages_dir_for(sf_dir))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert bcast.equals(joined)
+
+    def test_personalized_pagerank_matches_pure_python(self, sf_dir):
+        from zerox_ray.pipelines.graph import (
+            PR_DAMP_DEN,
+            PR_DAMP_NUM,
+            PR_ITERS,
+            PR_SCALE,
+            personalized_pagerank,
+        )
+        from zerox_ray.testgen import URL_PREFIX
+
+        edges = sorted(self._edges(sf_dir))
+        nodes = set()
+        for s, d in edges:
+            nodes.add(s)
+            nodes.add(d)
+        n_docs = max(int(u.rsplit("/", 1)[1]) for u in nodes) + 1
+        all_urls = [f"{URL_PREFIX}{d}" for d in range(n_docs)]
+        seeds = {f"{URL_PREFIX}{d}" for d in range(0, n_docs, 50)}
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+        r = {u: PR_SCALE if u in seeds else 0 for u in all_urls}
+        for _ in range(PR_ITERS):
+            s = {u: 0 for u in all_urls}
+            for u, v in edges:
+                s[v] += r[u] // outdeg[u]
+            r = {
+                u: (base if u in seeds else 0) + PR_DAMP_NUM * s[u] // PR_DAMP_DEN
+                for u in all_urls
+            }
+        got = personalized_pagerank(
+            pages_dir_for(sf_dir), seeds=sorted(seeds)
+        ).to_pandas()
+        assert len(got) == n_docs
+        for url, rank in zip(got.url, got["rank"]):
+            assert r[url] == rank, url
+        # teleport concentration is real: some pages are unreached (0)
+        # and seeds outrank the median
+        assert (got["rank"] == 0).any()
+        assert (
+            got[got.url.isin(seeds)]["rank"].median()
+            > got["rank"].median()
+        )
+
     def test_triangle_stats_join_path_matches_broadcast(self, sf_dir, monkeypatch):
         # force the above-cap partitioned-join branch and pin it
         # output-identical to the broadcast branch

@@ -1828,6 +1828,112 @@ def degree_distribution(
     return hist_of(degrees("src"), "out").union(hist_of(degrees("dst"), "in"))
 
 
+def _undirected_pairs(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(src, dst) url edges → distinct undirected int-key pairs (a, b)
+    with a < b: per-batch canonicalize+dedup combiner, then ONE (a, b)
+    grouped-sum exchange. Materialized — the triangle family re-scans
+    these slim int pairs from the object store, never the payloads."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = _h63(t["src"].to_pylist())
+        d = _h63(t["dst"].to_pylist())
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        m = a != b
+        df = pd.DataFrame({"a": a[m], "b": b[m]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        bucketed_group_agg(
+            edges.map_batches(canon, batch_format="pyarrow")
+            .map_batches(lambda df: df.assign(n=1), batch_format="pandas"),
+            ["a", "b"],
+            {"n": ("n", "sum")},
+        )
+        .drop_columns(["n"])
+        .materialize()
+    )
+
+
+def _pair_degrees(und: ray.data.Dataset) -> ray.data.Dataset:
+    """Undirected (a, b) pairs → (v, deg) node degrees: per-batch
+    value-counts combiner, one grouped sum. Materialized (≤16 B/node)."""
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([df["a"], df["b"]]).value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "deg": vc.to_numpy(np.int64)}
+        )
+
+    return bucketed_group_agg(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["v"],
+        {"deg": ("deg", "sum")},
+    ).materialize()
+
+
+def _oriented_edges(
+    und: ray.data.Dataset, deg: ray.data.Dataset, n_nodes: int
+) -> ray.data.Dataset:
+    """Orient each undirected edge from its lower-(deg, id) endpoint —
+    the degree-ORIENTED edge set (u, v, dv, tag=0) every O(m^1.5)
+    triangle counter iterates, capping out-neighborhoods at O(√m).
+
+    The degree table is 16 bytes/node: below the broadcast cap it ships
+    ONCE via ray.put and orientation is a shuffle-free map (the
+    size-gated broadcast↔join switch the dedup family uses); above the
+    cap, two partitioned int-key joins attach deg_a/deg_b — same
+    output. The join branch MUST materialize (two downstream consumers
+    would otherwise re-run both O(edges) degree-attach shuffles); the
+    broadcast branch stays lazy — `und` is materialized and the orient
+    map is cheap, so re-running it once beats a materialize round."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame(
+            {
+                "u": np.where(first, a, b),
+                "v": np.where(first, b, a),
+                "dv": np.where(first, db, da),  # head's (deg) for ordering
+                "tag": np.zeros(len(df), np.int64),
+            }
+        )
+
+    if n_nodes <= TRI_BCAST_CAP_NODES:
+        deg_pd = deg.to_pandas()  # bounded by the same 1 GiB cap
+        deg_ref = ray.put(
+            dict(zip(deg_pd["v"].to_numpy(np.int64), deg_pd["deg"].to_numpy(np.int64)))
+        )
+
+        def attach_and_orient(df: pd.DataFrame) -> pd.DataFrame:
+            from zerox_ray.pipelines.dataops import _cached_broadcast
+
+            dm = _cached_broadcast("tri_deg", deg_ref)
+            df = df.assign(
+                deg_a=df["a"].map(dm).astype("int64"),
+                deg_b=df["b"].map(dm).astype("int64"),
+            )
+            return orient(df)
+
+        return und.map_batches(attach_and_orient, batch_format="pandas")
+    dega = deg.map_batches(
+        lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
+        batch_format="pandas",
+    )
+    degb = deg.map_batches(
+        lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
+        batch_format="pandas",
+    )
+    both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
+    return both.map_batches(orient, batch_format="pandas").materialize()
+
+
 def triangle_stats(
     pages: ray.data.Dataset | str,
     prefix: str = "https://example.org/doc/",
@@ -1851,43 +1957,9 @@ def triangle_stats(
     the node/edge/wedge census is ONE aggregate pass. The oracle replays
     the count with a plain (orientation-free) SQL triple join — the
     census is orientation-invariant."""
-    from zerox_ray.pipelines.relational import hash_join
-
     edges = link_graph(pages, prefix) if edges is None else edges
-
-    def canon(t: pa.Table) -> pa.Table:
-        s = _h63(t["src"].to_pylist())
-        d = _h63(t["dst"].to_pylist())
-        a, b = np.minimum(s, d), np.maximum(s, d)
-        m = a != b
-        df = pd.DataFrame({"a": a[m], "b": b[m]}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
-    # distinct undirected pairs: per-batch dedup → ONE (a, b) grouped sum
-    und = (
-        bucketed_group_agg(
-            edges.map_batches(canon, batch_format="pyarrow")
-            .map_batches(lambda df: df.assign(n=1), batch_format="pandas"),
-            ["a", "b"],
-            {"n": ("n", "sum")},
-        )
-        .drop_columns(["n"])
-        .materialize()  # O(edges) slim int pairs, reused by 3 consumers
-    )
-
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = pd.concat([df["a"], df["b"]]).value_counts()
-        return pd.DataFrame(
-            {"v": vc.index.to_numpy(np.int64), "deg": vc.to_numpy(np.int64)}
-        )
-
-    deg = bucketed_group_agg(
-        und.map_batches(deg_partial, batch_format="pandas"),
-        ["v"],
-        {"deg": ("deg", "sum")},
-    ).materialize()
+    und = _undirected_pairs(edges)
+    deg = _pair_degrees(und)
 
     # node/edge/wedge census in ONE aggregate pass over deg: n_nodes =
     # Σ1, n_edges = Σdeg / 2 (each undirected edge counted at both
@@ -1924,59 +1996,7 @@ def triangle_stats(
     n_edges = int(stats["sum(ds)"]) // 2
     n_wedges = int(stats["sum(w)"])
 
-    # orient each edge from its lower-(deg, id) endpoint. The degree
-    # table is 16 bytes/node: below the broadcast cap it ships ONCE via
-    # ray.put and orientation is a shuffle-free map (the size-gated
-    # broadcast↔join switch the dedup family uses); above the cap, two
-    # partitioned int-key joins attach deg_a/deg_b — same output.
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        da = df["deg_a"].to_numpy(np.int64)
-        db = df["deg_b"].to_numpy(np.int64)
-        first = (da < db) | ((da == db) & (a < b))
-        return pd.DataFrame(
-            {
-                "u": np.where(first, a, b),
-                "v": np.where(first, b, a),
-                "dv": np.where(first, db, da),  # head's (deg) for ordering
-                "tag": np.zeros(len(df), np.int64),
-            }
-        )
-
-    if n_nodes <= TRI_BCAST_CAP_NODES:
-        deg_pd = deg.to_pandas()  # bounded by the same 1 GiB cap
-        deg_ref = ray.put(
-            dict(zip(deg_pd["v"].to_numpy(np.int64), deg_pd["deg"].to_numpy(np.int64)))
-        )
-
-        def attach_and_orient(df: pd.DataFrame) -> pd.DataFrame:
-            from zerox_ray.pipelines.dataops import _cached_broadcast
-
-            dm = _cached_broadcast("tri_deg", deg_ref)
-            df = df.assign(
-                deg_a=df["a"].map(dm).astype("int64"),
-                deg_b=df["b"].map(dm).astype("int64"),
-            )
-            return orient(df)
-
-        oriented = und.map_batches(attach_and_orient, batch_format="pandas")
-    else:
-        dega = deg.map_batches(
-            lambda df: df.rename(columns={"v": "a", "deg": "deg_a"}),
-            batch_format="pandas",
-        )
-        degb = deg.map_batches(
-            lambda df: df.rename(columns={"v": "b", "deg": "deg_b"}),
-            batch_format="pandas",
-        )
-        both = hash_join(hash_join(und, dega, on="a"), degb, on="b")
-        # the join branch MUST materialize: two consumers below would
-        # otherwise re-run both O(edges) degree-attach shuffles
-        oriented = both.map_batches(orient, batch_format="pandas").materialize()
-    # broadcast branch stays lazy: `und` is materialized and the orient
-    # map is cheap, so the candidate and membership consumers fold into
-    # one execution (re-running the map once beats a materialize round)
+    oriented = _oriented_edges(und, deg, n_nodes)
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         out_u, out_v = [], []
@@ -2042,6 +2062,138 @@ def triangle_stats(
             }
         )
     )
+
+
+def local_clustering(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Per-node local clustering coefficient over the undirected corpus
+    link graph — the "is this page embedded in a tight community or a
+    spam star?" signal (link farms show near-zero local clustering at
+    high degree; genuine topical hubs cluster): for every page,
+    (url, degree, n_triangles, clustering_ppm) with
+    clustering_ppm = 2·t·1M // (deg·(deg−1)) for deg ≥ 2, else 0.
+    Pages with no corpus links emit zero rows — the left-join fill.
+
+    Scale shape: the same degree-ORIENTED O(m^1.5) machinery as
+    triangle_stats (shared ``_undirected_pairs`` / ``_pair_degrees`` /
+    ``_oriented_edges`` helpers — ONE pair exchange, ONE degree sum,
+    size-gated broadcast↔join orientation), but candidates CARRY their
+    wedge center so each confirmed triangle credits all three corners
+    in the membership co-group; per-node counts then need only ONE
+    grouped sum over O(triangles) slim credit rows plus two int-key
+    left joins back to urls. int64 bound: the ppm numerator 2·t·1M
+    needs t < 4.6e12 (deg ≲ 3M) — beyond that DuckDB's BIGINT errors
+    rather than wraps, and the engine would need object-dtype math."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.relational import hash_join
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+    nodes = ds.select_columns(["url"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(_h63(t["url"].to_pylist()), pa.int64()),
+                "url": t["url"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    und = _undirected_pairs(link_graph(ds, prefix) if edges is None else edges)
+    deg = _pair_degrees(und)
+    oriented = _oriented_edges(und, deg, deg.count()).map_batches(
+        lambda df: df.assign(w=np.int64(0))[["u", "v", "dv", "tag", "w"]],
+        batch_format="pandas",
+    )
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_w = [], [], []
+        for center, grp in g.groupby("u", sort=False):
+            # out-neighbors ordered by the SAME (deg, id) total order the
+            # orientation uses, so candidate (x, y) is itself oriented
+            nb = grp.sort_values(["dv", "v"])["v"].to_numpy(np.int64)
+            k = len(nb)
+            if k < 2:
+                continue
+            iu, iv = np.triu_indices(k, 1)
+            out_u.append(nb[iu])
+            out_v.append(nb[iv])
+            out_w.append(np.full(len(iu), center, np.int64))
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(dtype="int64"),
+                    "v": pd.Series(dtype="int64"),
+                    "dv": pd.Series(dtype="int64"),
+                    "tag": pd.Series(dtype="int64"),
+                    "w": pd.Series(dtype="int64"),
+                }
+            )
+        u = np.concatenate(out_u)
+        return pd.DataFrame(
+            {
+                "u": u,
+                "v": np.concatenate(out_v),
+                "dv": np.zeros(len(u), np.int64),
+                "tag": np.ones(len(u), np.int64),
+                "w": np.concatenate(out_w),
+            }
+        )
+
+    cand = bucketed_group_map(oriented, "u", candidates)
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["tag"] == 0]
+        edges_set = set(
+            zip(e["u"].to_numpy(np.int64), e["v"].to_numpy(np.int64))
+        )
+        c = g[g["tag"] == 1]
+        cu = c["u"].to_numpy(np.int64)
+        cv = c["v"].to_numpy(np.int64)
+        cw = c["w"].to_numpy(np.int64)
+        hit = np.fromiter(
+            ((u, v) in edges_set for u, v in zip(cu, cv)),
+            dtype=bool,
+            count=len(cu),
+        )
+        node = np.concatenate([cw[hit], cu[hit], cv[hit]])
+        return pd.DataFrame({"node": node, "t": np.ones(len(node), np.int64)})
+
+    tri = bucketed_group_agg(
+        bucketed_group_map(oriented.union(cand), "u", credit),
+        ["node"],
+        {"t": ("t", "sum")},
+    ).map_batches(
+        lambda df: df.rename(columns={"node": "k"}), batch_format="pandas"
+    )
+
+    withdeg = hash_join(
+        nodes,
+        deg.map_batches(
+            lambda df: df.rename(columns={"v": "k"}), batch_format="pandas"
+        ),
+        on="k",
+        how="left",
+    )
+    full = hash_join(withdeg, tri, on="k", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].fillna(0).to_numpy(np.int64) if "deg" in df else np.zeros(len(df), np.int64)
+        t = df["t"].fillna(0).to_numpy(np.int64) if "t" in df else np.zeros(len(df), np.int64)
+        denom = d * (d - 1)
+        c = np.where(d >= 2, 2 * t * 1_000_000 // np.maximum(denom, 1), 0)
+        return pd.DataFrame(
+            {
+                "url": df["url"].astype(object),
+                "degree": d,
+                "n_triangles": t,
+                "clustering_ppm": c.astype(np.int64),
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pandas")
 
 
 def degree_assortativity(
