@@ -480,6 +480,12 @@ def _q_local_clustering(sf_dir: str):
     return local_clustering(pages_dir_for(sf_dir))
 
 
+def _q_adamic_adar(sf_dir: str):
+    from zerox_ray.pipelines.graph import adamic_adar
+
+    return adamic_adar(pages_dir_for(sf_dir))
+
+
 def _q_crawl_timeline(sf_dir: str):
     return crawl_timeline(pages_dir_for(sf_dir))
 
@@ -626,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "local_clustering": _q_local_clustering,
+        "adamic_adar": _q_adamic_adar,
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
@@ -1613,6 +1620,40 @@ SELECT 'https://example.org/doc/' || d.doc_id AS url,
 FROM documents d
 LEFT JOIN lc_deg g ON g.u = d.doc_id
 LEFT JOIN lc_tri t ON t.node = d.doc_id"""
+)
+
+
+#: mirror of pipelines/graph.py::adamic_adar — undirected url pairs,
+#: per-center lexicographic neighbor cap 256, integer reciprocal-degree
+#: contributions, non-adjacent pairs with ≥2 common neighbors
+_ADAMIC_ADAR_SQL = (
+    _PR_EDGES_CTE
+    + """,
+aa_ud AS (
+  SELECT DISTINCT
+    least('https://example.org/doc/' || src, 'https://example.org/doc/' || dst) AS a,
+    greatest('https://example.org/doc/' || src, 'https://example.org/doc/' || dst) AS b
+  FROM pr_edges WHERE src <> dst
+),
+aa_sym AS (SELECT a AS u, b AS v FROM aa_ud UNION ALL SELECT b AS u, a AS v FROM aa_ud),
+aa_deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM aa_sym GROUP BY u),
+aa_nb AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn FROM aa_sym),
+aa_cand AS (
+  SELECT x.v AS a, y.v AS b, CAST(1000000 // d.deg AS BIGINT) AS c
+  FROM aa_nb x
+  JOIN aa_nb y ON x.u = y.u AND x.v < y.v
+  JOIN aa_deg d ON d.u = x.u
+  WHERE x.rn <= 256 AND y.rn <= 256
+),
+aa_agg AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(c) AS BIGINT) AS aa_score
+  FROM aa_cand GROUP BY a, b
+)
+SELECT a AS url_a, b AS url_b, n_common, aa_score
+FROM aa_agg g
+WHERE n_common >= 2
+  AND NOT EXISTS (SELECT 1 FROM aa_ud e WHERE e.a = g.a AND e.b = g.b)"""
 )
 
 
@@ -3415,6 +3456,7 @@ FROM pr_edges GROUP BY dst
         "pagerank": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),
         "local_clustering": _LOCAL_CLUSTERING_SQL,
+        "adamic_adar": _ADAMIC_ADAR_SQL,
         # host family: multihost corpus (testgen.mh_url — 23 hosts);
         # every edge replayable from doc_id via related_links + host map
         "host_graph": _MH_EDGES_CTE

@@ -714,7 +714,40 @@ class TestGraphCensus:
         )
         assert bcast.equals(joined)
 
-    def test_personalized_pagerank_matches_pure_python(self, sf_dir):
+    def test_adamic_adar_matches_pure_python(self, sf_dir):
+        from zerox_ray.pipelines.graph import AA_RES, adamic_adar
+
+        und = set()
+        for s, d in self._edges(sf_dir):
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for z, nb_all in adj.items():
+            deg = len(nb_all)
+            nb = sorted(nb_all)[:256]
+            c = AA_RES // deg
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    key = (nb[i], nb[j])
+                    cnt, sc = want.get(key, (0, 0))
+                    want[key] = (cnt + 1, sc + c)
+        want = {
+            k: v
+            for k, v in want.items()
+            if v[0] >= 2 and k not in und
+        }
+
+        got = adamic_adar(pages_dir_for(sf_dir)).to_pandas()
+        assert len(got) == len(want)
+        for r in got.itertuples():
+            assert want[(r.url_a, r.url_b)] == (r.n_common, r.aa_score), (
+                r.url_a,
+                r.url_b,
+            )
         from zerox_ray.pipelines.graph import (
             PR_DAMP_DEN,
             PR_DAMP_NUM,

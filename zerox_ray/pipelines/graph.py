@@ -1511,6 +1511,138 @@ def coupling_counts(
     return counts.filter(expr=f"n_targets >= {int(min_targets)}")
 
 
+#: adamic_adar per-center neighbor cap (same rationale as
+#: COUPLE_MAX_CITERS: a hub center would emit O(deg²) candidate pairs,
+#: and its per-neighbor contribution 1M//deg is tiny anyway — the
+#: measure's own discount); deterministic and SQL-replayable
+AA_MAX_NEIGHBORS = 256
+AA_RES = 1_000_000
+
+
+def adamic_adar(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    min_common: int = 2,
+    max_neighbors: int = AA_MAX_NEIGHBORS,
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the
+    undirected corpus link graph, in exact integer form: for each
+    NON-adjacent page pair {a, b} with ≥ ``min_common`` common
+    neighbors, score = Σ_z AA_RES // deg(z) over common neighbors z —
+    the classic "will these pages link?" / related-page ranking where
+    rare shared neighbors count more than hubs (integer reciprocal
+    replaces the usual 1/log deg so DuckDB replays it bit-for-bit).
+    Output: (url_a, url_b, n_common, aa_score), url_a < url_b.
+
+    Scale shape: THREE bounded exchanges, no joins — (1) distinct
+    undirected pairs (per-batch canon+dedup combiner → one grouped
+    sum); (2) neighbor lists co-grouped per center, where each center
+    emits its C(min(deg, cap), 2) lexicographically-sorted candidate
+    pairs with the center's reciprocal-degree contribution — hub
+    centers are capped at ``max_neighbors`` (first by url), the same
+    deterministic cap as coupling_counts; (3) candidates UNION the edge
+    rows tag-co-grouped on the pair's first element, so adjacency
+    exclusion is a set probe inside the group — existing edges never
+    leave the task as output. Per-task memory is O(bucket candidate
+    mass), bounded by the cap."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    edges = link_graph(pages, prefix) if edges is None else edges
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(object)
+        d = df["dst"].to_numpy(object)
+        m = s != d
+        s, d = s[m], d[m]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        out = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        return out.assign(n=np.int64(1))
+
+    und = (
+        bucketed_group_agg(
+            edges.map_batches(canon, batch_format="pandas"),
+            ["a", "b"],
+            {"n": ("n", "sum")},
+        )
+        .drop_columns(["n"])
+        .materialize()  # O(edges) url pairs, reused by 2 consumers
+    )
+
+    sym = und.map_batches(
+        lambda df: pd.concat(
+            [
+                df.rename(columns={"a": "u", "b": "v"}),
+                df.rename(columns={"a": "v", "b": "u"})[["u", "v"]],
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    )
+
+    def cand_of_center(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, c_out = [], [], []
+        for _, grp in g.groupby("u", sort=False):
+            nb = np.sort(grp["v"].to_numpy(object))
+            deg = len(nb)
+            nb = nb[:max_neighbors]
+            if len(nb) < 2:
+                continue
+            c = AA_RES // deg
+            iu, iv = np.triu_indices(len(nb), 1)
+            a_out.append(nb[iu])
+            b_out.append(nb[iv])
+            c_out.append(np.full(len(iu), c, np.int64))
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=object),
+                    "b": pd.Series(dtype=object),
+                    "c": pd.Series(dtype="int64"),
+                    "tag": pd.Series(dtype="int64"),
+                }
+            )
+        a = np.concatenate(a_out)
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": np.concatenate(b_out),
+                "c": np.concatenate(c_out),
+                "tag": np.ones(len(a), np.int64),
+            }
+        )
+
+    cand = bucketed_group_map(sym, "u", cand_of_center)
+    etag = und.map_batches(
+        lambda df: df.assign(c=np.int64(0), tag=np.int64(0)),
+        batch_format="pandas",
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["tag"] == 0]
+        edge_set = set(zip(e["a"].to_numpy(object), e["b"].to_numpy(object)))
+        c = g[g["tag"] == 1]
+        agg = c.groupby(["a", "b"], as_index=False).agg(
+            n_common=("c", "size"), aa_score=("c", "sum")
+        )
+        keep = [
+            (a, b) not in edge_set
+            for a, b in zip(agg["a"].to_numpy(object), agg["b"].to_numpy(object))
+        ]
+        agg = agg[np.array(keep, bool) & (agg["n_common"] >= min_common).to_numpy()]
+        return pd.DataFrame(
+            {
+                "url_a": agg["a"].astype(object),
+                "url_b": agg["b"].astype(object),
+                "n_common": agg["n_common"].astype("int64"),
+                "aa_score": agg["aa_score"].astype("int64"),
+            }
+        )
+
+    return bucketed_group_map(cand.union(etag), "a", score)
+
+
 # ---------------------------------------------------------------------------
 # Host-level graph family: the domain/host granularity every production
 # crawl pipeline aggregates to (per-domain politeness quotas, host-level
