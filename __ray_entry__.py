@@ -146,6 +146,7 @@ from zerox_ray.pipelines.relational import (
     orders_by_nation,
     pricing_summary,
     revenue_by_priority,
+    revenue_cube,
     user_event_ledger,
 )
 from zerox_ray.pipelines.search import DEFAULT_K, DEFAULT_QUERY, search_bm25
@@ -726,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "revenue_by_priority": revenue_by_priority,
+        "revenue_cube": revenue_cube,
         "pricing_summary": pricing_summary,
         "dormant_customers": dormant_customers,
         "active_segments": active_segments,
@@ -2896,6 +2898,19 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        # mirror of pipelines/relational.py::revenue_cube — the finest
+        # (nation, priority) grain partitions every coarser set, so the
+        # grouping-sets result equals the remasked rollup of base rows
+        "revenue_cube": """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
 """,
         "revenue_by_priority": """
 SELECT o_orderpriority,

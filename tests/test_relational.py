@@ -614,3 +614,36 @@ def test_brand_region_revenue_matches_duckdb(sf_dir):
             group by 1, 2 order by 1, 2"""
     ).fetchdf()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_revenue_cube_matches_duckdb_grouping_sets(sf_dir):
+    import duckdb
+
+    from zerox_ray.pipelines.relational import revenue_cube
+
+    got = (
+        revenue_cube(sf_dir)
+        .to_pandas()
+        .sort_values(["n_name", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""select coalesce(n_name, 'ALL') n_name,
+                   coalesce(o_orderpriority, 'ALL') o_orderpriority,
+                   cast(count(*) as bigint) n_orders,
+                   cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)
+                       total_cents
+            from read_parquet('{sf_dir}/orders.parquet') o
+            join read_parquet('{sf_dir}/customer.parquet') c on o.o_custkey = c.c_custkey
+            join read_parquet('{sf_dir}/nation.parquet') n on c.c_nationkey = n.n_nationkey
+            group by grouping sets ((n_name, o_orderpriority), (n_name),
+                                    (o_orderpriority), ())
+            order by 1, 2"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the grand-total row equals the sum of the finest grain — the
+    # partition identity the remask derivation rests on
+    fine = got[(got.n_name != "ALL") & (got.o_orderpriority != "ALL")]
+    total = got[(got.n_name == "ALL") & (got.o_orderpriority == "ALL")]
+    assert int(total.n_orders.iloc[0]) == int(fine.n_orders.sum())
+    assert int(total.total_cents.iloc[0]) == int(fine.total_cents.sum())
