@@ -98,6 +98,7 @@ from zerox_ray.pipelines.graph import (
     random_walks,
     triangle_stats,
     host_graph,
+    mirror_hosts,
     host_schedule,
     host_quota,
     host_rank,
@@ -436,6 +437,10 @@ def _q_host_schedule(sf_dir: str):
     return host_schedule(multihost_pages_dir_for(sf_dir))
 
 
+def _q_mirror_hosts(sf_dir: str):
+    return mirror_hosts(multihost_pages_dir_for(sf_dir))
+
+
 def _q_degree_distribution(sf_dir: str):
     return degree_distribution(pages_dir_for(sf_dir))
 
@@ -639,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "host_quota": _q_host_quota,
         "host_schedule": _q_host_schedule,
+        "mirror_hosts": _q_mirror_hosts,
         "degree_distribution": _q_degree_distribution,
         "triangle_stats": _q_triangle_stats,
         "degree_assortativity": _q_degree_assortativity,
@@ -3582,6 +3588,36 @@ SELECT host, url,
             + (row_number() OVER (PARTITION BY host ORDER BY ts_us, url) - 1)
               * 1000000 AS BIGINT) AS planned_fetch_us
 FROM hs""",
+        # mirror of pipelines/graph.py::mirror_hosts — distinct
+        # self-loop-free host edges; per-target linker cap 256
+        # (row_number order = the engine's sorted-unique order);
+        # truncating integer Jaccard in ppm, threshold 0.5
+        "mirror_hosts": _MH_EDGES_CTE
+        + """,
+mi_e AS (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM mh_edges WHERE src_host <> dst_host
+),
+mi_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM mi_e GROUP BY src),
+mi_nb AS (
+  SELECT dst, src, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn
+  FROM mi_e
+),
+mi_pairs AS (
+  SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM mi_nb x
+  JOIN mi_nb y ON x.dst = y.dst AND x.src < y.src
+  WHERE x.rn <= 256 AND y.rn <= 256
+  GROUP BY x.src, y.src
+)
+SELECT a AS host_a, b AS host_b, n_common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(1000000 * n_common // (da.deg + db.deg - n_common) AS BIGINT)
+           AS jaccard_ppm
+FROM mi_pairs p
+JOIN mi_deg da ON da.src = p.a
+JOIN mi_deg db ON db.src = p.b
+WHERE 1000000 * n_common // (da.deg + db.deg - n_common) >= 500000""",
         "canonical_urls": _MESSY_URLS_CTE
         + """
 SELECT url, canonical FROM raw""",

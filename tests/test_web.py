@@ -1004,3 +1004,67 @@ def test_bowtie_linkless_corpus_is_all_other():
     assert got["seed_url"] == ""
     assert int(got["other_pages"]) == 2
     assert int(got["core_pages"]) == 0
+
+
+def test_mirror_hosts_join_path_matches_broadcast(sf_dir, monkeypatch):
+    # force the above-cap degree-attach hash-join branch and pin it
+    # output-identical to the broadcast-map branch
+    import zerox_ray.pipelines.graph as G
+    from zerox_ray.testgen import multihost_pages_dir_for
+
+    key = ["host_a", "host_b"]
+    bcast = (
+        G.mirror_hosts(multihost_pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(G, "TRI_BCAST_CAP_NODES", 0)
+    joined = (
+        G.mirror_hosts(multihost_pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert bcast.equals(joined)
+
+
+def test_mirror_hosts_known_graph():
+    # a and b link to {t1, t2, t3}; c links to {t1} only. Jaccard(a,b)=1,
+    # Jaccard(a,c)=Jaccard(b,c)=1/3 < 0.5 -> only the (a,b) mirror pair
+    # survives the threshold. Self-loops on a must not count.
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import mirror_hosts
+
+    def page(url, targets):
+        html = b"".join(
+            b'<a href="%s">x</a>' % t.encode() for t in targets
+        )
+        return url, html
+
+    rows = [
+        page("https://ha.net/p1", ["https://t1.net/x", "https://t2.net/x"]),
+        page("https://ha.net/p2", ["https://t3.net/x", "https://ha.net/p1"]),
+        page("https://hb.net/p1",
+             ["https://t1.net/x", "https://t2.net/x", "https://t3.net/x"]),
+        page("https://hc.net/p1", ["https://t1.net/x"]),
+        page("https://t1.net/x", []),
+        page("https://t2.net/x", []),
+        page("https://t3.net/x", []),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+    )
+    got = mirror_hosts(ds, prefix="https://").to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.host_a, row.host_b) == ("ha.net", "hb.net")
+    assert row.n_common == 3 and row.deg_a == 3 and row.deg_b == 3
+    assert row.jaccard_ppm == 1_000_000

@@ -2862,3 +2862,175 @@ def random_walks(
         state = joined.map_batches(advance, batch_format="pandas")
         out = out.union(state.map_batches(emit(s), batch_format="pyarrow"))
     return out
+
+
+#: mirror_hosts per-target src cap (same rationale as COUPLE_MAX_CITERS:
+#: a target linked from millions of hosts would emit O(indeg²) pairs;
+#: only the lexicographically-first 256 linkers per target generate
+#: intersection pairs — deterministic and SQL-replayable). With the cap
+#: active, n_common is a LOWER bound on the true intersection, so the
+#: Jaccard filter can only under-report mirrors of mega-hub targets.
+MIRROR_MAX_CITERS = 256
+
+#: default mirror threshold: outlink-set Jaccard ≥ 0.5 in ppm
+MIRROR_MIN_PPM = 500_000
+
+
+def mirror_hosts(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://h",
+    min_jaccard_ppm: int = MIRROR_MIN_PPM,
+    max_citers: int = MIRROR_MAX_CITERS,
+) -> ray.data.Dataset:
+    """Mirror/template-farm detection at host granularity: unordered
+    host pairs whose distinct outlink TARGET-sets overlap by Jaccard ≥
+    ``min_jaccard_ppm`` (exact integer ppm, truncating division). Two
+    hosts serving the same content under different names link to
+    near-identical targets, so high outlink Jaccard is the classic
+    cheap mirror signal (the content-free dual of the MinHash families
+    in pipelines/dedup.py — no payload comparison, graph only). The
+    reference has no graph layer at all (SURVEY §2.9); engine-added.
+
+    Scale shape: host edges from one payload scan (self-loops dropped —
+    a host's internal links say nothing about mirroring) → per-batch
+    distinct + ONE (src, dst) grouped exchange = the distinct host edge
+    list, materialized ONCE and feeding both consumers; outdegrees via
+    ONE grouped sum over per-batch count partials; intersections via
+    the coupling_counts shape (coarse-bucket groupby(dst), per-target
+    sorted-unique linkers capped at ``max_citers`` emit C(k, 2) pairs
+    inside the reduce task, ONE pair-key grouped sum); degree
+    attachment via the size-gated broadcast↔join switch
+    (TRI_BCAST_CAP_NODES, 23 hosts here / ~10⁸ at web scale — either
+    side of the cap works and pytest pins the paths identical).
+    Output: (host_a, host_b, n_common, deg_a, deg_b, jaccard_ppm) with
+    host_a < host_b."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.relational import hash_join
+
+    he = host_edges(pages, prefix)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["src"] != df["dst"], ["src", "dst"]].drop_duplicates()
+        return df.assign(n=pd.Series(1, index=df.index, dtype="int64"))
+
+    dedges = (
+        bucketed_group_agg(
+            he.map_batches(canon, batch_format="pandas"),
+            ["src", "dst"],
+            {"n": ("n", "sum")},
+        )
+        .drop_columns(["n"])
+        .materialize()
+    )
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["src"].value_counts()
+        return pd.DataFrame(
+            {"host": vc.index.astype(object), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = bucketed_group_agg(
+        dedges.map_batches(deg_partial, batch_format="pandas"),
+        ["host"],
+        {"deg": ("deg", "sum")},
+    ).materialize()
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for _, grp in g.groupby("dst", sort=False):
+            srcs = sorted(set(grp["src"]))[:max_citers]
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    a_out.append(srcs[i])
+                    b_out.append(srcs[j])
+        out = pd.DataFrame({"host_a": a_out, "host_b": b_out})
+        out = out.groupby(["host_a", "host_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_common"}).astype({"n_common": "int64"})
+
+    common = bucketed_group_agg(
+        bucketed_group_map(dedges, "dst", pairs_of_bucket),
+        ["host_a", "host_b"],
+        {"n_common": ("n_common", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nc = df["n_common"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        union = da + db - nc
+        jppm = np.where(union > 0, (1_000_000 * nc) // np.maximum(union, 1), 0)
+        out = pd.DataFrame(
+            {
+                "host_a": df["host_a"].astype(object),
+                "host_b": df["host_b"].astype(object),
+                "n_common": nc,
+                "deg_a": da,
+                "deg_b": db,
+                "jaccard_ppm": jppm.astype(np.int64),
+            }
+        )
+        return out.loc[out["jaccard_ppm"] >= int(min_jaccard_ppm)]
+
+    n_hosts = deg.count()
+    if n_hosts == 0:
+        empty = pa.table(
+            {
+                "host_a": pa.array([], pa.string()),
+                "host_b": pa.array([], pa.string()),
+                "n_common": pa.array([], pa.int64()),
+                "deg_a": pa.array([], pa.int64()),
+                "deg_b": pa.array([], pa.int64()),
+                "jaccard_ppm": pa.array([], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    if n_hosts <= TRI_BCAST_CAP_NODES:
+        deg_pd = deg.to_pandas()  # bounded by the broadcast cap (~30 B/host)
+        deg_ref = ray.put(dict(zip(deg_pd["host"], deg_pd["deg"].to_numpy(np.int64))))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            from zerox_ray.pipelines.dataops import _cached_broadcast
+
+            dm = _cached_broadcast("mirror_deg", deg_ref)
+            return finish(
+                df.assign(
+                    deg_a=df["host_a"].map(dm).astype("int64"),
+                    deg_b=df["host_b"].map(dm).astype("int64"),
+                )
+            )
+
+        return common.map_batches(attach, batch_format="pandas")
+
+    # join path: 63-bit host keys + string-equality collision guard
+    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            ka=_h63(df["host_a"].tolist()), kb=_h63(df["host_b"].tolist())
+        )
+
+    def key_deg(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    f"k{side}": _h63(df["host"].tolist()),
+                    f"host_{side}_r": df["host"].astype(object),
+                    f"deg_{side}": df["deg"].astype("int64"),
+                }
+            )
+
+        return f
+
+    j = hash_join(
+        common.map_batches(key_pairs, batch_format="pandas"),
+        deg.map_batches(key_deg("a"), batch_format="pandas"),
+        on="ka",
+    )
+    j = hash_join(j, deg.map_batches(key_deg("b"), batch_format="pandas"), on="kb")
+    return j.map_batches(
+        lambda df: finish(
+            df.loc[
+                (df["host_a"] == df["host_a_r"]) & (df["host_b"] == df["host_b_r"])
+            ]
+        ),
+        batch_format="pandas",
+    )
