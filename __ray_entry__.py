@@ -27,6 +27,7 @@ from zerox_ray.pipelines.ocr import run_ocr_incremental
 from zerox_ray.pipelines.dataops import (
     above_median_docs,
     importance_sample,
+    mad_outliers,
     cohort_retention,
     corpus_datacard,
     corpus_mix,
@@ -726,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped-threshold filter: exact per-lang median broadcast
         # once, then a shuffle-free filter scan
         "above_median_docs": above_median_docs,
+        "mad_outliers": mad_outliers,
         # the data-curation capstone: quality → decontaminate → exact
         # dedup → per-lang quota, ONE streaming plan (each stage shrinks
         # the stream the next one exchanges)
@@ -3155,6 +3157,32 @@ amd_med AS (
 SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d JOIN amd_med m USING (lang)
 WHERE d.n_chars > m.med
+""",
+        # mirror of pipelines/dataops.py::mad_outliers — LOWER medians
+        # (zero-based order statistic (n−1)//2) for both the center and
+        # the absolute deviation; Hampel-style gate at 2·MAD (≈3σ under
+        # normality with the 1.4826 factor folded in), exact integers
+        "mad_outliers": """
+WITH mo_r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+mo_med AS (SELECT n_chars AS med FROM mo_r WHERE rn = (n - 1) // 2),
+mo_d AS (
+  SELECT abs(d.n_chars - m.med) AS ad,
+         row_number() OVER (ORDER BY abs(d.n_chars - m.med)) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM documents d, mo_med m
+),
+mo_mad AS (SELECT ad AS mad FROM mo_d WHERE rn = (n - 1) // 2)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(abs(d.n_chars - m.med) AS BIGINT) AS abs_dev,
+       CAST(CASE WHEN abs(d.n_chars - m.med) > 2 * x.mad THEN 1 ELSE 0 END
+            AS BIGINT) AS is_outlier
+FROM documents d, mo_med m, mo_mad x
 """,
         # Monday-truncated week index since 1970-01-05 mirrors the
         # engine's (epoch_days - 4) // 7 cohort arithmetic

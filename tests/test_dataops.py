@@ -616,3 +616,30 @@ def test_curate_corpus_composes_the_gates(sf_dir):
     for lang, g in got.groupby("lang"):
         assert len(g) <= 50
         assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_mad_outliers_matches_numpy(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.dataops import mad_outliers
+
+    got = (
+        mad_outliers(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    v = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .column("n_chars")
+        .to_numpy()
+    ).astype(np.int64)
+    med = int(v[(len(v) - 1) // 2])  # lower median
+    ad = np.sort(np.abs(v - med))
+    mad = int(ad[(len(ad) - 1) // 2])
+    assert (got["abs_dev"] == np.abs(got["n_chars"] - med)).all()
+    assert (got["is_outlier"] == (got["abs_dev"] > 2 * mad).astype(int)).all()
+    # both flag values must occur, else the gate is degenerate on the
+    # synthetic corpus and the oracle comparison proves nothing
+    assert set(got["is_outlier"].unique()) == {0, 1}

@@ -1920,3 +1920,89 @@ def corpus_datacard(sf_dir: str) -> ray.data.Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# --- robust (median/MAD) outlier detection --------------------------------------
+
+
+#: MAD outlier multiplier: |v − median| > 2·MAD — the robust z-score
+#: gate (Hampel's family; 2·MAD ≈ 3σ under normality once the 1.4826
+#: consistency factor is folded in, and exact integers beat carrying
+#: that float through the oracle). k is a tunable either way.
+MAD_K = 2
+
+
+def mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
+    """Robust length-outlier detection: flag documents whose character
+    count deviates from the corpus median by more than ``k`` times the
+    median-absolute-deviation — the standard robust gate (mean/stddev
+    break down exactly when the corpus HAS outliers; median/MAD don't).
+    Both statistics are lower medians (zero-based order statistic
+    (n−1)//2 — tie-order independent, integer-exact, SQL-replayable).
+
+    Scale shape: ONE exchange total — per-batch value-count partials
+    over n_chars → ONE value-grouped sum → the driver pulls ≤|distinct
+    lengths| rows (bounded by the length DOMAIN, not the corpus; a
+    length cap bounds it absolutely). Median AND MAD both read off that
+    one histogram driver-side (|v − M| counts are a re-bucketing of the
+    same table — no second scan). Pass 2 is a shuffle-free flag scan
+    with two broadcast scalars. Output: (doc_id, n_chars, abs_dev,
+    is_outlier) for every document."""
+    vals = read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def vc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame(
+            {"v": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        )
+
+    hist = (
+        bucketed_group_agg(
+            vals.map_batches(vc_partial, batch_format="pandas"),
+            ["v"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # ≤ |distinct n_chars values| rows at any corpus size
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    if total == 0:  # empty corpus → typed empty, stable schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "abs_dev": pa.array([], pa.int64()),
+                    "is_outlier": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def hist_lower_median(values: np.ndarray, counts: np.ndarray) -> int:
+        rank = (total - 1) // 2  # zero-based lower median
+        return int(values[np.searchsorted(np.cumsum(counts), rank + 1)])
+
+    med = hist_lower_median(v, n)
+    # |v − med| histogram is a re-bucketing of the same table
+    dev = pd.DataFrame({"d": np.abs(v - med), "n": n}).groupby("d", as_index=True)[
+        "n"
+    ].sum()
+    mad = hist_lower_median(dev.index.to_numpy(np.int64), dev.to_numpy(np.int64))
+    thr = k * mad
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ad = np.abs(df["n_chars"].to_numpy(np.int64) - med)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "abs_dev": ad,
+                "is_outlier": (ad > thr).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
