@@ -44,6 +44,8 @@ from zerox_ray.pipelines.dataops import (
     top_ngrams,
     events_hourly,
     lang_id,
+    lang_confusion,
+    corpus_split,
     quality_filter,
     pii_scrub,
     props_field_stats,
@@ -133,7 +135,12 @@ from zerox_ray.pipelines.textqual import (
     unigram_logprobs,
 )
 from zerox_ray.pipelines.urls import canonical_urls, url_dedup
-from zerox_ray.pipelines.web import host_curate, rank_curate, web_curate
+from zerox_ray.pipelines.web import (
+    extraction_parity,
+    host_curate,
+    rank_curate,
+    web_curate,
+)
 from zerox_ray.pipelines.relational import (
     active_segments,
     asof_purchase_view,
@@ -515,6 +522,12 @@ def _q_rank_curate(sf_dir: str):
     return rank_curate(pages_dir_for(sf_dir))
 
 
+def _q_extraction_parity(sf_dir: str):
+    """North-rule invariant audit: stripped-markdown vs stripped-text
+    fingerprint equality per url."""
+    return extraction_parity(pages_dir_for(sf_dir))
+
+
 def _q_extract_structured(sf_dir: str):
     cfg = ZeroxConfig(schema=_EXTRACT_SCHEMA)
     return extract_pages(pages_dir_for(sf_dir), cfg).select_columns(
@@ -633,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_select_pages": _q_ocr_select_pages,
         "ocr_logprobs": _q_ocr_logprobs,
         "web_curate": _q_web_curate,
+        "extraction_parity": _q_extraction_parity,
         "rank_curate": _q_rank_curate,
         "link_graph": _q_link_graph,
         "page_inlinks": _q_page_inlinks,
@@ -747,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": price_histogram,
         "distinct_users_exact": distinct_users_exact,
         "lang_id": lang_id,
+        "lang_confusion": lang_confusion,
+        "corpus_split": corpus_split,
         "sample_documents": sample_documents,
         "doc_fingerprints": doc_fingerprints,
         # sketches + dedup family (SQL-oracled: md5-derived hashing and
@@ -2267,9 +2283,40 @@ FROM pages GROUP BY url
 )
 
 
+#: mirrors pipelines/web.py::extraction_parity — the OCR markdown replay
+#: and the reference text, both whitespace-stripped, compared by md5
+#: fingerprint (RE2 \s semantics on both sides)
+_EXTRACTION_PARITY_SQL = (
+    _PAGES_CTE
+    + r""",
+epd AS (
+  SELECT url,
+         COALESCE(string_agg(CASE WHEN is_err THEN NULL ELSE content END,
+                             e'\n\n' ORDER BY page_index), '') AS markdown
+  FROM pages GROUP BY url
+),
+eps AS (
+  SELECT d.url,
+         regexp_replace(d.markdown, '\s+', '', 'g') AS mds,
+         regexp_replace(r.text, '\s+', '', 'g') AS rfs
+  FROM epd d
+  JOIN (SELECT 'https://example.org/doc/' || doc_id AS url, text
+        FROM documents) r USING (url)
+)
+SELECT url,
+       CAST(length(mds) AS BIGINT) AS md_chars,
+       CAST(length(rfs) AS BIGINT) AS ref_chars,
+       CAST(CASE WHEN substring(md5(mds), 1, 16) = substring(md5(rfs), 1, 16)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+FROM eps
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ocr_documents": _OCR_DOCUMENTS_SQL,
+        "extraction_parity": _EXTRACTION_PARITY_SQL,
         # the snapshot corpus collapses to the repeat=1 corpus at ingest,
         # so the expected OCR output is IDENTICAL to ocr_documents — any
         # wrongly-kept stale/tied snapshot produces different markdown
@@ -3289,6 +3336,46 @@ SELECT doc_id,
             ELSE 'it' END AS pred_lang,
        greatest(de, en, es, fr, it) AS n_matches
 FROM c
+""",
+        # mirrors dataops.lang_confusion: the lang_id argmax joined back
+        # to the metadata lang column, grouped into the agreement matrix
+        "lang_confusion": r"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\b(?:der|die|und|das|ein|ist|zu|den|mit|nicht)\b')) AS BIGINT) AS de,
+    CAST(len(regexp_extract_all(text, '\b(?:the|and|of|to|a|in|is|that|it|for)\b')) AS BIGINT) AS en,
+    CAST(len(regexp_extract_all(text, '\b(?:el|de|que|y|en|un|ser|se|no|por)\b')) AS BIGINT) AS es,
+    CAST(len(regexp_extract_all(text, '\b(?:le|la|et|les|des|un|est|une|dans|que)\b')) AS BIGINT) AS fr,
+    CAST(len(regexp_extract_all(text, '\b(?:il|di|che|e|la|per|un|in|non|una)\b')) AS BIGINT) AS it
+  FROM documents
+),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN greatest(de, en, es, fr, it) = 0 THEN 'und'
+              WHEN de = greatest(de, en, es, fr, it) THEN 'de'
+              WHEN en = greatest(de, en, es, fr, it) THEN 'en'
+              WHEN es = greatest(de, en, es, fr, it) THEN 'es'
+              WHEN fr = greatest(de, en, es, fr, it) THEN 'fr'
+              ELSE 'it' END AS pred_lang
+  FROM c
+)
+SELECT d.lang, pl.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pl USING (doc_id)
+GROUP BY d.lang, pl.pred_lang
+""",
+        # mirrors dataops.corpus_split: md5-hash-range holdout assignment
+        # (test < 50k ppm, val < 150k ppm, train otherwise)
+        "corpus_split": """
+SELECT doc_id,
+       CASE WHEN h < 50000 THEN 'test'
+            WHEN h < 150000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           % 1000000 AS h
+  FROM documents
+)
 """,
         # mirrors dataops.sample_documents: md5-derived 64-bit hash of the
         # decimal doc_id string, kept when h % 1e6 < rate_ppm

@@ -643,3 +643,44 @@ def test_mad_outliers_matches_numpy(sf_dir):
     # both flag values must occur, else the gate is degenerate on the
     # synthetic corpus and the oracle comparison proves nothing
     assert set(got["is_outlier"].unique()) == {0, 1}
+
+
+def test_lang_confusion_matrix_conserves_mass(sf_dir):
+    from zerox_ray.pipelines.dataops import lang_confusion, lang_id
+    import pyarrow.parquet as pq
+
+    got = lang_confusion(sf_dir).to_pandas()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # every document lands in exactly one (lang, pred_lang) cell
+    assert got["n_docs"].sum() == n_docs
+    assert not got.duplicated(["lang", "pred_lang"]).any()
+    # the matrix marginals agree with the per-doc lang_id output
+    pred_marginal = (
+        lang_id(sf_dir).to_pandas().groupby("pred_lang").size().to_dict()
+    )
+    got_marginal = got.groupby("pred_lang")["n_docs"].sum().to_dict()
+    assert got_marginal == pred_marginal
+
+
+def test_corpus_split_stable_and_disjoint(sf_dir):
+    from zerox_ray.functions.hashing import md5_64
+    from zerox_ray.pipelines.dataops import (
+        SPLIT_TEST_PPM,
+        SPLIT_VAL_PPM,
+        corpus_split,
+    )
+
+    got = corpus_split(sf_dir).to_pandas()
+    # exactly one assignment per doc; all three splits occur
+    assert not got.duplicated("doc_id").any()
+    assert set(got["split"].unique()) == {"train", "val", "test"}
+    # membership is a pure function of doc_id (stable under corpus
+    # growth): replay the hash rule per row
+    for doc_id, split in zip(got["doc_id"], got["split"]):
+        h = md5_64(str(doc_id).encode()) % 1_000_000
+        want = (
+            "test"
+            if h < SPLIT_TEST_PPM
+            else "val" if h < SPLIT_TEST_PPM + SPLIT_VAL_PPM else "train"
+        )
+        assert split == want, doc_id

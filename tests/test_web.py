@@ -1068,3 +1068,53 @@ def test_mirror_hosts_known_graph():
     assert (row.host_a, row.host_b) == ("ha.net", "hb.net")
     assert row.n_common == 3 and row.deg_a == 3 and row.deg_b == 3
     assert row.jaccard_ppm == 1_000_000
+
+
+def test_extraction_parity_flags_exactly_the_error_docs(sf_dir):
+    """The north-rule audit: every successfully-extracted document's
+    stripped markdown fingerprint equals the reference text's; the only
+    mismatches are the corrupt (ERROR) docs, whose markdown is empty."""
+    from zerox_ray.pipelines.web import extraction_parity
+
+    got = extraction_parity(pages_dir_for(sf_dir)).to_pandas()
+    rows = expected_documents_rows(f"{sf_dir}/documents.parquet")
+    assert len(got) == len(rows)
+    failed = {r["url"] for r in rows if r["ocr_failed"] > 0}
+    by_url = got.set_index("url")
+    for r in rows:
+        row = by_url.loc[r["url"]]
+        if r["url"] in failed:
+            assert row.is_match == 0 and row.md_chars == 0
+        else:
+            assert row.is_match == 1, r["url"]
+            assert row.md_chars == row.ref_chars
+
+
+def test_extraction_parity_catches_reference_drift(sf_dir):
+    """Tampering with one reference text flips exactly that url to 0 —
+    the audit actually compares content, not just row presence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from zerox_ray.pipelines.web import extraction_parity
+
+    t = pq.read_table(pages_dir_for(sf_dir))
+    texts = t["text"].to_pylist()
+    urls = t["url"].to_pylist()
+    victim = next(
+        r["url"] for r in expected_documents_rows(f"{sf_dir}/documents.parquet")
+        if r["ocr_failed"] == 0
+    )
+    idx = urls.index(victim)
+    texts[idx] = texts[idx] + "DRIFT"
+    tampered = t.set_column(
+        t.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    )
+    got = extraction_parity(ray.data.from_arrow(tampered)).to_pandas()
+    assert int(got.loc[got.url == victim, "is_match"].iloc[0]) == 0
+    assert int((got["is_match"] == 0).sum()) == 1 + sum(
+        1
+        for r in expected_documents_rows(f"{sf_dir}/documents.parquet")
+        if r["ocr_failed"] > 0
+    )

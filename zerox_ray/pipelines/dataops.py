@@ -193,6 +193,86 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_lang_id_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Metadata-vs-heuristic language agreement matrix: the audit that
+    decides whether a corpus's ``lang`` column can be trusted for
+    stratification (CCNet runs exactly this check before per-language
+    bucketing). Output: (lang, pred_lang, n_docs) — one row per observed
+    (claimed, predicted) pair.
+
+    Scale shape: the lang-id scan emits per-batch (lang, pred_lang)
+    count partials, then ONE grouped sum over a ≤|langs|² key space —
+    the exchange is bounded by the label-pair vocabulary, not the
+    corpus."""
+    ds = read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = _lang_id_batch(t)
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "pred_lang": pred["pred_lang"].to_pylist(),
+            }
+        )
+        out = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n_docs"}).astype({"n_docs": "int64"}),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_agg(
+        partials, ["lang", "pred_lang"], {"n_docs": ("n_docs", "sum")}
+    )
+
+
+#: corpus_split holdout thresholds (ppm of the md5 hash space): test =
+#: [0, 50k), val = [50k, 150k), train = the rest — 5% / 10% / 85%
+SPLIT_TEST_PPM = 50_000
+SPLIT_VAL_PPM = 100_000
+
+
+def corpus_split(
+    sf_dir: str,
+    test_ppm: int = SPLIT_TEST_PPM,
+    val_ppm: int = SPLIT_VAL_PPM,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: split by md5-hash range
+    of the document id (the sample_documents idiom), NOT by per-language
+    rank quota — hash-range membership is STABLE under corpus growth (a
+    doc never migrates between splits when new data arrives, the
+    property honest held-out evaluation needs; exact-fraction quotas are
+    rank-based and reshuffle on every ingest — that variant exists as
+    stratified_sample). Because the hash is uniform within every
+    subpopulation, the split is stratified in expectation over any
+    attribute without ever exchanging a row.
+
+    Output: (doc_id, split). Zero exchanges — pure streaming map."""
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    test_hi = test_ppm
+    val_hi = test_ppm + val_ppm
+
+    def assign(t: pa.Table) -> pa.Table:
+        from zerox_ray.functions.hashing import md5_64_array
+
+        ids = t["doc_id"].to_pylist()
+        h = md5_64_array([str(d).encode() for d in ids]) % np.uint64(1_000_000)
+        split = np.where(
+            h < test_hi, "test", np.where(h < val_hi, "val", "train")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- windowed aggregate over the events stream table -------------------------
 
 _US_PER_HOUR = 3_600_000_000

@@ -206,6 +206,86 @@ def _pack_shards(
     )
 
 
+def extraction_parity(
+    pages: ray.data.Dataset | str,
+    cfg: ZeroxConfig | None = None,
+) -> ray.data.Dataset:
+    """The north-rule invariant as a first-class audit operator: per
+    url, does the extracted markdown carry EXACTLY the reference
+    ``text`` column's characters? Whitespace-insensitive by definition —
+    the pipeline inserts ``"\\n\\n"`` page separators at arbitrary chunk
+    boundaries (reference: node-zerox/src/index.ts:566), so both sides
+    are compared with every ``\\s`` removed. A regression anywhere in
+    the extraction chain (boilerplate strip, page split, fence strip,
+    reassembly order) flips rows to 0; failed documents (markdown
+    empty, reference text not) report 0 by construction.
+
+    Output: (url, md_chars, ref_chars, is_match) — char counts of the
+    stripped sides plus the 0/1 verdict.
+
+    Scale shape: each side reduces to a 16-hex md5 fingerprint of its
+    stripped text INSIDE the scan, so the ONE url-keyed hash join moves
+    (key, fingerprint, n_chars) rows — document payloads never ride the
+    exchange. 63-bit join keys carry both url copies for the usual
+    collision guard (equality-filtered after the join)."""
+    import hashlib
+
+    from zerox_ray.pipelines.graph import _h63
+    from zerox_ray.pipelines.relational import hash_join
+    from zerox_ray.sources.pages import read_pages
+
+    docs = run_ocr(pages, cfg)
+
+    def _strip_fp(col: pa.ChunkedArray | pa.Array) -> tuple[list[str], np.ndarray]:
+        stripped = pc.replace_substring_regex(col, r"\s+", "")
+        vals = stripped.to_pylist()
+        fps = [hashlib.md5(v.encode()).hexdigest()[:16] for v in vals]
+        return fps, np.array([len(v) for v in vals], dtype=np.int64)
+
+    def md_side(t: pa.Table) -> pa.Table:
+        fps, chars = _strip_fp(t["markdown"])
+        urls = t["url"].to_pylist()
+        return pa.table(
+            {
+                "k": pa.array(_h63(urls), pa.int64()),
+                "url": t["url"],
+                "md_fp": pa.array(fps, pa.string()),
+                "md_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    def ref_side(t: pa.Table) -> pa.Table:
+        fps, chars = _strip_fp(t["text"])
+        urls = t["url"].to_pylist()
+        return pa.table(
+            {
+                "k": pa.array(_h63(urls), pa.int64()),
+                "url_r": t["url"],
+                "ref_fp": pa.array(fps, pa.string()),
+                "ref_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    refs = (
+        read_pages(pages, columns=["url", "text"])
+        if isinstance(pages, str)
+        else pages.select_columns(["url", "text"])
+    )
+    joined = hash_join(
+        docs.map_batches(md_side, batch_format="pyarrow"),
+        refs.map_batches(ref_side, batch_format="pyarrow"),
+        on="k",
+    )
+    return joined.map_batches(
+        lambda df: df.loc[df["url"] == df["url_r"]].assign(
+            is_match=lambda g: (g["md_fp"] == g["ref_fp"]).astype("int64")
+        )[["url", "md_chars", "ref_chars", "is_match"]].astype(
+            {"md_chars": "int64", "ref_chars": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 #: per-host keeper cap for host_curate (the anti-domination default:
 #: CCNet/Gopher-style corpora cap any one domain's share of the corpus)
 HOST_CURATE_CAP = 10
