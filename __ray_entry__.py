@@ -106,6 +106,8 @@ from zerox_ray.pipelines.graph import (
     host_quota,
     host_rank,
     host_stats,
+    host_quality,
+    component_sizes,
     inlink_counts,
     inlink_summaries,
     leaf_pages,
@@ -359,6 +361,14 @@ def _q_host_stats(sf_dir: str):
 
 def _q_host_quota(sf_dir: str):
     return host_quota(multihost_pages_dir_for(sf_dir))
+
+
+def _q_host_quality(sf_dir: str):
+    return host_quality(multihost_pages_dir_for(sf_dir))
+
+
+def _q_component_sizes(sf_dir: str):
+    return component_sizes(pages_dir_for(sf_dir))
 
 
 def _q_raw_text_blocks(sf_dir: str):
@@ -657,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "host_rank": _q_host_rank,
         "host_stats": _q_host_stats,
+        "host_quality": _q_host_quality,
+        "component_sizes": _q_component_sizes,
         "host_quota": _q_host_quota,
         "host_schedule": _q_host_schedule,
         "mirror_hosts": _q_mirror_hosts,
@@ -3799,6 +3811,45 @@ SELECT host, url, n_chars, rank FROM mqr WHERE rank <= 5""",
         "kcore": _KCORE_SQL,
         "coupling_counts": _COUPLING_SQL,
         "link_components": _LINK_COMPONENTS_SQL,
+        # mirrors graph.component_sizes: per-component count over the
+        # link_components output, then the size histogram
+        "component_sizes": f"""
+SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM (
+  SELECT component, CAST(count(*) AS BIGINT) AS component_size
+  FROM ({_LINK_COMPONENTS_SQL}) GROUP BY component
+) GROUP BY component_size
+""",
+        # mirrors graph.host_quality: per-doc quality_filter gate rolled
+        # up to the multihost domain grain, integer ppm throughout
+        "host_quality": r"""
+WITH hq AS (
+  SELECT 'h' || (doc_id % 23) || '.example.net' AS host,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tok,
+         CAST(len(regexp_extract_all(text, '\b(?:the|a|and|of|to)\b')) AS BIGINT) AS n_stop
+  FROM documents
+),
+hqd AS (
+  SELECT host, n_tok,
+         CAST(CASE WHEN n_tok = 0 THEN 0
+              ELSE (1000000 * n_stop) // n_tok END AS BIGINT) AS stop_ppm
+  FROM hq
+),
+hqh AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(stop_ppm) // count(*) AS BIGINT) AS mean_stop_ppm,
+         CAST(sum(CASE WHEN n_tok < 20 OR stop_ppm > 500000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_q_docs
+  FROM hqd GROUP BY host
+)
+SELECT host, n_docs, n_tokens, mean_stop_ppm, low_q_docs,
+       CAST((1000000 * low_q_docs) // n_docs AS BIGINT) AS low_q_ppm,
+       CAST(CASE WHEN (1000000 * low_q_docs) // n_docs > 200000
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM hqh
+""",
         "lpa_communities": _LPA_SQL,
         "bowtie_census": _BOWTIE_SQL,
         "anchor_texts": _ANCHOR_TEXTS_SQL,

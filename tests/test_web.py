@@ -1118,3 +1118,83 @@ def test_extraction_parity_catches_reference_drift(sf_dir):
         for r in expected_documents_rows(f"{sf_dir}/documents.parquet")
         if r["ocr_failed"] > 0
     )
+
+
+def test_host_quality_matches_pandas_replay(sf_dir):
+    """Per-host rollup equals a pure-pandas replay of the per-doc gate."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from zerox_ray.functions.text import STOPWORD_RE
+    from zerox_ray.pipelines.graph import (
+        HOSTQ_FLAG_PPM,
+        HOSTQ_MAX_STOP_PPM,
+        HOSTQ_MIN_TOKENS,
+        host_quality,
+    )
+    from zerox_ray.testgen import MH_HOSTS, multihost_pages_dir_for
+
+    got = (
+        host_quality(multihost_pages_dir_for(sf_dir))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert len(got) == MH_HOSTS
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    docs["host"] = ("h" + (docs.doc_id % MH_HOSTS).astype(str) + ".example.net")
+    docs["n_tok"] = docs.text.map(lambda t: len(TOKEN_RE.findall(t)))
+    docs["n_stop"] = docs.text.map(lambda t: len(STOPWORD_RE.findall(t)))
+    docs["stop_ppm"] = (1_000_000 * docs.n_stop) // docs.n_tok.clip(lower=1)
+    docs.loc[docs.n_tok == 0, "stop_ppm"] = 0
+    docs["low_q"] = (
+        (docs.n_tok < HOSTQ_MIN_TOKENS) | (docs.stop_ppm > HOSTQ_MAX_STOP_PPM)
+    ).astype(int)
+    want = (
+        docs.groupby("host")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tok", "sum"),
+            sum_stop=("stop_ppm", "sum"),
+            low_q_docs=("low_q", "sum"),
+        )
+        .reset_index()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert (got.n_docs.to_numpy() == want.n_docs.to_numpy()).all()
+    assert (got.n_tokens.to_numpy() == want.n_tokens.to_numpy()).all()
+    assert (
+        got.mean_stop_ppm.to_numpy()
+        == (want.sum_stop // want.n_docs).to_numpy()
+    ).all()
+    assert (got.low_q_docs.to_numpy() == want.low_q_docs.to_numpy()).all()
+    lowppm = (1_000_000 * want.low_q_docs) // want.n_docs
+    assert (got.low_q_ppm.to_numpy() == lowppm.to_numpy()).all()
+    assert (got.flagged.to_numpy() == (lowppm > HOSTQ_FLAG_PPM).to_numpy()).all()
+    # the gate must actually fire on the synthetic corpus
+    assert got.low_q_docs.sum() > 0
+
+
+def test_component_sizes_conserve_nodes(sf_dir):
+    """Σ(size × count) = corpus size, and the histogram agrees with a
+    direct pandas rollup of link_components."""
+    from zerox_ray.pipelines.graph import component_sizes, link_components
+    from zerox_ray.testgen import expected_documents_rows
+
+    got = component_sizes(pages_dir_for(sf_dir)).to_pandas()
+    n_docs = len(expected_documents_rows(f"{sf_dir}/documents.parquet"))
+    assert int((got.component_size * got.n_components).sum()) == n_docs
+    comp = link_components(pages_dir_for(sf_dir)).to_pandas()
+    want = (
+        comp.groupby("component")
+        .size()
+        .value_counts()
+        .sort_index()
+    )
+    got_s = got.set_index("component_size")["n_components"].sort_index()
+    assert got_s.to_dict() == want.to_dict()
+    # multiple component scales exist (singletons + larger communities)
+    assert len(got) > 1

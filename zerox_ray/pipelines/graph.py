@@ -691,6 +691,47 @@ def link_components(
     )
 
 
+def component_sizes(
+    pages: ray.data.Dataset | str,
+    prefix: str = "https://example.org/doc/",
+    lang_col: str = "lang",
+) -> ray.data.Dataset:
+    """Connected-component size histogram over the same-language web
+    communities — the macro-structure diagnostic next to
+    degree_distribution (how fragmented is the corpus graph? is there a
+    giant component, and how much singleton mass?). Output:
+    (component_size, n_components).
+
+    Scale shape: link_components does the heavy lifting (pointer-jumping
+    min-label rounds); this adds a per-component count (per-batch
+    combiner → ONE component-keyed grouped sum) and the size histogram
+    (per-batch partial → ONE grouped sum on the size VALUE — the second
+    exchange is O(max_component_size), tiny). The degree_distribution
+    two-level shape, applied to component labels."""
+    comp = link_components(pages, prefix, lang_col)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("component", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    sizes = bucketed_group_agg(
+        comp.map_batches(count_partial, batch_format="pandas"),
+        ["component"],
+        {"n": ("n", "sum")},
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("n", as_index=False).size()
+        out = out.rename(columns={"n": "component_size", "size": "n_components"})
+        return out.astype({"component_size": "int64", "n_components": "int64"})
+
+    return bucketed_group_agg(
+        sizes.map_batches(hist_partial, batch_format="pandas"),
+        ["component_size"],
+        {"n_components": ("n_components", "sum")},
+    )
+
+
 def _pagerank_state(
     ds: ray.data.Dataset,
     prefix: str,
@@ -1809,6 +1850,108 @@ def host_stats(pages: ray.data.Dataset | str) -> ray.data.Dataset:
             "last_ts_us": ("last_ts_us", "max"),
         },
     )
+
+
+#: host_quality per-doc gate — the quality_filter thresholds (dataops)
+#: applied at the domain grain
+HOSTQ_MIN_TOKENS = 20
+HOSTQ_MAX_STOP_PPM = 500_000
+#: a host is flagged when over 20% of its docs fail the per-doc gate
+#: (an absolute-policy threshold, like real domain blocklists; on the
+#: synthetic corpus host junk rates concentrate to the corpus mean as n
+#: grows, so variance in the flag lives at small sf — the ppm columns
+#: carry the bit-exact signal at every scale)
+HOSTQ_FLAG_PPM = 200_000
+
+
+def host_quality(pages: ray.data.Dataset | str) -> ray.data.Dataset:
+    """Per-host quality rollup — the domain-level filtering signal
+    (FineWeb/CCNet-style: a domain whose pages are mostly junk gets
+    blocklisted wholesale, catching low-quality content the per-doc gate
+    alone scores one page at a time). Per doc: token count + stopword
+    ratio (the quality_filter thresholds); per host: doc/token totals,
+    integer mean stopword ppm, the low-quality share, and a 0/1
+    ``flagged`` verdict when the share exceeds HOSTQ_FLAG_PPM.
+
+    Output: (host, n_docs, n_tokens, mean_stop_ppm, low_q_docs,
+    low_q_ppm, flagged).
+
+    Scale shape: the text scan emits per-host additive partials (sum
+    counts, sum of per-doc ppm) — ONE host-keyed grouped sum finishes;
+    the exchange is O(hosts × batches), never O(docs). All arithmetic is
+    integer (ppm, floor division) so the DuckDB oracle replays every row
+    bit-for-bit."""
+    from zerox_ray.functions.text import STOPWORD_RE, TOKEN_RE
+
+    ds = (
+        read_pages(pages, columns=["url", "text"])
+        if isinstance(pages, str)
+        else pages
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], TOKEN_RE.pattern), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_stop = pc.cast(
+            pc.count_substring_regex(t["text"], STOPWORD_RE.pattern), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        stop_ppm = np.where(
+            n_tok > 0, (1_000_000 * n_stop) // np.maximum(n_tok, 1), 0
+        ).astype(np.int64)
+        low_q = (
+            (n_tok < HOSTQ_MIN_TOKENS) | (stop_ppm > HOSTQ_MAX_STOP_PPM)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "host": host_of(t["url"]).to_pandas().astype(object),
+                "n_docs": 1,
+                "n_tokens": n_tok,
+                "sum_stop_ppm": stop_ppm,
+                "low_q_docs": low_q,
+            }
+        )
+        out = df.groupby("host", as_index=False).sum()
+        return out.astype(
+            {
+                "n_docs": "int64",
+                "n_tokens": "int64",
+                "sum_stop_ppm": "int64",
+                "low_q_docs": "int64",
+            }
+        )
+
+    sums = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_tokens": ("n_tokens", "sum"),
+            "sum_stop_ppm": ("sum_stop_ppm", "sum"),
+            "low_q_docs": ("low_q_docs", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].to_numpy(np.int64)
+        low_ppm = (1_000_000 * df["low_q_docs"].to_numpy(np.int64)) // n
+        return pd.DataFrame(
+            {
+                "host": df["host"].astype(object),
+                "n_docs": n,
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "mean_stop_ppm": (
+                    df["sum_stop_ppm"].to_numpy(np.int64) // n
+                ).astype(np.int64),
+                "low_q_docs": df["low_q_docs"].astype("int64"),
+                "low_q_ppm": low_ppm.astype(np.int64),
+                "flagged": (low_ppm > HOSTQ_FLAG_PPM).astype(np.int64),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
 
 
 def host_quota(
