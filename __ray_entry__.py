@@ -62,6 +62,7 @@ from zerox_ray.pipelines.dataops import (
     top_spenders,
 )
 from zerox_ray.pipelines.dedup import (
+    containment_pairs,
     dedup_spans,
     doc_fingerprints,
     embedding_near_dup,
@@ -815,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 8 KiB broadcast Bloom filter over orders' buyer keys
         "bloom_semi_join": bloom_semi_join,
         "dedup_minhash_lsh": minhash_lsh_pairs,
+        "containment_pairs": containment_pairs,
         # cross-set similarity search: broadcast query-side LSH index,
         # shuffle-free corpus probe with exact-Jaccard verify in place
         "fuzzy_match": fuzzy_match,
@@ -3414,6 +3416,33 @@ SELECT doc_id,
                  THEN fp - 18446744073709551616::HUGEINT
                  ELSE fp END AS BIGINT) AS fingerprint
 FROM f
+""",
+        # mirrors dedup.containment_pairs: the SAME banded candidates as
+        # dedup_minhash_lsh, re-scored with exact-integer asymmetric
+        # containment ((1e6·inter)//n; empty shingle set → 1e6)
+        "containment_pairs": "WITH "
+        + _minhash_pairs_ctes()
+        + """,
+ct AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM mh_cand c
+  JOIN mh_sh sa ON sa.doc_id = c.doc_a
+  JOIN mh_sh sb ON sb.doc_id = c.doc_b
+),
+cts AS (
+  SELECT doc_a, doc_b,
+         CAST(CASE WHEN na = 0 THEN 1000000
+              ELSE (1000000 * inter) // na END AS BIGINT) AS c_ab_ppm,
+         CAST(CASE WHEN nb = 0 THEN 1000000
+              ELSE (1000000 * inter) // nb END AS BIGINT) AS c_ba_ppm,
+         CAST(CASE WHEN na + nb - inter = 0 THEN 1000000
+              ELSE (1000000 * inter) // (na + nb - inter) END AS BIGINT) AS jaccard_ppm
+  FROM ct
+)
+SELECT doc_a, doc_b, c_ab_ppm, c_ba_ppm, jaccard_ppm
+FROM cts WHERE greatest(c_ab_ppm, c_ba_ppm) >= 900000
 """,
         "dedup_minhash_lsh": "WITH "
         + _minhash_pairs_ctes()

@@ -709,3 +709,50 @@ def test_embedding_moments_match_numpy(sf_dir):
     )
     cov_f = np.cov(mat.astype(np.float64).T, bias=True)
     assert np.abs(cov_q - cov_f[iu, ju]).max() < 2e-3
+
+
+class TestContainmentPairs:
+    def test_broadcast_equals_join_path(self, sf_dir):
+        import pandas as pd
+
+        from zerox_ray.pipelines.dedup import containment_pairs
+
+        a = (
+            containment_pairs(sf_dir, verify="broadcast")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        b = (
+            containment_pairs(sf_dir, verify="join")
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+    def test_catches_quote_inclusion_jaccard_misses(self, sf_dir, tmp_path):
+        """A short doc fully embedded in a long one: containment 1e6 on
+        the short side while Jaccard sits under the dedup threshold."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.dedup import containment_pairs
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long = short + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(40))
+        decoy = " ".join(f"other{i} words{i} here{i}" for i in range(30))
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([short, long, decoy], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = containment_pairs(str(tmp_path), n_bands=32).to_pandas()
+        row = got.loc[(got.doc_a == 1) & (got.doc_b == 2)]
+        assert len(row) == 1
+        assert int(row.c_ab_ppm.iloc[0]) == 1_000_000  # short ⊂ long
+        assert int(row.c_ba_ppm.iloc[0]) < 900_000
+        assert int(row.jaccard_ppm.iloc[0]) < 500_000  # Jaccard would miss it

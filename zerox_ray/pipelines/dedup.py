@@ -317,6 +317,158 @@ def minhash_lsh_pairs(
     )
 
 
+def _containment_ppm(inter: int, n: int) -> int:
+    """Exact-integer containment: (1e6·|A∩B|) // |A|; the empty set is
+    contained in anything (ppm = 1e6) — mirrored verbatim in SQL."""
+    return 1_000_000 if n == 0 else (1_000_000 * inter) // n
+
+
+def _containment_row(sa: set, sb: set) -> tuple[int, int, int]:
+    inter = len(sa & sb)
+    uni = len(sa) + len(sb) - inter
+    return (
+        _containment_ppm(inter, len(sa)),
+        _containment_ppm(inter, len(sb)),
+        1_000_000 if uni == 0 else (1_000_000 * inter) // uni,
+    )
+
+
+class ContainmentVerifier:
+    """Verify LSH candidate pairs with EXACT asymmetric shingle
+    containment (same broadcast-lookup posture as JaccardVerifier)."""
+
+    def __init__(self, docs_ref, shingle_n: int, threshold_ppm: int):
+        table = ray.get(docs_ref)
+        self.texts = dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
+        self.shingle_n = shingle_n
+        self.threshold_ppm = threshold_ppm
+        self._cache: dict[int, set] = {}
+
+    def _shingles(self, doc_id: int) -> set:
+        if doc_id not in self._cache:
+            toks = TOKEN_RE.findall(self.texts[doc_id])
+            self._cache[doc_id] = set(token_shingles(toks, self.shingle_n))
+        return self._cache[doc_id]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_a": [], "doc_b": [], "c_ab_ppm": [], "c_ba_ppm": [], "jaccard_ppm": []}
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            if a < 0:  # degenerate-bucket sentinel — not a real pair
+                continue
+            cab, cba, jac = _containment_row(
+                self._shingles(int(a)), self._shingles(int(b))
+            )
+            if max(cab, cba) >= self.threshold_ppm:
+                rows["doc_a"].append(int(a))
+                rows["doc_b"].append(int(b))
+                rows["c_ab_ppm"].append(cab)
+                rows["c_ba_ppm"].append(cba)
+                rows["jaccard_ppm"].append(jac)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+def _containment_verify_batch(
+    df: pd.DataFrame, docs_ref, shingle_n: int, threshold_ppm: int
+) -> pd.DataFrame:
+    key = ("cont", docs_ref.hex(), shingle_n, threshold_ppm)
+    return _cached_state(
+        key, lambda: ContainmentVerifier(docs_ref, shingle_n, threshold_ppm)
+    )(df)
+
+
+def _verify_containment_by_join(
+    uniq: ray.data.Dataset, sf_dir: str, shingle_n: int, threshold_ppm: int
+) -> ray.data.Dataset:
+    """Partitioned-join containment verify (the 10^12-doc path — same
+    shape as _verify_pairs_by_join, shuffle volume O(pairs))."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    side_a = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "text": "text_a"}),
+        batch_format="pandas",
+    )
+    side_b = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "text": "text_b"}),
+        batch_format="pandas",
+    )
+    sane = uniq.map_batches(lambda df: df[df["doc_a"] >= 0], batch_format="pandas")
+    joined = hash_join(hash_join(sane, side_a, on="doc_a"), side_b, on="doc_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_a": [], "doc_b": [], "c_ab_ppm": [], "c_ba_ppm": [], "jaccard_ppm": []}
+        for a, b, ta, tb in zip(df["doc_a"], df["doc_b"], df["text_a"], df["text_b"]):
+            sa = set(token_shingles(TOKEN_RE.findall(ta), shingle_n))
+            sb = set(token_shingles(TOKEN_RE.findall(tb), shingle_n))
+            cab, cba, jac = _containment_row(sa, sb)
+            if max(cab, cba) >= threshold_ppm:
+                rows["doc_a"].append(int(a))
+                rows["doc_b"].append(int(b))
+                rows["c_ab_ppm"].append(cab)
+                rows["c_ba_ppm"].append(cba)
+                rows["jaccard_ppm"].append(jac)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def containment_pairs(
+    sf_dir: str,
+    k: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    threshold_ppm: int = 900_000,
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    """Asymmetric near-dup detection: shingle CONTAINMENT re-scoring of
+    the MinHash-LSH candidate pairs — C(A,B) = |S(A)∩S(B)| / |S(A)|
+    (Broder 1997's second resemblance measure). Jaccard misses the
+    quote-inclusion / superset case (a short doc fully embedded in a
+    long one scores low Jaccard but containment 1.0); training-data
+    dedup cares because the contained copy still leaks the contained
+    text twice. Output: (doc_a, doc_b, c_ab_ppm, c_ba_ppm, jaccard_ppm)
+    for pairs with max(C(A,B), C(B,A)) ≥ threshold.
+
+    Exact integer arithmetic ((1e6·inter) // n, empty set ppm = 1e6) so
+    the DuckDB oracle replays every row bit-for-bit.
+
+    Scale + recall posture: candidates come from the SAME banding as
+    minhash_lsh_pairs (one signature pass, bucketed banding, pair dedupe
+    before verify; the oracle mirrors the banding, so recall is part of
+    the contract, not a hidden loss). The banding targets Jaccard, so an
+    extreme-size-ratio containment (tiny A inside huge B) can fall below
+    LSH recall — the documented trade for never going O(n²); lower the
+    band width or shingle the small side only (fuzzy_match's workload
+    shape) when hunting those. verify='auto' picks broadcast vs
+    partitioned-join lookup by corpus size, exactly like the siblings."""
+    path = f"{sf_dir}/documents.parquet"
+    verify = _resolve_verify(verify, path)
+    ds = read_table(path, columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        MinHashBander(k, n_bands, shingle_n), batch_format="pyarrow"
+    )
+    cands = bands.groupby("bucket").map_groups(
+        _coarse_bucket_pairs, batch_format="pandas"
+    )
+    uniq = (
+        cands.map_batches(_pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(_dedupe_pairs, batch_format="pandas")
+    )
+    if verify == "join":
+        return _verify_containment_by_join(uniq, sf_dir, shingle_n, threshold_ppm)
+    docs_ref = ray.put(pq.read_table(path, columns=["doc_id", "text"]))
+    return uniq.map_batches(
+        _containment_verify_batch,
+        fn_kwargs={
+            "docs_ref": docs_ref,
+            "shingle_n": shingle_n,
+            "threshold_ppm": threshold_ppm,
+        },
+        batch_format="pandas",
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
