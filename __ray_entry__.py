@@ -646,10 +646,25 @@ def _q_embedding_cosine(sf_dir: str):
     return embedding_near_dup(sf_dir, threshold_ppm=0)
 
 
+def _q_ocr_warc_roundtrip(sf_dir: str):
+    """Flagship OCR over a WARC-ingested corpus: the pages table is
+    serialized to standard .warc.gz files (Common Crawl's container,
+    sources/warc.py), parsed back with read_warc_pages, and extracted —
+    value-checked against the SAME ocr_documents oracle, so the whole
+    source format (gzip members, WARC framing, HTTP blocks, µs
+    timestamps) is verified end-to-end by the byte-identity invariant."""
+    from zerox_ray.sources.warc import read_warc_pages
+    from zerox_ray.testgen import warc_dir_for
+
+    pages = read_warc_pages(warc_dir_for(sf_dir)).select_columns(["url", "html"])
+    return run_ocr(pages).select_columns(DOC_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # OCR / extraction pipelines (reference parity)
         "ocr_documents": _q_ocr_documents,
+        "ocr_warc_roundtrip": _q_ocr_warc_roundtrip,
         "ocr_pages": _q_ocr_pages,
         "ocr_summary": _q_ocr_summary,
         "ocr_totals": _q_ocr_totals,
@@ -2330,6 +2345,10 @@ FROM eps
 def oracle_sql() -> dict[str, str]:
     return {
         "ocr_documents": _OCR_DOCUMENTS_SQL,
+        # the WARC corpus round-trips to the identical pages table, so
+        # the expected extraction is IDENTICAL to ocr_documents — any
+        # framing/gzip/date-precision defect changes the markdown hash
+        "ocr_warc_roundtrip": _OCR_DOCUMENTS_SQL,
         "extraction_parity": _EXTRACTION_PARITY_SQL,
         # the snapshot corpus collapses to the repeat=1 corpus at ingest,
         # so the expected OCR output is IDENTICAL to ocr_documents — any

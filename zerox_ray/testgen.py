@@ -427,6 +427,43 @@ def snapshot_pages_dir_for(
     return out
 
 
+def warc_dir_for(
+    sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache", gzip: bool = True
+) -> str:
+    """The SAME corpus as ``pages_dir_for``, serialized to standard
+    ``.warc.gz`` files (Common Crawl's on-disk container — see
+    sources/warc.py): url/warc_ts/html per record, ROWS_PER_FILE records
+    per file. Because the records round-trip to the identical pages
+    table, every pages-plan oracle (ocr_documents et al.) applies to a
+    WARC-ingested run unchanged."""
+    from zerox_ray.sources.warc import serialize_warc
+
+    tag = _sf_tag(sf_dir)
+    name = "warc-gz" if gzip else "warc"
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, name)
+    if os.path.isdir(out):
+        return out
+    ext = ".warc.gz" if gzip else ".warc"
+
+    def write(tmp: str) -> None:
+        table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"))
+        urls = table["url"].to_pylist()
+        tss = [t.value for t in table["warc_ts"]]
+        payloads = table["html"].to_pylist()
+        for start in range(0, table.num_rows, ROWS_PER_FILE):
+            end = min(start + ROWS_PER_FILE, table.num_rows)
+            fname = f"part-{start // ROWS_PER_FILE:05d}{ext}"
+            data = serialize_warc(
+                urls[start:end], tss[start:end], payloads[start:end],
+                fname, gzip=gzip,
+            )
+            with open(os.path.join(tmp, fname), "wb") as fh:
+                fh.write(data)
+
+    _atomic_write_dir(out, write)
+    return out
+
+
 #: multihost corpus: pages spread over MH_HOSTS synthetic hosts so the
 #: host-level graph family (pipelines/graph.py host_graph / host_rank /
 #: host_stats / host_quota) has a real multi-host url namespace. 23 is
