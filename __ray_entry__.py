@@ -129,6 +129,7 @@ from zerox_ray.pipelines.textqual import (
     ngram_novelty,
     pmi_pairs,
     vocab_growth,
+    c4_rules,
     classifier_scores,
     gopher_rules,
     inverted_index,
@@ -660,6 +661,13 @@ def _q_ocr_warc_roundtrip(sf_dir: str):
     return run_ocr(pages).select_columns(DOC_COLS)
 
 
+def _q_c4_rules(sf_dir: str):
+    """C4 line/doc filtering (Raffel 2020 §2.2) over the extracted
+    corpus: pages are the line unit, rules are the paper's own (≥5
+    words/line, blocklist substring, ≥3 surviving lines/doc)."""
+    return c4_rules(pages_dir_for(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # OCR / extraction pipelines (reference parity)
@@ -739,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": tfidf_top_terms,
         # webtext quality / LM-scoring family (textqual.py)
         "gopher_rules": gopher_rules,
+        "c4_rules": _q_c4_rules,
         "unigram_logprobs": unigram_logprobs,
         "perplexity_buckets": perplexity_buckets,
         "classifier_scores": classifier_scores,
@@ -2506,6 +2515,33 @@ SELECT o_orderpriority, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank FR
 """,
         # --- textqual.py family: integer micro/milli arithmetic and
         # md5-bucket weights on both sides, so every compare is exact ---
+        # mirrors textqual.c4_rules over the pages plan: page == C4
+        # "line"; ≥5 words ([a-z]+ — the TOKEN_RE parity kernel), no
+        # 'slow' substring; doc kept iff ≥3 surviving lines; c4_text is
+        # the surviving lines in page order. ERROR pages excluded, so
+        # corrupt docs vanish from the output on both sides.
+        "c4_rules": _PAGES_CTE + r""",
+c4l AS (
+  SELECT url, page_index, content,
+         CAST(len(regexp_extract_all(content, '[a-z]+')) AS BIGINT) AS w,
+         (content LIKE '%slow%') AS banned
+  FROM pages WHERE NOT is_err
+),
+c4k AS (
+  SELECT url, page_index, content, w,
+         (w >= 5 AND NOT banned) AS kept
+  FROM c4l
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       CAST(COALESCE(sum(CASE WHEN kept THEN w END), 0) AS BIGINT) AS kept_words,
+       CAST(CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       COALESCE(string_agg(CASE WHEN kept THEN content END, e'\n\n'
+                           ORDER BY page_index), '') AS c4_text
+FROM c4k GROUP BY url
+""",
         # mirrors textqual.gopher_rules (thresholds are module constants)
         "gopher_rules": """
 WITH w AS (

@@ -337,3 +337,52 @@ def test_ngram_novelty_matches_pure_python_replay(sf_dir):
         assert row.novelty_ppm == (novel * 1_000_000) // nb if nb else 0
     # both signal directions present on the synthetic corpus
     assert (got.n_novel > 0).any() and (got.n_novel < got.n_bigrams).any()
+
+
+def test_c4_rules_invariants(sf_dir):
+    """Both pass and fail mass on every C4 rule; kept text reconstructs
+    only surviving pages in page order; corrupt docs vanish."""
+    import re
+
+    from zerox_ray.pipelines.textqual import c4_rules
+    from zerox_ray.testgen import pages_dir_for
+
+    df = c4_rules(pages_dir_for(sf_dir)).to_pandas()
+    # corrupt docs (doc_id % 101 == 13) have no SUCCESS page → absent
+    assert len(df) == 495
+    assert df["keep"].isin([0, 1]).all()
+    assert 0 < df["keep"].sum() < len(df)  # both outcomes occur
+    assert (df["kept_lines"] <= df["n_lines"]).all()
+    # doc rule is exactly kept_lines >= 3
+    assert ((df["kept_lines"] >= 3) == (df["keep"] == 1)).all()
+    # c4_text contains no banned token and only >=5-word lines
+    for txt, kl in zip(df["c4_text"], df["kept_lines"]):
+        lines = txt.split("\n\n") if txt else []
+        assert len(lines) == kl
+        for ln in lines:
+            assert "slow" not in ln
+            assert len(re.findall(r"[a-z]+", ln)) >= 5
+
+
+def test_c4_rules_empty_and_all_banned():
+    """A corpus where every line fails still yields well-typed rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.textqual import c4_rules
+    from zerox_ray.testgen import build_html
+
+    payload = build_html(1, ["slow slow line here today", "tiny"], False)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://x/1"]),
+                "html": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    df = c4_rules(pages).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r["n_lines"] == 2 and r["kept_lines"] == 0
+    assert r["keep"] == 0 and r["c4_text"] == ""

@@ -1126,3 +1126,107 @@ def _raw_unigram_counts(sf_dir: str) -> tuple[dict, int]:
     ).to_pandas()  # O(|vocab|) — bounded driver state
     counts = {t: int(n) for t, n in zip(vocab["term"], vocab["n"])}
     return counts, int(vocab["n"].sum())
+
+
+# --- C4 line/document filtering (Raffel et al. 2020 §2.2) ---------------------
+
+#: C4's own line rule: a line must have ≥ 5 words to survive
+C4_MIN_LINE_WORDS = 5
+#: C4's own doc rule: a document must retain ≥ 3 surviving lines
+C4_MIN_KEPT_LINES = 3
+#: C4 drops lines containing blocklisted tokens ("javascript", policy
+#: boilerplate, "lorem ipsum"); the synthetic corpus' analogue with real
+#: fail mass is 'slow' (~1 occurrence per document on average).
+#: Substring semantics (like C4's phrase match), mirrored as SQL LIKE.
+C4_BANNED = ("slow",)
+
+
+def c4_rules(
+    pages,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    banned: tuple[str, ...] = C4_BANNED,
+) -> ray.data.Dataset:
+    """C4-style line + document filtering (Raffel et al. 2020 §2.2) over
+    the EXTRACTED corpus — the third classic curation family next to
+    ``gopher_rules`` (Rae 2021) and the CCNet ops (Wenzek 2020).
+
+    C4 filters sentences ("lines") of plain text; the page-parity
+    analogue here treats each extracted PAGE as a line, which keeps the
+    rules exactly the paper's: a line survives iff it has ≥ 5 words and
+    no blocklisted phrase; a document is kept iff ≥ 3 lines survive.
+    Output per url: (url, n_lines, kept_lines, kept_words, keep,
+    c4_text) where c4_text is the surviving lines re-joined in page
+    order — ERROR-status pages never count as lines, so fully-corrupt
+    documents drop out entirely.
+
+    Scale shape: the line gate is one vectorized Arrow pass over the
+    already-streaming extracted-pages pipeline (regex word count +
+    substring match — no Python loop); the per-document rollup is ONE
+    coarse-bucketed url exchange carrying each surviving line's text
+    exactly once (the reassembly shuffle shape). Nothing touches the
+    driver. Reference anchor: zerox has no corpus filtering at all
+    (SURVEY §2.8); this is engine-native curation like gopher_rules."""
+    import pyarrow.compute as pc
+
+    from zerox_ray.functions.text import TOKEN_RE
+    from zerox_ray.pipelines.ocr import extracted_pages
+
+    rows = extracted_pages(pages)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t["status"], "SUCCESS")
+        t = t.filter(ok)
+        words = pc.cast(
+            pc.count_substring_regex(t["content"], TOKEN_RE.pattern),
+            pa.int64(),
+        )
+        kept = pc.greater_equal(words, min_line_words)
+        for b in banned:
+            kept = pc.and_(
+                kept, pc.invert(pc.match_substring(t["content"], b))
+            )
+        return pa.table(
+            {
+                "url": t["url"],
+                "page_index": t["page_index"],
+                "content": t["content"],
+                "w": words,
+                "kept": pc.cast(kept, pa.int64()),
+            }
+        )
+
+    lines = rows.map_batches(gate, batch_format="pyarrow")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for url, grp in g.groupby("url", sort=False):
+            grp = grp.sort_values("page_index", kind="mergesort")
+            k = grp["kept"].to_numpy()
+            kept_lines = int(k.sum())
+            kept_words = int(grp.loc[k == 1, "w"].sum())
+            out.append(
+                (
+                    url,
+                    len(grp),
+                    kept_lines,
+                    kept_words,
+                    1 if kept_lines >= min_kept_lines else 0,
+                    "\n\n".join(grp.loc[k == 1, "content"]),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["url", "n_lines", "kept_lines", "kept_words", "keep", "c4_text"],
+        ).astype(
+            {
+                "url": "string",
+                "n_lines": "int64",
+                "kept_lines": "int64",
+                "kept_words": "int64",
+                "keep": "int64",
+                "c4_text": "string",
+            }
+        )
+
+    return bucketed_group_map(lines, "url", per_doc)
