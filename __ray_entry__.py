@@ -168,6 +168,7 @@ from zerox_ray.pipelines.similarity import (
     ann_ivf_topk,
     ann_radius_search,
     embedding_moments,
+    embedding_quantize,
     embedding_principal,
     kmeans_clusters,
     semantic_dedup,
@@ -863,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": kmeans_clusters,
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
+        "embedding_quantize": embedding_quantize,
         "embedding_principal": embedding_principal,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
@@ -4121,6 +4123,30 @@ SELECT CAST(a.i - 1 AS BIGINT) AS dim_i, CAST(b.i - 1 AS BIGINT) AS dim_j,
 FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY dim_i, dim_j""",
         "embedding_principal": _PCA_SQL,
+        # mirrors similarity.embedding_quantize: per-dim affine uint8
+        # codes over milli-quantized values; all operands non-negative,
+        # so // (floor division) agrees between numpy and DuckDB
+        "embedding_quantize": """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+mm AS (
+  SELECT i, min(q) AS qmin, greatest(max(q) - min(q), 1) AS rng
+  FROM ev GROUP BY i
+),
+cd AS (
+  SELECT e.vec_id, e.i, e.q, m.qmin, m.rng,
+         ((e.q - m.qmin) * 255) // m.rng AS c
+  FROM ev e JOIN mm m USING (i)
+)
+SELECT vec_id,
+       CAST(sum(c) AS BIGINT) AS code_l1,
+       CAST(sum(c * i) AS BIGINT) AS code_chk,
+       CAST(sum(abs(q - (qmin + (c * rng) // 255))) AS BIGINT) AS recon_err_milli
+FROM cd GROUP BY vec_id
+""",
         # DSIR: hashed-feature rarity weights + global top-10% selection
         "dsir_sample": """
 WITH ds_tok AS (

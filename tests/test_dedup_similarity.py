@@ -756,3 +756,28 @@ class TestContainmentPairs:
         assert int(row.c_ab_ppm.iloc[0]) == 1_000_000  # short ⊂ long
         assert int(row.c_ba_ppm.iloc[0]) < 900_000
         assert int(row.jaccard_ppm.iloc[0]) < 500_000  # Jaccard would miss it
+
+
+def test_embedding_quantize_bounds(sf_dir):
+    """Codes are genuine uint8 (checksum bounds) and reconstruction
+    error per dimension is below one quantization step."""
+    import numpy as np
+
+    from zerox_ray.pipelines.similarity import embedding_quantize
+
+    df = embedding_quantize(sf_dir).to_pandas()
+    assert len(df) == 500
+    d = 64
+    # code_l1 ≤ 255·d; checksum ≤ 255·Σ(j+1)
+    assert (df["code_l1"] >= 0).all() and (df["code_l1"] <= 255 * d).all()
+    assert (df["code_chk"] <= 255 * (d * (d + 1) // 2)).all()
+    # per-dim error < step = rng/255 (+1 for the milli floor), so the
+    # total is far below the unquantized milli magnitude
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(emb["embedding"].to_pylist())
+    q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+    step = (q.max(0) - q.min(0)) / 255.0
+    assert (df["recon_err_milli"] <= (np.ceil(step).sum() + d)).all()
+    assert (df["recon_err_milli"] > 0).any()

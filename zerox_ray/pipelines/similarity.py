@@ -685,3 +685,75 @@ def embedding_principal(sf_dir: str, rounds: int = PCA_ROUNDS) -> ray.data.Datas
             }
         )
     )
+
+
+# --- int8 affine quantization (the ANN memory-shrink primitive) ---------------
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension affine uint8 quantization of the embedding corpus —
+    the standard memory-shrink step in front of large-scale ANN (a
+    billion float32×64 vectors are 256 GB; their uint8 codes are 64 GB,
+    and IVF/scan kernels read codes, not floats). Scalar quantization is
+    the 1-sub-quantizer case of product quantization (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Two passes, both bounded:
+    1. per-dimension (qmin, qmax) over milli-quantized values
+       (floor(1e3·x), the embedding_moments exactness idiom) — per-batch
+       partials, ONE grouped min/max exchange, a d-row (=64) driver pull
+       broadcast back via ray.put;
+    2. a shuffle-free streaming pass computing each vector's codes
+       c_j = ⌊(q_j − qmin_j)·255 / rng_j⌋ — every operand non-negative,
+       so numpy and DuckDB floor division agree exactly.
+
+    Output per vector: (vec_id, code_l1, code_chk, recon_err_milli) —
+    code_chk = Σ (j+1)·c_j is an order-sensitive checksum that pins
+    EVERY code value; recon_err_milli = Σ |q_j − dequant(c_j)| is the
+    exact-integer reconstruction error the oracle replays."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "qmin": q.min(axis=0),
+                "qmax": q.max(axis=0),
+            }
+        )
+
+    mm = (
+        bucketed_group_agg(
+            ds.map_batches(mm_partial, batch_format="pandas"),
+            ["dim"],
+            {"qmin": ("qmin", "min"), "qmax": ("qmax", "max")},
+        )
+        .to_pandas()  # d rows (64) — bounded driver state
+        .sort_values("dim")
+    )
+    qmin = mm["qmin"].to_numpy(np.int64)
+    rng = np.maximum(mm["qmax"].to_numpy(np.int64) - qmin, 1)
+    ref = ray.put((qmin, rng))
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        lo, r = _cached_broadcast("eqnt", ref)
+        mat = np.stack(df["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+        c = ((q - lo) * 255) // r
+        deq = lo + (c * r) // 255
+        w = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "code_l1": c.sum(axis=1),
+                "code_chk": (c * w).sum(axis=1),
+                "recon_err_milli": np.abs(q - deq).sum(axis=1),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pandas")
