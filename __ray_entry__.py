@@ -40,6 +40,7 @@ from zerox_ray.pipelines.dataops import (
     normalize_text,
     repetition_scores,
     token_chunks,
+    packed_sequences,
     token_shards,
     top_ngrams,
     events_hourly,
@@ -766,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "decontaminate": decontaminate,
         "token_shards": token_shards,
+        "packed_sequences": packed_sequences,
         "token_chunks": token_chunks,
         "repetition_scores": repetition_scores,
         "top_ngrams": top_ngrams,
@@ -3624,6 +3626,33 @@ ts_cum AS (
   FROM ts_tok
 )
 SELECT doc_id, n_tokens, CAST(excl // 50000 AS BIGINT) AS shard_id FROM ts_cum
+""",
+        # mirrors dataops.packed_sequences: global doc_id-order prefix
+        # offsets, one row per (doc × 128-token sequence) overlap;
+        # wrap-around packing, so docs straddle sequence boundaries
+        "packed_sequences": """
+WITH ps_tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n
+  FROM documents
+),
+ps_cum AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM ps_tok
+),
+ps_seq AS (
+  SELECT doc_id, n, o,
+         unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS seq_id
+  FROM ps_cum WHERE n > 0
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(o, seq_id * 128) - seq_id * 128 AS BIGINT) AS seq_off,
+       CAST(least(o + n, (seq_id + 1) * 128)
+            - greatest(o, seq_id * 128) AS BIGINT) AS n_tok
+FROM ps_seq
 """,
         # mirrors dataops.token_chunks: sliding windows of 64 tokens
         # every 48 over the [a-z]+ token stream, 1-based list slicing

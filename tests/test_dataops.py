@@ -684,3 +684,33 @@ def test_corpus_split_stable_and_disjoint(sf_dir):
             else "val" if h < SPLIT_TEST_PPM + SPLIT_VAL_PPM else "train"
         )
         assert split == want, doc_id
+
+
+def test_packed_sequences_is_a_partition_of_the_stream(sf_dir):
+    """Every sequence except the last is exactly full; per-doc pieces
+    tile the doc's token count; pieces within a sequence are disjoint."""
+    from zerox_ray.pipelines.dataops import packed_sequences
+
+    df = packed_sequences(sf_dir).to_pandas()
+    assert (df["n_tok"] > 0).all()
+    # per-sequence fill: sum of pieces == 128 for all but the last seq
+    fill = df.groupby("seq_id")["n_tok"].sum().sort_index()
+    assert (fill.iloc[:-1] == 128).all()
+    assert 0 < fill.iloc[-1] <= 128
+    # per-doc: pieces sum to the doc's token count, contiguous seq ids
+    import re
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ntok = {
+        d: len(re.findall(r"[a-z]+", t))
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    per_doc = df.groupby("doc_id")["n_tok"].sum()
+    for d, s in per_doc.items():
+        assert s == ntok[d]
+    seqs = df.groupby("doc_id")["seq_id"].agg(["min", "max", "count"])
+    assert (seqs["max"] - seqs["min"] + 1 == seqs["count"]).all()
+    # a boundary-straddling doc exists (the point of wrap-around packing)
+    assert (seqs["count"] > 1).any()

@@ -2086,3 +2086,122 @@ def mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
         )
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+# --- wrap-around sequence packing (GPT-style pretraining batches) --------------
+
+PACK_SEQ_LEN = 128
+
+
+def packed_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> ray.data.Dataset:
+    """Wrap-around sequence packing — the GPT-style pretraining batch
+    layout: all documents are concatenated in doc_id order into one
+    global token stream, and the stream is sliced into fixed
+    ``seq_len``-token training sequences; a document that straddles a
+    boundary CONTINUES in the next sequence (unlike ``token_shards``,
+    which bins whole documents, or ``token_chunks``, which windows
+    within one document). Output: one row per (document × sequence)
+    overlap — (doc_id, seq_id, seq_off, n_tok) with seq_off the
+    document's start position INSIDE the sequence — exactly the index
+    a loader needs to materialize attention-mask resets at document
+    boundaries. Empty documents emit nothing.
+
+    Scale shape: the token_shards two-pass distributed prefix sum
+    verbatim (per-range partial sums → ONE grouped-sum exchange →
+    ≤ n_docs/_SHARD_RANGE-row driver scan → broadcast offsets), then a
+    shuffle-free streaming pass that np.repeat-explodes each document
+    over the ⌈n/seq_len⌉+1 sequences it can touch — per-batch output is
+    O(tokens/seq_len), no Python loop over documents."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens_batch(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t["text"], TOKEN_RE.pattern), pa.int64()
+                ),
+            }
+        )
+
+    counted = ds.map_batches(
+        tokens_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 2 int64 columns; reused by both passes
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["doc_id"], _SHARD_RANGE)
+        part = pa.table({"rng": rng, "tok": t["n_tokens"]})
+        return part.group_by("rng").aggregate([("tok", "sum")]).rename_columns(
+            ["rng", "tok"]
+        )
+
+    range_sums = (
+        bucketed_group_agg(
+            counted.map_batches(
+                range_partials, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["rng"],
+            {"tok": ("tok", "sum")},
+        )
+        .to_pandas()  # ≤ n_docs/_SHARD_RANGE rows (the reduced table)
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            range_sums["rng"].to_numpy(),
+            np.concatenate([[0], np.cumsum(range_sums["tok"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        off_map = _cached_broadcast("pack_off", off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(n)[:-1]])
+        off += int(off_map[int(g["doc_id"].iloc[0]) // _SHARD_RANGE])
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        m = n > 0
+        doc, n, off = doc[m], n[m], off[m]
+        if len(doc) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "seq_id": pd.Series(dtype="int64"),
+                    "seq_off": pd.Series(dtype="int64"),
+                    "n_tok": pd.Series(dtype="int64"),
+                }
+            )
+        first = off // seq_len
+        last = (off + n - 1) // seq_len
+        reps = (last - first + 1).astype(np.int64)
+        d_out = np.repeat(doc, reps)
+        base = np.repeat(first, reps)
+        # within-doc sequence counter 0..reps-1, vectorized
+        idx = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        seq = base + idx
+        doc_start = np.repeat(off, reps)
+        doc_end = doc_start + np.repeat(n, reps)
+        lo = np.maximum(doc_start, seq * seq_len)
+        hi = np.minimum(doc_end, (seq + 1) * seq_len)
+        return pd.DataFrame(
+            {
+                "doc_id": d_out,
+                "seq_id": seq,
+                "seq_off": lo - seq * seq_len,
+                "n_tok": hi - lo,
+            }
+        )
+
+    return (
+        counted.map_batches(
+            lambda df: df.assign(rng=(df["doc_id"] // _SHARD_RANGE).astype("int64")),
+            batch_format="pandas",
+        )
+        .groupby("rng")
+        .map_groups(explode, batch_format="pandas")
+    )
