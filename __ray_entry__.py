@@ -168,6 +168,7 @@ from zerox_ray.pipelines.similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_radius_search,
+    ann_quantized_topk,
     embedding_moments,
     embedding_quantize,
     embedding_principal,
@@ -867,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
         "embedding_quantize": embedding_quantize,
+        "ann_quantized_topk": ann_quantized_topk,
         "embedding_principal": embedding_principal,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
@@ -4175,6 +4177,39 @@ SELECT vec_id,
        CAST(sum(c * i) AS BIGINT) AS code_chk,
        CAST(sum(abs(q - (qmin + (c * rng) // 255))) AS BIGINT) AS recon_err_milli
 FROM cd GROUP BY vec_id
+""",
+        # mirrors similarity.ann_quantized_topk: integer MIPS over the
+        # dequantized uint8 codes; ties break on neighbor_id
+        "ann_quantized_topk": """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+mm AS (
+  SELECT i, min(q) AS qmin, greatest(max(q) - min(q), 1) AS rng
+  FROM ev GROUP BY i
+),
+dq AS (
+  SELECT e.vec_id, e.i,
+         m.qmin + ((((e.q - m.qmin) * 255) // m.rng) * m.rng) // 255 AS v
+  FROM ev e JOIN mm m USING (i)
+),
+sc AS (
+  SELECT q.vec_id AS qid, x.vec_id AS neighbor_id,
+         CAST(sum(q.v * x.v) AS BIGINT) AS score
+  FROM dq q JOIN dq x ON q.i = x.i AND x.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT qid, neighbor_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM sc
+)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+FROM rk WHERE rank <= 5
 """,
         # DSIR: hashed-feature rarity weights + global top-10% selection
         "dsir_sample": """

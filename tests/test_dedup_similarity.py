@@ -781,3 +781,26 @@ def test_embedding_quantize_bounds(sf_dir):
     step = (q.max(0) - q.min(0)) / 255.0
     assert (df["recon_err_milli"] <= (np.ceil(step).sum() + d)).all()
     assert (df["recon_err_milli"] > 0).any()
+
+
+def test_ann_quantized_recall_vs_bruteforce(sf_dir):
+    """The quantized scan's top-5 heavily overlaps the exact cosine
+    top-5 (quantization noise may reorder the tail, not the head)."""
+    from zerox_ray.pipelines.similarity import (
+        ann_bruteforce_topk,
+        ann_quantized_topk,
+    )
+
+    exact = ann_bruteforce_topk(sf_dir).to_pandas()
+    quant = ann_quantized_topk(sf_dir).to_pandas()
+    assert set(quant["qid"]) == set(exact["qid"])
+    assert (quant.groupby("qid")["rank"].max() == 5).all()
+    # rank-1 agreement isn't guaranteed (MIPS vs cosine + quantization),
+    # but top-5 set recall should be high on a 500-vector corpus
+    hits = tot = 0
+    for q in set(exact["qid"]):
+        e = set(exact.loc[exact["qid"] == q, "neighbor_id"])
+        g = set(quant.loc[quant["qid"] == q, "neighbor_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.5, (hits, tot)

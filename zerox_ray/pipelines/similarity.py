@@ -690,6 +690,47 @@ def embedding_principal(sf_dir: str, rounds: int = PCA_ROUNDS) -> ray.data.Datas
 # --- int8 affine quantization (the ANN memory-shrink primitive) ---------------
 
 
+def _affine_quant_params(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (qmin, rng) of the milli-quantized corpus — the
+    affine-quantizer codebook shared by ``embedding_quantize`` and
+    ``ann_quantized_topk``. One grouped min/max exchange, a d-row
+    (=64) driver pull; rng floored at 1 so constant dimensions still
+    divide cleanly."""
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "qmin": q.min(axis=0),
+                "qmax": q.max(axis=0),
+            }
+        )
+
+    mm = (
+        bucketed_group_agg(
+            ds.map_batches(mm_partial, batch_format="pandas"),
+            ["dim"],
+            {"qmin": ("qmin", "min"), "qmax": ("qmax", "max")},
+        )
+        .to_pandas()  # d rows — bounded driver state
+        .sort_values("dim")
+    )
+    qmin = mm["qmin"].to_numpy(np.int64)
+    rng = np.maximum(mm["qmax"].to_numpy(np.int64) - qmin, 1)
+    return qmin, rng
+
+
+def _dequant_milli(mat: np.ndarray, qmin: np.ndarray, rng: np.ndarray) -> np.ndarray:
+    """float rows → affine uint8 codes → dequantized int64 milli rows
+    (the exact values the quantized scan scores with)."""
+    q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
+    c = ((q - qmin) * 255) // rng
+    return qmin + (c * rng) // 255
+
+
 def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     """Per-dimension affine uint8 quantization of the embedding corpus —
     the standard memory-shrink step in front of large-scale ANN (a
@@ -714,30 +755,7 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     from zerox_ray.pipelines.dataops import _cached_broadcast
 
     ds = read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy())
-        q = np.floor(mat.astype(np.float64) * 1000).astype(np.int64)
-        d = q.shape[1]
-        return pd.DataFrame(
-            {
-                "dim": np.arange(d, dtype=np.int64),
-                "qmin": q.min(axis=0),
-                "qmax": q.max(axis=0),
-            }
-        )
-
-    mm = (
-        bucketed_group_agg(
-            ds.map_batches(mm_partial, batch_format="pandas"),
-            ["dim"],
-            {"qmin": ("qmin", "min"), "qmax": ("qmax", "max")},
-        )
-        .to_pandas()  # d rows (64) — bounded driver state
-        .sort_values("dim")
-    )
-    qmin = mm["qmin"].to_numpy(np.int64)
-    rng = np.maximum(mm["qmax"].to_numpy(np.int64) - qmin, 1)
+    qmin, rng = _affine_quant_params(ds)
     ref = ray.put((qmin, rng))
 
     def quantize(df: pd.DataFrame) -> pd.DataFrame:
@@ -757,3 +775,82 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(quantize, batch_format="pandas")
+
+
+def ann_quantized_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 5
+) -> ray.data.Dataset:
+    """Top-k maximum-inner-product search over the QUANTIZED corpus —
+    the scan that justifies ``embedding_quantize``: scores are integer
+    dot products of dequantized uint8 codes (what a production
+    IVF/PQ scan computes from its code tables), so a 100 TB float
+    corpus is searched while touching only its 1/4-size code
+    representation. All arithmetic is int64 end-to-end, so the DuckDB
+    oracle replays every score bit-for-bit — this value-checks the
+    whole quantized path (codebook, codes, scoring), not just row
+    shapes.
+
+    Scale shape: codebook = one d-row exchange (_affine_quant_params);
+    queries (vec_id < n_queries) are quantized once on the driver and
+    ray.put-broadcast; each batch computes ONE (Q × batch) int64 matmul
+    and emits its local top-k per query (~Q·k rows per batch); ONE tiny
+    groupby on qid merges partials. Ties break on neighbor_id so ranks
+    are deterministic. Output: (qid, neighbor_id, rank, score)."""
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = read_table(path, columns=["vec_id", "embedding"])
+    qmin, rng = _affine_quant_params(ds)
+    ids, qraw = _load_raw_queries(path, n_queries)
+    qdeq = _dequant_milli(qraw, qmin, rng)  # (Q, d) int64
+    ref = ray.put((ids, qdeq, qmin, rng))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qd, lo, r = _cached_broadcast("annq", ref)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        deq = _dequant_milli(np.stack(df["embedding"].to_numpy()), lo, r)
+        s = qd @ deq.T  # (Q, batch) exact int64
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            keep = vids != qid  # exclude self
+            row, nb = s[qi][keep], vids[keep]
+            take = min(k, len(nb))
+            if take <= 0:
+                continue
+            # local top-k with the global (−score, neighbor_id) order;
+            # scores are bounded (milli² · d), so negation is safe
+            order = np.lexsort((nb, -row))[:take]
+            out_q += [int(qid)] * take
+            out_n += nb[order].tolist()
+            out_s += row[order].tolist()
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "score": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=2048)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, grp in g.groupby("qid", sort=False):
+            top = grp.sort_values(
+                ["score", "neighbor_id"], ascending=[False, True]
+            ).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": top["qid"].astype("int64"),
+                        "neighbor_id": top["neighbor_id"].astype("int64"),
+                        "rank": pd.Series(
+                            range(1, len(top) + 1), dtype="int64", index=top.index
+                        ),
+                        "score": top["score"].astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return partials.groupby("qid").map_groups(final, batch_format="pandas")
