@@ -139,7 +139,7 @@ from zerox_ray.pipelines.textqual import (
     tier_shards,
     unigram_logprobs,
 )
-from zerox_ray.pipelines.urls import canonical_urls, url_dedup
+from zerox_ray.pipelines.urls import canonical_urls, url_dedup, url_features
 from zerox_ray.pipelines.web import (
     extraction_parity,
     host_curate,
@@ -442,6 +442,12 @@ def _q_url_dedup(sf_dir: str):
     return url_dedup(_messy_urls(sf_dir))
 
 
+def _q_url_features(sf_dir: str):
+    """URL-level crawl-filter gate (RefinedWeb's filter-before-fetch)
+    over the variant corpus — params/fragment/port/case diversity."""
+    return url_features(_messy_urls(sf_dir))
+
+
 def _q_ocr_incremental(sf_dir: str):
     """Incremental re-extraction over the multi-snapshot corpus: OCR
     only first-seen/changed urls; 'unchanged' (corrupt multi-snapshot,
@@ -711,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_curate": _q_host_curate,
         "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
+        "url_features": _q_url_features,
         "ocr_incremental": _q_ocr_incremental,
         "hits": _q_hits,
         "reciprocal_links": _q_reciprocal_links,
@@ -3870,6 +3877,36 @@ SELECT url, canonical FROM raw""",
 SELECT canonical, min(url) AS kept_url,
        CAST(count(DISTINCT url) AS BIGINT) AS n_variants
 FROM raw GROUP BY canonical""",
+        # mirrors urls.url_features: vectorized string kernels + integer
+        # ppm arithmetic; same regexes on both sides (RE2 class syntax)
+        "url_features": _MESSY_URLS_CTE
+        + r""",
+uf AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS q,
+         CAST(length(url) AS BIGINT) AS url_len,
+         CAST(len(regexp_extract_all(url, '[0-9]')) AS BIGINT) AS nd,
+         CAST(CASE WHEN contains(url, '#') THEN 1 ELSE 0 END AS BIGINT)
+           AS has_fragment
+  FROM raw
+),
+uff AS (
+  SELECT url, host,
+         CAST(len(regexp_extract_all(path, '/')) AS BIGINT) AS path_depth,
+         url_len,
+         CAST(CASE WHEN q = '' THEN 0
+                   ELSE len(string_split(q, '&')) END AS BIGINT) AS n_params,
+         (nd * 1000000) // url_len AS digit_ppm,
+         has_fragment
+  FROM uf
+)
+SELECT url, host, path_depth, url_len, n_params, digit_ppm, has_fragment,
+       CAST(CASE WHEN n_params = 0 AND has_fragment = 0
+                  AND path_depth <= 3 AND digit_ppm <= 200000
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM uff""",
         "raw_text_blocks": _RAW_BLOCKS_CTE
         + """
 SELECT url, page_index, block_index, block FROM pb""",

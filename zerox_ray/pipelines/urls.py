@@ -60,3 +60,67 @@ def url_dedup(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
         ["canonical"],
         {"kept_url": ("url", "min"), "n_variants": ("one", "sum")},
     )
+
+
+# --- URL quality features (the crawl-frontier filter signals) ------------------
+
+#: RefinedWeb-style URL gates (Penedo et al. 2023 §3.1 filter by URL
+#: before fetching): deep paths, parameterized/fragment urls and
+#: digit-heavy urls correlate with spam/duplicate content. Constants
+#: calibrated to the synthetic variant corpus so every gate has both
+#: pass and fail mass.
+URL_MAX_DEPTH = 3
+URL_MAX_DIGIT_PPM = 200_000
+
+
+def url_features(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
+    """Per-url crawl-filter feature vector + keep flag — the
+    URL-level quality gate real pipelines run BEFORE fetching
+    (RefinedWeb filters by URL first; UT1-style blocklists key on the
+    same features). Output: (url, host, path_depth, url_len, n_params,
+    digit_ppm, has_fragment, keep); keep = no query params, no
+    fragment, path depth ≤ URL_MAX_DEPTH, digit density ≤
+    URL_MAX_DIGIT_PPM.
+
+    Scale shape: shuffle-free — one vectorized pandas-str pass per
+    batch (compiled regex kernels, no Python loop); integer ppm
+    arithmetic so the DuckDB oracle matches bit-for-bit."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        u = df[url_col].astype("string")
+        host = (
+            u.str.extract(r"^[a-z]+://([^/:?#]+)", expand=False)
+            .str.lower()
+            .fillna("")
+        )
+        path = u.str.extract(r"^[a-z]+://[^/?#]*(/[^?#]*)", expand=False).fillna("")
+        qry = u.str.extract(r"\?([^#]*)", expand=False)
+        n_params = np.where(
+            qry.isna() | (qry == ""), 0, qry.str.count("&").fillna(0) + 1
+        ).astype(np.int64)
+        depth = path.str.count("/").astype("int64")
+        ulen = u.str.len().astype("int64")
+        digit_ppm = (u.str.count(r"[0-9]").astype("int64") * 1_000_000) // ulen
+        frag = u.str.contains("#", regex=False).astype("int64")
+        keep = (
+            (n_params == 0)
+            & (frag == 0)
+            & (depth <= URL_MAX_DEPTH)
+            & (digit_ppm <= URL_MAX_DIGIT_PPM)
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "url": u,
+                "host": host.astype("string"),
+                "path_depth": depth,
+                "url_len": ulen,
+                "n_params": pd.Series(n_params, index=df.index),
+                "digit_ppm": digit_ppm,
+                "has_fragment": frag,
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pandas")
