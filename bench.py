@@ -214,6 +214,36 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         # count exchange + broadcast-scored streaming pass)
         timed("kcore", lambda: kcore(pages_dir_for(sf_dir)).to_pandas())
         timed("bigram_logprobs", lambda: bigram_logprobs(sf_dir).to_pandas())
+        from zerox_ray.pipelines.dataops import packed_sequences
+        from zerox_ray.pipelines.similarity import ann_quantized_topk
+        from zerox_ray.pipelines.textqual import c4_rules
+        from zerox_ray.sources.warc import read_warc_pages
+        from zerox_ray.testgen import warc_dir_for
+
+        # r4 third wave: WARC-container ingest (gzip-member parse +
+        # full extraction — the source-format overhead vs the parquet
+        # scan ocr_documents measures), C4 line/doc filtering (one
+        # extraction pass + one url exchange), wrap-around sequence
+        # packing (two-pass prefix sum), and the quantized integer
+        # MIPS scan (codebook exchange + one int64 matmul per batch)
+        timed(
+            "ocr_warc_roundtrip",
+            lambda: run_ocr(
+                read_warc_pages(warc_dir_for(sf_dir)).select_columns(
+                    ["url", "html"]
+                )
+            ).write_parquet(os.path.join(out_root, "ocr_warc")),
+        )
+        timed(
+            "c4_rules",
+            lambda: c4_rules(pages_dir_for(sf_dir)).write_parquet(
+                os.path.join(out_root, "c4_rules")
+            ),
+        )
+        timed("packed_sequences", lambda: packed_sequences(sf_dir).to_pandas())
+        timed(
+            "ann_quantized_topk", lambda: ann_quantized_topk(sf_dir).to_pandas()
+        )
         ex_cfg = ZeroxConfig(
             schema={
                 "type": "object",
