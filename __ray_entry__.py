@@ -121,6 +121,7 @@ from zerox_ray.pipelines.graph import (
 )
 from zerox_ray.pipelines.boilerplate import (
     boilerplate_blocks,
+    density_extract,
     paragraph_dedup,
     raw_text_blocks,
 )
@@ -389,6 +390,13 @@ def _q_paragraph_dedup(sf_dir: str):
 
 def _q_boilerplate_blocks(sf_dir: str):
     return boilerplate_blocks(pages_dir_for(sf_dir))
+
+
+def _q_density_extract(sf_dir: str):
+    """jusText-style density-smoothed main-content extraction — the
+    third boilerplate pass (DOM heuristics / corpus frequency / text
+    density), cross-validating the other two."""
+    return density_extract(pages_dir_for(sf_dir))
 
 
 def _q_host_curate(sf_dir: str):
@@ -712,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_census": _q_bowtie_census,
         "random_walks": _q_random_walks,
         "raw_text_blocks": _q_raw_text_blocks,
+        "density_extract": _q_density_extract,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_blocks": _q_boilerplate_blocks,
         "host_curate": _q_host_curate,
@@ -3934,6 +3943,31 @@ FROM bkb GROUP BY url""",
         + """
 SELECT block, CAST(count(*) AS BIGINT) AS n
 FROM pb GROUP BY block HAVING count(*) >= 2""",
+        # mirrors boilerplate.density_extract: 3-block word-count window
+        # (lag + self + lead, missing neighbors = 0) over the block
+        # stream in (page_index, block_index) order; threshold 15
+        "density_extract": _RAW_BLOCKS_CTE
+        + """,
+dew AS (
+  SELECT url, page_index, block_index, block,
+         CAST(len(regexp_extract_all(block, '[a-z]+')) AS BIGINT) AS w
+  FROM pb
+),
+des AS (
+  SELECT url, page_index, block_index, block,
+         COALESCE(lag(w) OVER win, 0) + w
+           + COALESCE(lead(w) OVER win, 0) AS win3
+  FROM dew
+  WINDOW win AS (PARTITION BY url ORDER BY page_index, block_index)
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN win3 >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_blocks,
+       COALESCE(string_agg(CASE WHEN win3 >= 15 THEN block END, e'\n\n'
+                           ORDER BY page_index, block_index), '')
+         AS dense_text
+FROM des GROUP BY url""",
         # host profile over url/text/lang/warc_ts only (never payload);
         # ts = epoch + doc_id seconds (testgen), chars = codepoints
         "host_stats": """

@@ -131,3 +131,34 @@ def test_min_count_threshold(ray_session):
     got3 = paragraph_dedup(ds, min_count=3).to_pandas().set_index("url")
     assert got3.loc["u1"].text_clean == "twice"
     assert int(got3.n_removed.sum()) == 0
+
+
+def test_density_extract_context_rule(sf_dir):
+    """The jusText context effect is live: some short blocks survive
+    (good neighbors), isolated chrome does not; dense_text reconstructs
+    kept blocks in order."""
+    import re
+
+    from zerox_ray.pipelines.boilerplate import density_extract
+    from zerox_ray.testgen import pages_dir_for
+
+    df = density_extract(pages_dir_for(sf_dir)).to_pandas()
+    assert len(df) == 495  # corrupt docs emit no blocks
+    assert (df["kept_blocks"] <= df["n_blocks"]).all()
+    assert 0 < df["kept_blocks"].sum() < df["n_blocks"].sum()
+    tok = re.compile(r"[a-z]+")
+    short_kept = lonely_short_dropped = False
+    for txt in df["dense_text"]:
+        if not txt:
+            continue
+        blocks = txt.split("\n\n")
+        ws = [len(tok.findall(b)) for b in blocks]
+        # a block with < 15 words survived only via its neighbors
+        if any(w < 15 for w in ws):
+            short_kept = True
+    # the standalone nav chrome ('home' etc, w<=2 with chrome neighbors)
+    # never survives: no dense_text starts with the nav sequence
+    lonely_short_dropped = not any(
+        t.startswith("home\n\nabout us") for t in df["dense_text"]
+    )
+    assert short_kept and lonely_short_dropped

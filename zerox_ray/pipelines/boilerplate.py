@@ -263,3 +263,69 @@ def boilerplate_blocks(
         return t.filter(pc.greater_equal(t["n"], min_count))
 
     return counts.map_batches(keep_common, batch_format="pyarrow")
+
+
+# --- density-smoothed main-content extraction (the jusText family) -------------
+
+#: keep a block iff its 3-block word window (prev + self + next) clears
+#: this — jusText's context rule (Pomikálek 2011): short blocks survive
+#: next to long body text ("good neighbors"), isolated chrome does not.
+DENSITY_MIN_WINDOW_WORDS = 15
+
+
+def density_extract(
+    pages: ray.data.Dataset | str,
+    min_window_words: int = DENSITY_MIN_WINDOW_WORDS,
+) -> ray.data.Dataset:
+    """Main-content extraction by TEXT DENSITY — the third boilerplate
+    strategy beside the flagship's DOM heuristics (structural priors +
+    link-ratio) and ``paragraph_dedup``'s corpus frequency counting:
+    score every visible block by word count, smooth over the
+    3-block neighborhood in document order, keep blocks whose window
+    clears ``min_window_words`` (the jusText/Readability context-
+    smoothing idea, integer form). The three passes cross-validate —
+    each catches chrome the others can miss (unseen templates for the
+    frequency pass, atypical markup for the DOM pass, short body
+    fragments for this one).
+
+    Output: (url, n_blocks, kept_blocks, dense_text) with dense_text
+    the kept blocks rejoined in (page_index, block_index) order.
+
+    Scale shape: block extraction is ``raw_text_blocks``' shuffle-free
+    payload scan; the smoothing needs each url's blocks ordered, so it
+    rides ONE coarse-bucketed url exchange (block text moves once —
+    the reassembly shuffle shape); the window arithmetic is a
+    vectorized shift inside the reduce task, no per-block Python."""
+    blocks = raw_text_blocks(pages)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        out = []
+        tok = re.compile(r"[a-z]+")
+        for url, grp in g.groupby("url", sort=False):
+            grp = grp.sort_values(["page_index", "block_index"], kind="mergesort")
+            w = np.array([len(tok.findall(b)) for b in grp["block"]], np.int64)
+            prev = np.concatenate([[0], w[:-1]])
+            nxt = np.concatenate([w[1:], [0]])
+            keep = (prev + w + nxt) >= min_window_words
+            out.append(
+                (
+                    url,
+                    len(grp),
+                    int(keep.sum()),
+                    "\n\n".join(grp["block"].to_numpy()[keep]),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["url", "n_blocks", "kept_blocks", "dense_text"]
+        ).astype(
+            {
+                "url": "string",
+                "n_blocks": "int64",
+                "kept_blocks": "int64",
+                "dense_text": "string",
+            }
+        )
+
+    return bucketed_group_map(blocks, "url", smooth)
