@@ -133,6 +133,8 @@ from zerox_ray.pipelines.textqual import (
     vocab_growth,
     c4_rules,
     classifier_scores,
+    classifier_train,
+    classifier_trained_scores,
     gopher_rules,
     inverted_index,
     perplexity_buckets,
@@ -770,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprobs": unigram_logprobs,
         "perplexity_buckets": perplexity_buckets,
         "classifier_scores": classifier_scores,
+        "classifier_train": classifier_train,
+        "classifier_trained_scores": classifier_trained_scores,
         "inverted_index": inverted_index,
         "quality_curate": quality_curate,
         "bigram_counts": bigram_counts,
@@ -2638,6 +2642,70 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 FROM pp""",
         # mirrors textqual.classifier_scores: hashed linear model,
         # w(t) = md5_64(t) % 2001 milli-units, keep at mean ≥ 1000
+        # mirrors textqual.classifier_train: hashed-token NB counts with
+        # Laplace-smoothed positive rate; positive class = lang='en'
+        "classifier_train": """
+WITH nbt AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(regexp_extract_all(text, '[a-z]+')) AS t
+  FROM documents
+),
+nbb AS (
+  SELECT CAST(('0x'||substring(md5(t),1,16))::UBIGINT % 4096 AS BIGINT)
+           AS bucket,
+         pos
+  FROM nbt
+)
+SELECT bucket,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       CAST(((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000000)
+            // (count(*) + 2) AS BIGINT) AS pos_rate_ppm
+FROM nbb GROUP BY bucket
+""",
+        # mirrors textqual.classifier_trained_scores: the train→infer
+        # composition — every queried bucket exists in the model (same
+        # corpus), so the inner join is total
+        "classifier_trained_scores": """
+WITH nbt AS (
+  SELECT (lang = 'en') AS pos,
+         unnest(regexp_extract_all(text, '[a-z]+')) AS t
+  FROM documents
+),
+nbb AS (
+  SELECT CAST(('0x'||substring(md5(t),1,16))::UBIGINT % 4096 AS BIGINT)
+           AS bucket,
+         pos
+  FROM nbt
+),
+nbm AS (
+  SELECT bucket,
+         CAST(((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000000)
+              // (count(*) + 2) AS BIGINT) AS pos_rate_ppm
+  FROM nbb GROUP BY bucket
+),
+dtk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS t
+  FROM documents
+),
+dbk AS (
+  SELECT doc_id,
+         CAST(('0x'||substring(md5(t),1,16))::UBIGINT % 4096 AS BIGINT)
+           AS bucket
+  FROM dtk
+),
+dsc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(m.pos_rate_ppm) AS BIGINT) AS s
+  FROM dbk JOIN nbm m USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       CAST(s // greatest(n_tok, 1) AS BIGINT) AS score_ppm,
+       CAST(CASE WHEN s // greatest(n_tok, 1) >= 500000
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM dsc
+""",
         "classifier_scores": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents),
 cw AS (SELECT doc_id,

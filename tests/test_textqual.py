@@ -386,3 +386,37 @@ def test_c4_rules_empty_and_all_banned():
     r = df.iloc[0]
     assert r["n_lines"] == 2 and r["kept_lines"] == 0
     assert r["keep"] == 0 and r["c4_text"] == ""
+
+
+def test_classifier_train_and_infer(sf_dir):
+    """Model counts tally with the raw corpus; smoothing bounds hold;
+    inference reproduces a hand-computed doc score."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.functions.hashing import md5_64_array
+    from zerox_ray.pipelines.textqual import (
+        classifier_train,
+        classifier_trained_scores,
+    )
+
+    model = classifier_train(sf_dir).to_pandas().set_index("bucket")
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    tok = re.compile(r"[a-z]+")
+    n_pos = sum(
+        len(tok.findall(t)) for t, lg in zip(docs["text"], docs["lang"]) if lg == "en"
+    )
+    assert model["n_pos"].sum() == n_pos
+    assert ((model["pos_rate_ppm"] > 0) & (model["pos_rate_ppm"] < 1_000_000)).all()
+    # hand-score one doc
+    scores = classifier_trained_scores(sf_dir).to_pandas().set_index("doc_id")
+    row = docs.iloc[7]
+    toks = tok.findall(row["text"])
+    buckets = (md5_64_array([t.encode() for t in toks]) % np.uint64(4096)).astype(int)
+    expect = sum(int(model.loc[b, "pos_rate_ppm"]) for b in buckets) // len(toks)
+    assert int(scores.loc[row["doc_id"], "score_ppm"]) == expect
+    assert scores["keep"].isin([0, 1]).all()

@@ -1230,3 +1230,103 @@ def c4_rules(
         )
 
     return bucketed_group_map(lines, "url", per_doc)
+
+
+# --- Naive-Bayes classifier training (the missing half of classifier_scores) ---
+
+NB_BUCKETS = 4096
+NB_KEEP_PPM = 500_000
+
+
+def classifier_train(sf_dir: str, n_buckets: int = NB_BUCKETS) -> ray.data.Dataset:
+    """TRAIN a hashed Naive-Bayes-style quality classifier on the corpus
+    itself — the training half that ``classifier_scores`` (fixed
+    md5-weight inference) deliberately stubbed: positive class = English
+    documents (the CCNet recipe trains its LM on a trusted corpus and
+    scores everything else; here the trusted slice is lang='en'),
+    features = md5-hashed token buckets (the hashing trick, Weinberger
+    et al. 2009), model = per-bucket Laplace-smoothed positive rate
+    pos_rate_ppm = (n_pos+1)·1e6 // (n_pos+n_neg+2).
+
+    Scale shape: per-batch flat-token bucket counting (np.unique over
+    the batch vocabulary — md5 once per DISTINCT term) → ONE grouped
+    sum on the bucket key; the model is ≤ n_buckets rows no matter the
+    corpus size. Output: (bucket, n_pos, n_neg, pos_rate_ppm)."""
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _, doc_idx = _doc_token_stats(df["text"])
+        pos_doc = (df["lang"] == "en").to_numpy()
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        bucket = (
+            md5_64_array([t.encode() for t in uniq]) % np.uint64(n_buckets)
+        ).astype(np.int64)[term_id]
+        is_pos = pos_doc[doc_idx]
+        out = pd.DataFrame({"bucket": bucket, "p": is_pos.astype(np.int64)})
+        g = out.groupby("bucket", as_index=False).agg(
+            n_pos=("p", "sum"), n_tot=("p", "size")
+        )
+        g["n_neg"] = g["n_tot"] - g["n_pos"]
+        return g[["bucket", "n_pos", "n_neg"]].astype("int64")
+
+    agg = bucketed_group_agg(
+        ds.map_batches(counts, batch_format="pandas"),
+        ["bucket"],
+        {"n_pos": ("n_pos", "sum"), "n_neg": ("n_neg", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["bucket", "n_pos", "n_neg"]].astype("int64")
+        df["pos_rate_ppm"] = ((df["n_pos"] + 1) * 1_000_000) // (
+            df["n_pos"] + df["n_neg"] + 2
+        )
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def classifier_trained_scores(
+    sf_dir: str, n_buckets: int = NB_BUCKETS, keep_ppm: int = NB_KEEP_PPM
+) -> ray.data.Dataset:
+    """Score every document with the ``classifier_train`` model — the
+    full train→infer composition (FineWeb-Edu's shape: train a cheap
+    classifier, gate the corpus on its score). Doc score = mean
+    pos_rate_ppm over token occurrences; keep at ≥ keep_ppm.
+
+    Scale shape: the trained model is ≤ n_buckets rows → ONE bounded
+    driver pull + ray.put broadcast (the size-gated small-side idiom);
+    scoring is a shuffle-free streaming pass with a dense int64
+    lookup table. Output: (doc_id, n_tok, score_ppm, keep)."""
+    import ray
+
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    model = classifier_train(sf_dir, n_buckets).to_pandas()  # ≤ n_buckets rows
+    dense = np.zeros(n_buckets, np.int64)
+    dense[model["bucket"].to_numpy(np.int64)] = model["pos_rate_ppm"].to_numpy(
+        np.int64
+    )
+    ref = ray.put(dense)
+
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = _cached_broadcast("nbmodel", ref)
+        flat, n_tok, doc_idx = _doc_token_stats(df["text"])
+        uniq, term_id = np.unique(flat, return_inverse=True)
+        bucket = (
+            md5_64_array([t.encode() for t in uniq]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        s = np.zeros(len(df), np.int64)
+        np.add.at(s, doc_idx, w[bucket[term_id]])
+        score_ppm = s // np.maximum(n_tok, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_tok": n_tok,
+                "score_ppm": score_ppm,
+                "keep": (score_ppm >= keep_ppm).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
