@@ -131,6 +131,7 @@ from zerox_ray.pipelines.textqual import (
     ngram_novelty,
     pmi_pairs,
     vocab_growth,
+    bpe_merges,
     c4_rules,
     classifier_scores,
     classifier_train,
@@ -774,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_scores": classifier_scores,
         "classifier_train": classifier_train,
         "classifier_trained_scores": classifier_trained_scores,
+        "bpe_merges": bpe_merges,
         "inverted_index": inverted_index,
         "quality_curate": quality_curate,
         "bigram_counts": bigram_counts,
@@ -2642,6 +2644,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 FROM pp""",
         # mirrors textqual.classifier_scores: hashed linear model,
         # w(t) = md5_64(t) % 2001 milli-units, keep at mean ≥ 1000
+        # mirrors textqual.bpe_merges: 3 unrolled BPE rounds — char-pair
+        # counts (overlapping adjacent positions, the classic get_stats),
+        # best pair by (count DESC, expanded left, expanded right), merge
+        # applied as non-overlapping left-to-right replace with a
+        # placeholder control char (DuckDB replace == str.replace)
+        "bpe_merges": """
+WITH bpw AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+),
+c1 AS (SELECT regexp_extract_all(w, '.') AS cs FROM bpw),
+p1 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c1),
+g1 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p1 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+b1 AS (SELECT l, r, n FROM g1 ORDER BY n DESC, l, r LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT l || r FROM b1), chr(1)) AS w FROM bpw),
+c2 AS (SELECT regexp_extract_all(w, '.') AS cs FROM w2),
+p2 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c2),
+g2 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p2 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+e2 AS (SELECT l, r, n,
+              replace(l, chr(1), (SELECT l || r FROM b1)) AS le,
+              replace(r, chr(1), (SELECT l || r FROM b1)) AS re
+       FROM g2),
+b2 AS (SELECT l, r, le, re, n FROM e2 ORDER BY n DESC, le, re LIMIT 1),
+w3 AS (SELECT replace(w, (SELECT l || r FROM b2), chr(2)) AS w FROM w2),
+c3 AS (SELECT regexp_extract_all(w, '.') AS cs FROM w3),
+p3 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c3),
+g3 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p3 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+e3 AS (SELECT l, r, n,
+              replace(replace(l, chr(2), (SELECT le || re FROM b2)),
+                      chr(1), (SELECT l || r FROM b1)) AS le,
+              replace(replace(r, chr(2), (SELECT le || re FROM b2)),
+                      chr(1), (SELECT l || r FROM b1)) AS re
+       FROM g3),
+b3 AS (SELECT le, re, n FROM e3 ORDER BY n DESC, le, re LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+       CAST(n AS BIGINT) AS pair_count FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), le, re, CAST(n AS BIGINT) FROM b2
+UNION ALL
+SELECT CAST(3 AS BIGINT), le, re, CAST(n AS BIGINT) FROM b3
+""",
         # mirrors textqual.classifier_train: hashed-token NB counts with
         # Laplace-smoothed positive rate; positive class = lang='en'
         "classifier_train": """

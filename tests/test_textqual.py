@@ -420,3 +420,39 @@ def test_classifier_train_and_infer(sf_dir):
     expect = sum(int(model.loc[b, "pos_rate_ppm"]) for b in buckets) // len(toks)
     assert int(scores.loc[row["doc_id"], "score_ppm"]) == expect
     assert scores["keep"].isin([0, 1]).all()
+
+
+def test_bpe_merges_match_pure_python_reference(sf_dir):
+    """Replay classic BPE (get_stats over occurrences + greedy replace)
+    independently and compare all three learned merges."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.textqual import bpe_merges
+
+    got = bpe_merges(sf_dir).to_pandas()
+    assert list(got["round"]) == [1, 2, 3]
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    words = [w for t in texts for w in re.findall(r"[a-z]+", t)]
+    expand = {}
+    ex = lambda s: "".join(expand.get(c, c) for c in s)  # noqa: E731
+    merges = []
+    for r in range(3):
+        pc = Counter()
+        for w in words:
+            for a, b in zip(w, w[1:]):
+                pc[(a, b)] += 1
+        (la, rb), n = min(pc.items(), key=lambda kv: (-kv[1], ex(kv[0][0]), ex(kv[0][1])))
+        merges.append((r + 1, ex(la), ex(rb), n))
+        ph = chr(1 + r)
+        expand[ph] = ex(la) + ex(rb)
+        words = [w.replace(la + rb, ph) for w in words]
+    assert [tuple(r) for r in got.itertuples(index=False)] == merges
+    # later merges can compose earlier ones: expanded symbols grow
+    assert max(len(s) for s in got["left_sym"]) >= 1
+    assert (got["pair_count"] > 0).all()

@@ -1330,3 +1330,70 @@ def classifier_trained_scores(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# --- BPE merge training (Sennrich et al. 2016) ---------------------------------
+
+BPE_ROUNDS = 3
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
+    """Learn the first ``rounds`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016) — actual subword-tokenizer TRAINING,
+    the step upstream of ``token_counts_bpe``'s pretokenizer. Classic
+    intra-word BPE: symbols start as characters, each round merges the
+    most frequent adjacent symbol pair corpus-wide (count ties broken
+    by the lexicographically smallest expanded pair, so the merge
+    table is fully deterministic). Output: (round, left_sym,
+    right_sym, pair_count) with symbols in expanded string form.
+
+    Scale shape — exactly how production BPE trainers distribute
+    (HuggingFace tokenizers): the corpus-wide WORD COUNT is the only
+    distributed pass (ONE bounded vocabulary exchange, the
+    unigram_logprobs posture — natural-language vocabulary is
+    heavy-tailed, so the vocab table is millions of rows at 100 TB,
+    not corpus-sized; cap to top-K by count if it ever isn't), then
+    the merge loop runs over the weighted vocab driver-side: pair
+    counting over DISTINCT words × their counts, cost O(|vocab| ·
+    word_len) per round, independent of corpus size. Merged symbols
+    are placeholder control chars so merge application is a plain
+    non-overlapping left-to-right ``str.replace`` — the exact
+    semantics DuckDB's ``replace`` has, which is what lets the oracle
+    replay every round bit-for-bit."""
+    counts, _ = _raw_unigram_counts(sf_dir)
+    expand: dict[str, str] = {}
+
+    def ex(sym: str) -> str:
+        return "".join(expand.get(ch, ch) for ch in sym)
+
+    vocab: dict[str, int] = dict(counts)
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab.items():
+            for a, b in zip(w, w[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        (la, rb), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], ex(kv[0][0]), ex(kv[0][1]))
+        )
+        rows.append((r + 1, ex(la), ex(rb), n))
+        ph = chr(1 + r)
+        expand[ph] = ex(la) + ex(rb)
+        pat = la + rb
+        merged: dict[str, int] = {}
+        for w, c in vocab.items():
+            nw = w.replace(pat, ph)
+            merged[nw] = merged.get(nw, 0) + c
+        vocab = merged
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([r[0] for r in rows], pa.int64()),
+                "left_sym": pa.array([r[1] for r in rows], pa.string()),
+                "right_sym": pa.array([r[2] for r in rows], pa.string()),
+                "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
