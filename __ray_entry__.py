@@ -131,6 +131,7 @@ from zerox_ray.pipelines.textqual import (
     ngram_novelty,
     pmi_pairs,
     vocab_growth,
+    bpe_encode,
     bpe_merges,
     c4_rules,
     classifier_scores,
@@ -776,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_train": classifier_train,
         "classifier_trained_scores": classifier_trained_scores,
         "bpe_merges": bpe_merges,
+        "bpe_encode": bpe_encode,
         "inverted_index": inverted_index,
         "quality_curate": quality_curate,
         "bigram_counts": bigram_counts,
@@ -2686,6 +2688,64 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), le, re, CAST(n AS BIGINT) FROM b2
 UNION ALL
 SELECT CAST(3 AS BIGINT), le, re, CAST(n AS BIGINT) FROM b3
+""",
+        # mirrors textqual.bpe_encode: the same three learned merges
+        # applied to every word occurrence; n_subwords counts symbols
+        # (placeholder control chars are single codepoints both sides)
+        "bpe_encode": """
+WITH bpw AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+),
+c1 AS (SELECT regexp_extract_all(w, '.') AS cs FROM bpw),
+p1 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c1),
+g1 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p1 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+b1 AS (SELECT l, r, n FROM g1 ORDER BY n DESC, l, r LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT l || r FROM b1), chr(1)) AS w FROM bpw),
+c2 AS (SELECT regexp_extract_all(w, '.') AS cs FROM w2),
+p2 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c2),
+g2 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p2 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+e2 AS (SELECT l, r, n,
+              replace(l, chr(1), (SELECT l || r FROM b1)) AS le,
+              replace(r, chr(1), (SELECT l || r FROM b1)) AS re
+       FROM g2),
+b2 AS (SELECT l, r, n FROM e2 ORDER BY n DESC, le, re LIMIT 1),
+w3p AS (SELECT replace(w, (SELECT l || r FROM b2), chr(2)) AS w FROM w2),
+c3 AS (SELECT regexp_extract_all(w, '.') AS cs FROM w3p),
+p3 AS (SELECT unnest(list_zip(cs[:-1], cs[2:])) AS z FROM c3),
+g3 AS (SELECT z[1] AS l, z[2] AS r, count(*) AS n
+       FROM p3 WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+e3 AS (SELECT l, r, n,
+              replace(replace(l, chr(2),
+                (SELECT replace(l, chr(1), (SELECT l || r FROM b1))
+                        || replace(r, chr(1), (SELECT l || r FROM b1))
+                 FROM b2)),
+                chr(1), (SELECT l || r FROM b1)) AS le,
+              replace(replace(r, chr(2),
+                (SELECT replace(l, chr(1), (SELECT l || r FROM b1))
+                        || replace(r, chr(1), (SELECT l || r FROM b1))
+                 FROM b2)),
+                chr(1), (SELECT l || r FROM b1)) AS re
+       FROM g3),
+b3 AS (SELECT l, r, n FROM e3 ORDER BY n DESC, le, re LIMIT 1),
+dtk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS w
+  FROM documents
+),
+dmg AS (
+  SELECT doc_id,
+         replace(
+           replace(
+             replace(w, (SELECT l || r FROM b1), chr(1)),
+             (SELECT l || r FROM b2), chr(2)),
+           (SELECT l || r FROM b3), chr(3)) AS m
+  FROM dtk
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(m)) AS BIGINT) AS n_subwords
+FROM dmg GROUP BY doc_id
 """,
         # mirrors textqual.classifier_train: hashed-token NB counts with
         # Laplace-smoothed positive rate; positive class = lang='en'

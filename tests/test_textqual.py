@@ -456,3 +456,27 @@ def test_bpe_merges_match_pure_python_reference(sf_dir):
     # later merges can compose earlier ones: expanded symbols grow
     assert max(len(s) for s in got["left_sym"]) >= 1
     assert (got["pair_count"] > 0).all()
+
+
+def test_bpe_encode_compresses(sf_dir):
+    """Subword counts sit strictly between merge-count bound and char
+    count; every merge round can only shrink the stream."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.textqual import bpe_encode
+
+    df = bpe_encode(sf_dir).to_pandas().set_index("doc_id")
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for d, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()):
+        words = re.findall(r"[a-z]+", t)
+        n_chars = sum(len(w) for w in words)
+        row = df.loc[d]
+        assert row["n_words"] == len(words)
+        assert row["n_words"] <= row["n_subwords"] <= n_chars
+    # merges actually fired somewhere
+    total_chars = sum(
+        len(w) for t in texts["text"].to_pylist() for w in re.findall(r"[a-z]+", t)
+    )
+    assert df["n_subwords"].sum() < total_chars

@@ -1360,6 +1360,26 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
     non-overlapping left-to-right ``str.replace`` — the exact
     semantics DuckDB's ``replace`` has, which is what lets the oracle
     replay every round bit-for-bit."""
+    rows, _ = _bpe_state(sf_dir, rounds)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([r[0] for r in rows], pa.int64()),
+                "left_sym": pa.array([r[1] for r in rows], pa.string()),
+                "right_sym": pa.array([r[2] for r in rows], pa.string()),
+                "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _bpe_state(
+    sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, str]]]:
+    """The BPE merge loop over the distributed word count: returns
+    (merge-table rows with expanded symbols, [(pattern, placeholder)]
+    replace sequence in placeholder space) — shared by ``bpe_merges``
+    (the model table) and ``bpe_encode`` (applying it)."""
     counts, _ = _raw_unigram_counts(sf_dir)
     expand: dict[str, str] = {}
 
@@ -1368,6 +1388,7 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
 
     vocab: dict[str, int] = dict(counts)
     rows: list[tuple[int, str, str, int]] = []
+    pats: list[tuple[str, str]] = []
     for r in range(rounds):
         pair_counts: dict[tuple[str, str], int] = {}
         for w, c in vocab.items():
@@ -1381,19 +1402,48 @@ def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
         rows.append((r + 1, ex(la), ex(rb), n))
         ph = chr(1 + r)
         expand[ph] = ex(la) + ex(rb)
-        pat = la + rb
+        pats.append((la + rb, ph))
         merged: dict[str, int] = {}
         for w, c in vocab.items():
-            nw = w.replace(pat, ph)
+            nw = w.replace(la + rb, ph)
             merged[nw] = merged.get(nw, 0) + c
         vocab = merged
-    return ray.data.from_arrow(
-        pa.table(
+    return rows, pats
+
+
+def bpe_encode(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
+    """Apply the learned BPE merges to the corpus — the tokenizer
+    train→apply composition: per document, the subword count after
+    ``rounds`` merges (the number a sequence-packing or cost model
+    would consume). Output: (doc_id, n_words, n_subwords).
+
+    Scale shape: training is ``_bpe_state``'s one bounded vocabulary
+    exchange + driver merge loop; application broadcasts the ≤rounds
+    replace patterns and streams — per batch one vectorized pandas-str
+    replace chain over the flat word view, no exchange at all."""
+    import ray
+
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    _, pats = _bpe_state(sf_dir, rounds)
+    ref = ray.put(pats)
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        patterns = _cached_broadcast("bpe_pats", ref)
+        flat, n_words, doc_idx = _doc_token_stats(df["text"])
+        s = pd.Series(flat, dtype="string")
+        for pat, ph in patterns:
+            s = s.str.replace(pat, ph, regex=False)
+        lens = s.str.len().to_numpy(np.int64)
+        n_sub = np.zeros(len(df), np.int64)
+        np.add.at(n_sub, doc_idx, lens)
+        return pd.DataFrame(
             {
-                "round": pa.array([r[0] for r in rows], pa.int64()),
-                "left_sym": pa.array([r[1] for r in rows], pa.string()),
-                "right_sym": pa.array([r[2] for r in rows], pa.string()),
-                "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n_words,
+                "n_subwords": n_sub,
             }
         )
-    )
+
+    return ds.map_batches(encode, batch_format="pandas")
