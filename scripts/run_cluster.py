@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="dir of pages-*.parquet")
     ap.add_argument("--output", required=True, help="output root (shards + manifests)")
     ap.add_argument("--files-per-shard", type=int, default=64)
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="pages parquet (default) or raw .warc/.warc.gz")
     ap.add_argument("--maintain-format", action="store_true")
     ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
     ap.add_argument("--model-provider", default="deterministic")
@@ -73,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
         model_provider=args.model_provider,
     )
     runner = CheckpointedOcrRunner(
-        args.input, args.output, cfg, files_per_shard=args.files_per_shard
+        args.input, args.output, cfg,
+        files_per_shard=args.files_per_shard,
+        input_format=args.input_format,
     )
     t0 = time.perf_counter()
     summary = runner.run(max_shards=args.max_shards)

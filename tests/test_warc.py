@@ -120,3 +120,38 @@ def test_warc_corpus_matches_pages_corpus():
     assert (p["url"] == w["url"]).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(p["html"], w["html"]))
     assert (p["warc_ts"].astype("int64") == w["warc_ts"].astype("int64")).all()
+
+
+def test_checkpoint_runner_over_warc_input(tmp_path):
+    """The ray-job runner processes raw WARC shards with the same
+    resume semantics; output matches the parquet-input run."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from zerox_ray.state.manifest import CheckpointedOcrRunner
+    from zerox_ray.testgen import pages_dir_for, warc_dir_for
+
+    sf = "/root/testdata/sf0.001"
+    out_w = str(tmp_path / "warc_out")
+    runner = CheckpointedOcrRunner(
+        warc_dir_for(sf), out_w, files_per_shard=1, input_format="warc"
+    )
+    # first submission: one shard only (simulated interruption)
+    s1 = runner.run(max_shards=1)
+    assert s1["processed_shards"] == [0]
+    # resume: remaining shards, shard 0 skipped
+    s2 = runner.run()
+    assert 0 in s2["skipped_shards"]
+
+    out_p = str(tmp_path / "pq_out")
+    CheckpointedOcrRunner(pages_dir_for(sf), out_p, files_per_shard=1).run()
+
+    def collect(root):
+        rows = {}
+        for f in glob.glob(f"{root}/shard=*/*.parquet"):
+            t = pq.read_table(f, columns=["url", "markdown"])
+            rows.update(zip(t["url"].to_pylist(), t["markdown"].to_pylist()))
+        return rows
+
+    assert collect(out_w) == collect(out_p)

@@ -86,7 +86,12 @@ def _stage_stats(ds) -> dict:
 
 
 class CheckpointedOcrRunner:
-    """Drive run_ocr shard-by-shard with resume."""
+    """Drive run_ocr shard-by-shard with resume.
+
+    ``input_format``: 'parquet' (the canonical pages table) or 'warc'
+    (raw Common-Crawl-style ``.warc`` / ``.warc.gz`` files parsed by
+    sources/warc.py) — the shard plan, lineage manifests, and resume
+    semantics are identical; only the per-shard read differs."""
 
     def __init__(
         self,
@@ -94,20 +99,32 @@ class CheckpointedOcrRunner:
         out_dir: str,
         cfg: ZeroxConfig | None = None,
         files_per_shard: int = 4,
+        input_format: str = "parquet",
     ):
+        if input_format not in ("parquet", "warc"):
+            raise ValueError(f"unknown input_format {input_format!r}")
         self.input_dir = input_dir
         self.out_dir = out_dir
         self.cfg = cfg or ZeroxConfig()
         self.files_per_shard = files_per_shard
+        self.input_format = input_format
         self.manifest_dir = os.path.join(out_dir, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     # -- planning -----------------------------------------------------------
 
     def shards(self) -> list[list[str]]:
-        files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
+        if self.input_format == "warc":
+            files = sorted(
+                glob.glob(os.path.join(self.input_dir, "*.warc"))
+                + glob.glob(os.path.join(self.input_dir, "*.warc.gz"))
+            )
+        else:
+            files = sorted(glob.glob(os.path.join(self.input_dir, "*.parquet")))
         if not files:
-            raise FileNotFoundError(f"no parquet under {self.input_dir}")
+            raise FileNotFoundError(
+                f"no {self.input_format} files under {self.input_dir}"
+            )
         k = self.files_per_shard
         return [files[i : i + k] for i in range(0, len(files), k)]
 
@@ -152,7 +169,13 @@ class CheckpointedOcrRunner:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)  # stale partial w/o manifest
 
-        docs = run_ocr(read_pages(files), self.cfg)
+        if self.input_format == "warc":
+            from zerox_ray.sources.warc import read_warc_pages
+
+            pages = read_warc_pages(files).select_columns(["url", "html"])
+        else:
+            pages = read_pages(files)
+        docs = run_ocr(pages, self.cfg)
         docs.write_parquet(tmp)
         os.rename(tmp, final)  # atomic publish of the shard output
 
@@ -175,6 +198,7 @@ class CheckpointedOcrRunner:
                 "maintain_format": self.cfg.maintain_format,
                 "error_mode": self.cfg.error_mode,
                 "model_provider": self.cfg.model_provider,
+                "input_format": self.input_format,
             },
             stage_stats=_stage_stats(docs),
         )
