@@ -155,3 +155,26 @@ def test_checkpoint_runner_over_warc_input(tmp_path):
         return rows
 
     assert collect(out_w) == collect(out_p)
+
+
+def test_warc_roundtrip_property():
+    """Property: ANY byte payloads (including CRLFs, WARC magic, gzip
+    magic, control chars) round-trip through serialize→parse, plain and
+    gzipped."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads_st = st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(payloads=payloads_st, gz=st.booleans())
+    def check(payloads, gz):
+        urls = [f"https://p.example/{i}" for i in range(len(payloads))]
+        tss = [TS + 1_000_003 * i for i in range(len(payloads))]
+        data = serialize_warc(urls, tss, payloads, gzip=gz)
+        u, t, p = parse_warc(data)
+        assert u == urls and t == tss and p == [bytes(x) for x in payloads]
+
+    check()
