@@ -105,6 +105,7 @@ from zerox_ray.pipelines.graph import (
     host_graph,
     mirror_hosts,
     host_schedule,
+    robots_filter,
     host_quota,
     host_rank,
     host_stats,
@@ -478,6 +479,12 @@ def _q_host_schedule(sf_dir: str):
     return host_schedule(multihost_pages_dir_for(sf_dir))
 
 
+def _q_robots_filter(sf_dir: str):
+    """robots.txt Disallow gate (RFC 9309 prefix semantics) over the
+    multihost corpus with the deterministic synthetic rule set."""
+    return robots_filter(multihost_pages_dir_for(sf_dir))
+
+
 def _q_mirror_hosts(sf_dir: str):
     return mirror_hosts(multihost_pages_dir_for(sf_dir))
 
@@ -716,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "host_quota": _q_host_quota,
         "host_schedule": _q_host_schedule,
+        "robots_filter": _q_robots_filter,
         "mirror_hosts": _q_mirror_hosts,
         "degree_distribution": _q_degree_distribution,
         "triangle_stats": _q_triangle_stats,
@@ -4007,6 +4015,23 @@ UNION ALL SELECT walk, 2, cur FROM rw_w2
 UNION ALL SELECT walk, 3, cur FROM rw_w3""",
         # per-host politeness schedule: slots serialize a host's urls
         # 1 s apart in (warc_ts, url) order; ts = epoch + doc_id seconds
+        # mirrors graph.robots_filter over the multihost closed form:
+        # host h{k}, path '/doc/'||doc_id; k%5==2 blocks /doc/,
+        # k%7==3 blocks the /doc/1 prefix
+        "robots_filter": """
+WITH rf AS (
+  SELECT 'https://h' || (doc_id % 23) || '.example.net/doc/' || doc_id AS url,
+         'h' || (doc_id % 23) || '.example.net' AS host,
+         doc_id % 23 AS k,
+         '/doc/' || doc_id AS path
+  FROM documents
+)
+SELECT url, host,
+       CAST(CASE WHEN (k % 5 = 2)
+                   OR (k % 7 = 3 AND path LIKE '/doc/1%')
+                 THEN 0 ELSE 1 END AS BIGINT) AS allowed
+FROM rf
+""",
         "host_schedule": """
 WITH hs AS (
   SELECT 'h' || (doc_id % 23) || '.example.net' AS host,

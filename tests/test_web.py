@@ -1198,3 +1198,27 @@ def test_component_sizes_conserve_nodes(sf_dir):
     assert got_s.to_dict() == want.to_dict()
     # multiple component scales exist (singletons + larger communities)
     assert len(got) > 1
+
+
+def test_robots_filter_prefix_semantics():
+    """RFC 9309 prefix matching on a hand-built corpus: whole-host
+    block, narrow prefix block, unlisted host passes."""
+    import pyarrow as pa
+    import ray.data
+
+    from zerox_ray.pipelines.graph import robots_filter
+
+    urls = [
+        "https://h2.example.net/doc/5",     # k=2: whole /doc/ blocked
+        "https://h2.example.net/other/5",   # k=2 but different prefix
+        "https://h3.example.net/doc/19",    # k=3: /doc/1 prefix blocked
+        "https://h3.example.net/doc/25",    # k=3, id not starting '1'
+        "https://h4.example.net/doc/11",    # unlisted host
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    got = robots_filter(ds).to_pandas().set_index("url")["allowed"]
+    assert got[urls[0]] == 0
+    assert got[urls[1]] == 1
+    assert got[urls[2]] == 0
+    assert got[urls[3]] == 1
+    assert got[urls[4]] == 1
