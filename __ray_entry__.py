@@ -176,6 +176,7 @@ from zerox_ray.pipelines.similarity import (
     ann_radius_search,
     ann_quantized_topk,
     embedding_moments,
+    hard_negatives,
     embedding_quantize,
     embedding_principal,
     kmeans_clusters,
@@ -901,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": embedding_moments,
         "embedding_quantize": embedding_quantize,
         "ann_quantized_topk": ann_quantized_topk,
+        "hard_negatives": hard_negatives,
         "embedding_principal": embedding_principal,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
@@ -3215,6 +3217,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM marked GROUP BY doc_id
 """,
         "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
+        # mirrors similarity.hard_negatives: the exact-topk query with a
+        # different-label mask — contrastive-training data mining
+        "hard_negatives": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.qid AND e.label != q.ql
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
         # full-probe IVF is exact: same oracle as the brute-force query
         "ann_ivf_full_probe": _ANN_EXACT_TOPK_SQL,
         "orders_by_nation": """

@@ -804,3 +804,27 @@ def test_ann_quantized_recall_vs_bruteforce(sf_dir):
         hits += len(e & g)
         tot += len(e)
     assert hits / tot >= 0.5, (hits, tot)
+
+
+def test_hard_negatives_cross_label_only(sf_dir):
+    """Every mined negative carries a different label than its query;
+    ranks are 1..5 per query."""
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.similarity import hard_negatives
+
+    df = hard_negatives(sf_dir).to_pandas()
+    labels = dict(
+        zip(
+            *[
+                pq.read_table(
+                    f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+                )[c].to_pylist()
+                for c in ("vec_id", "label")
+            ]
+        )
+    )
+    assert sorted(df.groupby("qid")["rank"].apply(list).iloc[0]) == [1, 2, 3, 4, 5]
+    for q, n in zip(df["qid"], df["neighbor_id"]):
+        assert labels[q] != labels[n]
+        assert q != n

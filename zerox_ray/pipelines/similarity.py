@@ -854,3 +854,64 @@ def ann_quantized_topk(
         return pd.concat(out, ignore_index=True)
 
     return partials.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def hard_negatives(
+    sf_dir: str, n_queries: int = 8, k: int = 5
+) -> ray.data.Dataset:
+    """Hard-negative mining for metric-learning / embedding-model
+    training data: for each query vector, the top-k most similar
+    corpus vectors with a DIFFERENT label — the highest-loss negatives
+    a contrastive trainer wants (the ANN shape of dataset curation,
+    not search). Output: (qid, neighbor_id, rank).
+
+    Scale shape: identical to ``ann_bruteforce_topk`` — queries
+    broadcast once, per-batch matmul + label-mask + local top-k
+    partials, one tiny qid reduce. The label filter is a vectorized
+    mask, so mining cost equals plain search cost."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = pq.read_table(
+        path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.asarray(cols["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.array(cols["embedding"].to_pylist(), dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qlabels = np.asarray(cols["label"].to_pylist(), dtype=np.int64)
+    ref = ray.put((qids, qmat, qlabels))
+
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ds = read_table(path, columns=["vec_id", "embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, qm, ql = _cached_broadcast("hardneg", ref)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        labels = df["label"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qm @ mat.T
+        out = {"qid": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(ids_q):
+            keep = (labels != ql[qi]) & (vids != qid)
+            cand_ids, cand_s = vids[keep], sims[qi][keep]
+            if cand_ids.size == 0:
+                continue
+            kk = min(k, cand_ids.size)
+            part = np.argpartition(-cand_s, kk - 1)[:kk]
+            out["qid"] += [int(qid)] * kk
+            out["neighbor_id"] += cand_ids[part].tolist()
+            out["sim"] += cand_s[part].tolist()
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "sim": pd.Series(out["sim"], dtype="float64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=2048)
+    return partials.groupby("qid").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
