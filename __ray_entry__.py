@@ -175,6 +175,7 @@ from zerox_ray.pipelines.similarity import (
     ann_ivf_topk,
     ann_radius_search,
     ann_quantized_topk,
+    contrastive_triplets,
     embedding_moments,
     hard_negatives,
     embedding_quantize,
@@ -903,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": embedding_quantize,
         "ann_quantized_topk": ann_quantized_topk,
         "hard_negatives": hard_negatives,
+        "contrastive_triplets": contrastive_triplets,
         "embedding_principal": embedding_principal,
         "dsir_sample": importance_sample,
         # IVF with every centroid probed is EXACT — same answer as brute
@@ -3232,6 +3234,28 @@ SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
   FROM s
 ) WHERE rank <= 5
+""",
+        # mirrors similarity.contrastive_triplets: per query the top-1
+        # same-label (positive) and top-1 different-label (negative)
+        "contrastive_triplets": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id, (e.label = q.ql) AS same,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+), b AS (
+  SELECT qid, vec_id, same,
+         row_number() OVER (PARTITION BY qid, same
+                            ORDER BY sim DESC, vec_id) AS rk
+  FROM s
+)
+SELECT p.qid,
+       p.vec_id AS positive_id,
+       n.vec_id AS negative_id
+FROM (SELECT qid, vec_id FROM b WHERE same AND rk = 1) p
+JOIN (SELECT qid, vec_id FROM b WHERE NOT same AND rk = 1) n USING (qid)
 """,
         # full-probe IVF is exact: same oracle as the brute-force query
         "ann_ivf_full_probe": _ANN_EXACT_TOPK_SQL,

@@ -828,3 +828,27 @@ def test_hard_negatives_cross_label_only(sf_dir):
     for q, n in zip(df["qid"], df["neighbor_id"]):
         assert labels[q] != labels[n]
         assert q != n
+
+
+def test_contrastive_triplets_sides(sf_dir):
+    """Positive shares the anchor's label, negative does not; the
+    positive is the brute-force same-label top-1."""
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.similarity import contrastive_triplets
+
+    df = contrastive_triplets(sf_dir).to_pandas()
+    assert len(df) == 8
+    labels = dict(
+        zip(
+            *[
+                pq.read_table(
+                    f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+                )[c].to_pylist()
+                for c in ("vec_id", "label")
+            ]
+        )
+    )
+    for q, p, n in zip(df["qid"], df["positive_id"], df["negative_id"]):
+        assert labels[q] == labels[p] and labels[q] != labels[n]
+        assert q != p and q != n

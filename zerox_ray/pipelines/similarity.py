@@ -915,3 +915,84 @@ def hard_negatives(
     return partials.groupby("qid").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas"
     )
+
+
+def contrastive_triplets(sf_dir: str, n_queries: int = 8) -> ray.data.Dataset:
+    """(anchor, positive, negative) training triplets for contrastive /
+    metric learning: per query vector, the nearest SAME-label neighbor
+    (positive) and the nearest DIFFERENT-label neighbor (the hardest
+    negative) — the dataset-prep op behind triplet-loss training.
+    Output: (qid, positive_id, negative_id).
+
+    Scale shape: one broadcast-query streaming pass emitting BOTH
+    per-batch partials (a top-1 per side per query), one tiny qid
+    reduce — mining cost is one corpus scan total, not one per side."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = pq.read_table(
+        path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.asarray(cols["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.array(cols["embedding"].to_pylist(), dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qlabels = np.asarray(cols["label"].to_pylist(), dtype=np.int64)
+    ref = ray.put((qids, qmat, qlabels))
+
+    from zerox_ray.pipelines.dataops import _cached_broadcast
+
+    ds = read_table(path, columns=["vec_id", "embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, qm, ql = _cached_broadcast("triplets", ref)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        labels = df["label"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qm @ mat.T
+        rows = {"qid": [], "side": [], "neighbor_id": [], "sim": []}
+        for qi, qid in enumerate(ids_q):
+            nonself = vids != qid
+            for side, mask in (
+                (1, nonself & (labels == ql[qi])),   # positive side
+                (0, nonself & (labels != ql[qi])),   # negative side
+            ):
+                cand = np.flatnonzero(mask)
+                if cand.size == 0:
+                    continue
+                s = sims[qi][cand]
+                # batch-local best with the global (−sim, id) order
+                j = cand[np.lexsort((vids[cand], -s))[0]]
+                rows["qid"].append(int(qid))
+                rows["side"].append(side)
+                rows["neighbor_id"].append(int(vids[j]))
+                rows["sim"].append(float(sims[qi][j]))
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(rows["qid"], dtype="int64"),
+                "side": pd.Series(rows["side"], dtype="int64"),
+                "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+                "sim": pd.Series(rows["sim"], dtype="float64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=2048)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, grp in g.groupby("qid", sort=False):
+            best = {}
+            for side in (0, 1):
+                s = grp[grp["side"] == side].sort_values(
+                    ["sim", "neighbor_id"], ascending=[False, True],
+                    kind="mergesort",
+                )
+                if len(s):
+                    best[side] = int(s["neighbor_id"].iloc[0])
+            if 0 in best and 1 in best:
+                out.append((int(qid), best[1], best[0]))
+        return pd.DataFrame(
+            out, columns=["qid", "positive_id", "negative_id"]
+        ).astype("int64")
+
+    return partials.groupby("qid").map_groups(final, batch_format="pandas")
