@@ -74,6 +74,7 @@ from zerox_ray.pipelines.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_signatures,
+    substring_scrub,
 )
 from zerox_ray.pipelines.extraction import extract_documents, extract_pages
 from zerox_ray.pipelines.media import (
@@ -888,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_signatures": simhash_signatures,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_spans": dedup_spans,
+        "substring_scrub": substring_scrub,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
         # grouped histogram sketch: per-group quantiles with only
@@ -3217,6 +3219,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans,
        CAST(sum(CASE WHEN keep THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM marked GROUP BY doc_id
+""",
+        # mirrors dedup.substring_scrub (k=8): ROLLING 8-token grams,
+        # first occurrence per hash (min (doc_id, pos)) keeps its text,
+        # later occurrences mark their 8 positions removed; surviving
+        # tokens re-join with single spaces (fully-scrubbed docs → '')
+        "substring_scrub": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+mx AS (SELECT max(len(t)) AS m FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x'||substring(md5(array_to_string(t[i+1:i+8], ' ')),1,16))::UBIGINT AS h
+  FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
+  WHERE i + 8 <= len(t)
+),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+    FROM grams) WHERE rk > 1
+),
+cover AS (
+  SELECT DISTINCT doc_id, pos + j AS rpos
+  FROM dups, (SELECT unnest(range(0, 8)) AS j)
+),
+tokrows AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok
+  FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
+  WHERE i < len(t)
+),
+kept AS (
+  SELECT tr.doc_id,
+         string_agg(tr.tok, ' ' ORDER BY tr.pos) AS text_clean,
+         count(*) AS n_kept
+  FROM tokrows tr LEFT JOIN cover c ON tr.doc_id = c.doc_id AND tr.pos = c.rpos
+  WHERE c.doc_id IS NULL
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN kept k USING (doc_id)
 """,
         "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
         # mirrors similarity.hard_negatives: the exact-topk query with a

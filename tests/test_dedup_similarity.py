@@ -335,6 +335,65 @@ class TestSpanDedup:
         assert (got.n_spans == got.kept_spans + got.dup_spans).all()
 
 
+class TestSubstringScrub:
+    K = 8
+
+    def _truth(self, sf_dir, k):
+        """Sequential replay: rolling k-grams in (doc_id, pos) order;
+        occurrences after a gram's first mark their k positions covered."""
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        docs = dict(sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+        seen: set[str] = set()
+        covered: dict[int, set[int]] = {}
+        for did, text in docs.items():
+            toks = text.split(" ")
+            cov = covered.setdefault(did, set())
+            for i in range(len(toks) - k + 1):
+                gram = " ".join(toks[i : i + k])
+                if gram in seen:
+                    cov.update(range(i, i + k))
+                else:
+                    seen.add(gram)
+        rows = {}
+        for did, text in docs.items():
+            toks = text.split(" ")
+            cov = covered[did]
+            clean = " ".join(t for j, t in enumerate(toks) if j not in cov)
+            rows[did] = (len(toks), len(cov), clean)
+        return rows
+
+    def test_matches_sequential_truth(self, sf_dir):
+        from zerox_ray.pipelines.dedup import substring_scrub
+
+        got = substring_scrub(sf_dir, k=self.K).to_pandas().set_index("doc_id").sort_index()
+        truth = self._truth(sf_dir, self.K)
+        assert set(got.index) == set(truth)
+        for did, (n, removed, clean) in truth.items():
+            r = got.loc[did]
+            assert (r.n_tokens, r.n_removed, r.text_clean) == (n, removed, clean), did
+
+    def test_every_duplicated_gram_survives_somewhere(self, sf_dir):
+        """One copy of every k-gram string must remain reconstructible:
+        the union of all cleaned texts plus the winner occurrences covers
+        the corpus gram vocabulary (spot-check the removal invariant —
+        a doc's token is removed only if some earlier occurrence kept it)."""
+        from zerox_ray.pipelines.dedup import substring_scrub
+
+        got = substring_scrub(sf_dir, k=self.K).to_pandas()
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        # short docs pass through untouched
+        for _, r in got.iterrows():
+            if r.n_tokens < self.K:
+                assert r.n_removed == 0 and r.text_clean == texts[r.doc_id]
+            assert 0 <= r.n_removed <= r.n_tokens
+        # at least one doc should have removals on the synthetic corpus
+        assert got.n_removed.sum() > 0
+        # and no doc loses everything unless it was entirely duplicated
+        untouched = got[got.n_removed == 0]
+        assert (untouched.text_clean == untouched.doc_id.map(texts)).all()
+
+
 class TestRadiusSearch:
     def test_matches_bruteforce_set(self, sf_dir):
         import numpy as np

@@ -1222,6 +1222,125 @@ def dedup_spans(sf_dir: str, window: int = 4) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
+# --- substring scrub (rolling duplicated-gram REMOVAL with text output) -------
+
+
+def _gram_explode(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Docs → ROLLING ``k``-token gram rows (one per start position, full
+    grams only; docs shorter than ``k`` tokens emit none). Tokenization
+    is the plain single-space split shared with ``_span_explode`` so the
+    DuckDB oracle replays it. Only (hash, doc_id, pos) leaves — ~24 B per
+    position; the gram text never ships."""
+    doc_ids: list[int] = []
+    positions: list[int] = []
+    grams: list[bytes] = []
+    for did, text in zip(df["doc_id"].astype("int64"), df["text"]):
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            doc_ids.append(did)
+            positions.append(i)
+            grams.append(" ".join(toks[i : i + k]).encode())
+    return pd.DataFrame(
+        {
+            "h": md5_64_array(grams),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "pos": pd.Series(positions, dtype="int64"),
+        }
+    )
+
+
+def _gram_dup_seeds(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket: per gram hash, the first occurrence in corpus
+    order (min (doc_id, pos)) is the keeper; every LATER occurrence is a
+    removal seed. Emits only the non-winners — at realistic dup rates a
+    small fraction of positions, so the second exchange is narrow."""
+    g = g.sort_values(["h", "doc_id", "pos"], kind="mergesort")
+    dup = g["h"].duplicated().to_numpy()
+    out = g.loc[dup, ["doc_id", "pos"]]
+    return out.astype({"doc_id": "int64", "pos": "int64"})
+
+
+def _seed_position_lists(g: pd.DataFrame) -> pd.DataFrame:
+    """Seeds → one row per doc carrying its sorted removal positions as a
+    comma-joined string column (ragged int lists trip Ray's pandas-block
+    tensor-extension cast), so the text join stays one-row-per-doc (text
+    is never replicated per seed)."""
+    grouped = g.groupby("doc_id")["pos"].apply(
+        lambda s: ",".join(map(str, np.sort(s.to_numpy(np.int64))))
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(grouped.index, dtype="int64"),
+            "positions": grouped.to_numpy(),
+        }
+    )
+
+
+def substring_scrub(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """Exact SUBSTRING dedup with cleaned-text output, the rolling-window
+    form of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022): every k-token gram (EVERY start position, unlike
+    ``dedup_spans``'s non-overlapping windows) is hashed corpus-wide;
+    occurrences after the first (min (doc_id, pos) per hash) mark their k
+    token positions for removal, and each document's surviving tokens are
+    re-joined into ``text_clean``. The winner occurrence keeps its text,
+    so one copy of every duplicated substring survives somewhere in the
+    corpus. The reference has no dedup at all (SURVEY §2.8).
+
+    Scale shape: the explode ships (hash, doc_id, pos) only (~24 B per
+    token position ≈ the tokenized corpus width, same order as
+    dedup_spans' explode); exchange 1 groups by gram hash and emits ONLY
+    the non-winner seeds (narrow — the corpus dup fraction); exchange 2
+    folds seeds into per-doc position LISTS (≤1 row/doc); exchange 3 is
+    the doc_id hash join where the document text moves exactly once. No
+    driver materialization anywhere; removal/rebuild is vectorized numpy
+    coverage masking per batch.
+
+    Output: (doc_id, n_tokens, n_removed, text_clean), one row per
+    document (docs shorter than k tokens pass through unchanged)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+    from zerox_ray.pipelines.relational import hash_join
+
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exploded = docs.map_batches(
+        lambda df: _gram_explode(df, k), batch_format="pandas"
+    )
+    seeds = bucketed_group_map(exploded, "h", _gram_dup_seeds)
+    seed_lists = bucketed_group_map(seeds, "doc_id", _seed_position_lists)
+    joined = hash_join(docs, seed_lists, on="doc_id", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "n_tokens": [], "n_removed": [], "text_clean": []}
+        for did, text, pos in zip(
+            df["doc_id"].astype("int64"), df["text"], df["positions"]
+        ):
+            toks = text.split(" ")
+            n = len(toks)
+            if pos is None or (isinstance(pos, float) and pd.isna(pos)):
+                removed, clean = 0, text
+            else:
+                starts = np.fromiter(map(int, pos.split(",")), dtype=np.int64)
+                covered = np.zeros(n, dtype=bool)
+                idx = (starts[:, None] + np.arange(k)).ravel()
+                covered[idx] = True
+                removed = int(covered.sum())
+                clean = " ".join(t for t, c in zip(toks, covered) if not c)
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(n)
+            out["n_removed"].append(removed)
+            out["text_clean"].append(clean)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "n_removed": pd.Series(out["n_removed"], dtype="int64"),
+                "text_clean": out["text_clean"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # --- cross-set fuzzy match (LSH similarity search) ----------------------------
 
 
