@@ -162,6 +162,7 @@ from zerox_ray.pipelines.relational import (
     events_neighbors,
     events_sessions,
     events_sliding,
+    interval_join,
     lang_embedding_centroids,
     priority_price_quantiles,
     orders_by_nation,
@@ -824,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate_corpus,
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
+        "interval_join": interval_join,
         "revenue_by_priority": revenue_by_priority,
         "revenue_cube": revenue_cube,
         "pricing_summary": pricing_summary,
@@ -3310,6 +3312,18 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        # mirrors relational.interval_join: each order defines a window
+        # [o_orderdate, +1 + o_orderkey % 20 days); count windows
+        # containing each order's date point (self always matches)
+        "interval_join": """
+WITH o AS (SELECT o_orderkey,
+                  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+           FROM orders),
+w AS (SELECT d AS s, d + 1 + o_orderkey % 20 AS e FROM o)
+SELECT p.o_orderkey, CAST(count(*) AS BIGINT) AS n_windows
+FROM o p JOIN w ON p.d >= w.s AND p.d < w.e
+GROUP BY p.o_orderkey
 """,
         # mirror of pipelines/relational.py::revenue_cube — the finest
         # (nation, priority) grain partitions every coarser set, so the

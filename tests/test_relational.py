@@ -647,3 +647,49 @@ def test_revenue_cube_matches_duckdb_grouping_sets(sf_dir):
     total = got[(got.n_name == "ALL") & (got.o_orderpriority == "ALL")]
     assert int(total.n_orders.iloc[0]) == int(fine.n_orders.sum())
     assert int(total.total_cents.iloc[0]) == int(fine.total_cents.sum())
+
+
+class TestIntervalJoin:
+    def _truth(self, sf_dir):
+        """Pure-python O(n²)-free replay via the same two sorted arrays,
+        computed WITHOUT bucketing (one global bucket)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        key = np.asarray(t["o_orderkey"].to_pylist(), dtype=np.int64)
+        day = (
+            np.asarray(t["o_orderdate"].cast("int64").to_pylist(), dtype=np.int64)
+            // 86_400_000_000
+        )
+        dur = 1 + key % 20
+        starts = np.sort(day)
+        ends = np.sort(day + dur)
+        n = np.searchsorted(starts, day, side="right") - np.searchsorted(
+            ends, day, side="right"
+        )
+        return dict(zip(key.tolist(), n.tolist()))
+
+    def test_matches_unbucketed_truth(self, sf_dir):
+        from zerox_ray.pipelines.relational import interval_join
+
+        got = interval_join(sf_dir).to_pandas()
+        truth = self._truth(sf_dir)
+        assert dict(zip(got.o_orderkey, got.n_windows)) == truth
+        # every order's own window contains its start date
+        assert (got.n_windows >= 1).all()
+
+    def test_bucket_width_invariance(self, sf_dir):
+        from zerox_ray.pipelines.relational import interval_join
+
+        a = (
+            interval_join(sf_dir, bucket_days=5)
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        b = (
+            interval_join(sf_dir, bucket_days=64)
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -1249,3 +1249,117 @@ def revenue_cube(sf_dir: str) -> ray.data.Dataset:
         ["n_name", "o_orderpriority"],
         {"n_orders": ("n_orders", "sum"), "total_cents": ("total_cents", "sum")},
     )
+
+
+# --- interval join (non-equi overlap join via bucket replication) -------------
+
+_US_PER_DAY = 86_400_000_000
+#: coarse time-bucket width in days for the interval join's equi exchange;
+#: windows replicate to ceil(duration / width) + 1 buckets, so width ≳ the
+#: max window duration keeps the replication factor ≤ 2
+INTERVAL_BUCKET_DAYS = 32
+#: deterministic synthetic window duration: 1 + o_orderkey % 20 days
+_INTERVAL_MAX_DUR_DAYS = 20
+
+
+def _interval_rows(df: pd.DataFrame, bucket_days: int) -> pd.DataFrame:
+    """One orders batch → tagged bucket rows for BOTH sides of the join:
+    kind=0 window rows [s, e) replicated to every time bucket the window
+    overlaps; kind=1 probe rows (the same order's date point) to their
+    single bucket. Only int64 columns leave."""
+    key = df["o_orderkey"].to_numpy(np.int64)
+    day = (df["o_orderdate"].astype("int64").to_numpy() // _US_PER_DAY).astype(
+        np.int64
+    )
+    dur = 1 + key % _INTERVAL_MAX_DUR_DAYS
+    s, e = day, day + dur
+    # windows: replicate to buckets floor(s/W) .. floor((e-1)/W)
+    first, last = s // bucket_days, (e - 1) // bucket_days
+    reps = (last - first + 1).astype(np.int64)
+    widx = np.repeat(np.arange(len(key)), reps)
+    cum = np.cumsum(reps)
+    offs = (
+        np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum - reps, reps)
+        if len(reps)
+        else np.array([], np.int64)
+    )
+    wrows = pd.DataFrame(
+        {
+            "bucket": first[widx] + offs,
+            "kind": 0,
+            "a": s[widx],
+            "b": e[widx],
+            "key": key[widx],
+        }
+    )
+    prows = pd.DataFrame(
+        {"bucket": day // bucket_days, "kind": 1, "a": day, "b": 0, "key": key}
+    )
+    return pd.concat([wrows, prows], ignore_index=True).astype("int64")
+
+
+def _interval_bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """One (or more) complete time buckets: per bucket, sort window starts
+    and (exclusive) ends once; every probe t answers
+    ``#windows containing t`` with two binary searches —
+    count = #(start ≤ t) − #(end ≤ t). Replication guarantees every
+    window overlapping the bucket is present exactly once in it."""
+    out_key: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    for _, sub in g.groupby("bucket", sort=False):
+        w = sub[sub["kind"] == 0]
+        p = sub[sub["kind"] == 1]
+        if len(p) == 0:
+            continue
+        starts = np.sort(w["a"].to_numpy(np.int64))
+        ends = np.sort(w["b"].to_numpy(np.int64))
+        t = p["a"].to_numpy(np.int64)
+        n = np.searchsorted(starts, t, side="right") - np.searchsorted(
+            ends, t, side="right"
+        )
+        out_key.append(p["key"].to_numpy(np.int64))
+        out_n.append(n.astype(np.int64))
+    if not out_key:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"),
+             "n_windows": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame(
+        {
+            "o_orderkey": np.concatenate(out_key),
+            "n_windows": np.concatenate(out_n),
+        }
+    )
+
+
+def interval_join(
+    sf_dir: str, bucket_days: int = INTERVAL_BUCKET_DAYS
+) -> ray.data.Dataset:
+    """Non-equi INTERVAL JOIN via bucket replication — the general form of
+    the range-join family (events_neighbors is the keyed self-join
+    special case; this one joins point probes against arbitrary
+    overlapping windows with NO shared key). Each order defines a
+    deterministic window [o_orderdate, o_orderdate + (1 + o_orderkey %
+    20) days); the join counts, for every order's date point, how many
+    windows (its own included) contain it.
+
+    Scale shape: the classic replicate-to-bucket rewrite that turns a
+    non-equi join into ONE equi exchange — windows are copied to every
+    coarse time bucket they overlap (≤ ceil(max_dur / bucket_days) + 1 ≈
+    2 copies here), probes go to exactly one bucket, and a single
+    bucket-keyed groupby co-locates them; inside a bucket two sorted
+    arrays answer all probes with binary searches (no pairwise scan). At
+    10^12 rows the exchange width is the bucket count — size
+    ``bucket_days`` down for denser data (more, smaller buckets) and up
+    for longer windows (less replication); hot buckets (burst days) are
+    the skew axis, salt probes or narrow the width when one bucket
+    dominates. Output: (o_orderkey, n_windows)."""
+    orders = read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    tagged = orders.map_batches(
+        lambda df: _interval_rows(df, bucket_days), batch_format="pandas"
+    )
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    return bucketed_group_map(tagged, "bucket", _interval_bucket_kernel)
