@@ -191,6 +191,7 @@ from zerox_ray.pipelines.sketches import (
     cms_probe,
     distinct_users_exact,
     distinct_users_hll,
+    exact_price_select,
     grouped_distinct_hll,
     grouped_heavy_hitters,
     grouped_price_quantiles,
@@ -894,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_scrub": substring_scrub,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
+        "exact_price_select": exact_price_select,
         # grouped histogram sketch: per-group quantiles with only
         # (group, bin, count) rows on the wire, interpolation in-reduce
         "returnflag_price_quantiles": grouped_price_quantiles,
@@ -4903,6 +4905,19 @@ SELECT CAST(i AS BIGINT) AS media_id, kind,
        CAST(floor(CAST(pix_sum AS DOUBLE) / n_units * 1000000) AS BIGINT) AS mean_value_ppm,
        'SUCCESS' AS status
 FROM mt_f
+""",
+        # mirrors sketches.exact_price_select: EXACT k-th order statistic
+        # (k = ceil(q·n), integer cents) — the histogram-narrowing loop
+        # must land on the true rank-k value, not an approximation
+        "exact_price_select": """
+WITH v AS (SELECT CAST(floor(l_extendedprice*100) AS BIGINT) c FROM lineitem),
+cnt AS (SELECT count(*) n FROM v),
+r AS (SELECT c, row_number() OVER (ORDER BY c) rk FROM v),
+qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm),
+ks AS (SELECT q_ppm, (q_ppm * n + 999999) // 1000000 AS k FROM qs, cnt)
+SELECT CAST(ks.q_ppm AS BIGINT) AS q_ppm, CAST(ks.k AS BIGINT) AS rank,
+       r.c AS value_cents
+FROM ks JOIN r ON r.rk = ks.k
 """,
         "price_quantiles_sketch": """
 WITH pq_h AS (

@@ -310,3 +310,39 @@ class TestGroupedHeavyHitters:
                 # MG bound: est ≤ true ≤ est + ded (true x-count is 150)
                 assert ded >= 3
                 assert counts["x"] <= 150 <= counts["x"] + ded
+
+
+class TestExactPriceSelect:
+    def test_matches_sorted_truth(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.sketches import exact_price_select
+
+        got = exact_price_select(sf_dir).sort_values("q_ppm").reset_index(drop=True)
+        x = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        )["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.sort(np.floor(x * 100).astype(np.int64))
+        n = len(cents)
+        for _, r in got.iterrows():
+            k = (int(r.q_ppm) * n + 999_999) // 1_000_000
+            assert int(r["rank"]) == k
+            assert int(r.value_cents) == int(cents[k - 1]), int(r.q_ppm)
+
+    def test_extreme_ranks(self, sf_dir):
+        """q → min and max: the narrowing loop must handle k=1 and k=n
+        (first/last bins, single-value intervals)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.sketches import exact_price_select
+
+        got = exact_price_select(sf_dir, qs_ppm=(1, 1_000_000))
+        x = pq.read_table(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        )["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(x * 100).astype(np.int64)
+        vals = dict(zip(got.q_ppm, got.value_cents))
+        assert vals[1] == int(cents.min())
+        assert vals[1_000_000] == int(cents.max())

@@ -748,3 +748,120 @@ def cms_probe(sf_dir: str) -> ray.data.Dataset:
         )
 
     return merged.groupby("g").map_groups(finish, batch_format="pandas")
+
+
+# --- exact distributed selection (iterative histogram narrowing) --------------
+
+#: bins per narrowing round; each round shrinks every target's candidate
+#: interval by this factor, so rounds = ceil(log_BINS(value range))
+SELECT_BINS = 1024
+EXACT_SELECT_QS_PPM = (500_000, 900_000, 990_000)
+
+
+def _select_round_partial(
+    t: pa.Table, states: list[tuple[int, int, int]], col: str
+) -> pd.DataFrame:
+    """One batch → (tgt, bin, cnt) count partials for every still-active
+    target's current candidate interval. ≤ len(states)·SELECT_BINS rows."""
+    x = t[col].to_numpy(zero_copy_only=False)
+    cents = np.floor(x * 100).astype(np.int64)
+    out_t: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for ti, (lo, hi, _k) in enumerate(states):
+        if hi - lo <= 1:
+            continue  # already resolved
+        width = -(-(hi - lo) // SELECT_BINS)  # ceil div
+        m = (cents >= lo) & (cents < hi)
+        if not m.any():
+            continue
+        bins = (cents[m] - lo) // width
+        cnt = np.bincount(bins, minlength=SELECT_BINS)
+        nz = np.flatnonzero(cnt)
+        out_t.append(np.full(len(nz), ti, dtype=np.int64))
+        out_b.append(nz.astype(np.int64))
+        out_c.append(cnt[nz].astype(np.int64))
+    if not out_t:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("tgt", "bin", "cnt")}
+        )
+    return pd.DataFrame(
+        {
+            "tgt": np.concatenate(out_t),
+            "bin": np.concatenate(out_b),
+            "cnt": np.concatenate(out_c),
+        }
+    )
+
+
+def exact_price_select(
+    sf_dir: str, qs_ppm: tuple[int, ...] = EXACT_SELECT_QS_PPM
+) -> pd.DataFrame:
+    """EXACT order statistics of lineitem extended price (integer cents,
+    floor(value·100)) WITHOUT a global sort: iterative histogram
+    narrowing (distributed selection / BFPRT-by-histogram). Rank k for
+    quantile q over n rows is k = ceil(q·n) (1-based k-th smallest).
+
+    Scale shape: the sketch quantiles (``price_quantiles``) answer with
+    ONE pass but ≤ bin-width error; this operator answers EXACTLY in
+    ceil(log_1024(range)) passes (3 passes for a ~10^7-cent domain).
+    Each pass streams the column and reduces to ≤ |targets|·1024
+    (tgt, bin, cnt) rows — the all-to-all moves counts, never values,
+    and the driver holds one interval triple per target (the
+    bounded-driver-state contract). A global ``ds.sort`` would move
+    every row of the table; three column scans are the cheaper trade at
+    any scale where the table exceeds cluster memory.
+
+    Output: (q_ppm, rank, value_cents) — one row per requested quantile."""
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = read_table(path, columns=["l_extendedprice"])
+
+    # pass 0: (min, max, count) — one narrow partial row per batch
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(x * 100).astype(np.int64)
+        return pd.DataFrame(
+            {"lo": [int(c.min())], "hi": [int(c.max())], "n": [len(c)]}
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo0, hi0, n = int(mm["lo"].min()), int(mm["hi"].max()) + 1, int(mm["n"].sum())
+
+    # per-target state: (lo, hi) candidate interval, k = rank within it
+    states = [
+        (lo0, hi0, (q * n + 999_999) // 1_000_000) for q in qs_ppm
+    ]
+    ranks = [(q * n + 999_999) // 1_000_000 for q in qs_ppm]
+
+    while any(hi - lo > 1 for lo, hi, _ in states):
+        snapshot = list(states)
+        counts = (
+            read_table(path, columns=["l_extendedprice"])
+            .map_batches(
+                lambda t: _select_round_partial(t, snapshot, "l_extendedprice"),
+                batch_format="pyarrow",
+            )
+        )
+        merged = bucketed_group_agg(
+            counts, ["tgt", "bin"], {"cnt": ("cnt", "sum")}
+        ).to_pandas()  # ≤ |targets|·1024 rows — bounded driver state
+        for ti, (lo, hi, k) in enumerate(states):
+            if hi - lo <= 1:
+                continue
+            width = -(-(hi - lo) // SELECT_BINS)
+            sub = merged[merged["tgt"] == ti].sort_values("bin")
+            cum = sub["cnt"].cumsum()
+            pos = int(np.searchsorted(cum.to_numpy(), k, side="left"))
+            b = int(sub["bin"].iloc[pos])
+            prev = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            new_lo = lo + b * width
+            new_hi = min(hi, new_lo + width)
+            states[ti] = (new_lo, new_hi, k - prev)
+
+    return pd.DataFrame(
+        {
+            "q_ppm": pd.Series(list(qs_ppm), dtype="int64"),
+            "rank": pd.Series(ranks, dtype="int64"),
+            "value_cents": pd.Series([lo for lo, _, _ in states], dtype="int64"),
+        }
+    )
