@@ -177,6 +177,7 @@ from zerox_ray.pipelines.similarity import (
     ann_ivf_topk,
     ann_radius_search,
     ann_quantized_topk,
+    ann_truncated_recall,
     contrastive_triplets,
     embedding_moments,
     hard_negatives,
@@ -909,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": embedding_moments,
         "embedding_quantize": embedding_quantize,
         "ann_quantized_topk": ann_quantized_topk,
+        "ann_truncated_recall": ann_truncated_recall,
         "hard_negatives": hard_negatives,
         "contrastive_triplets": contrastive_triplets,
         "embedding_principal": embedding_principal,
@@ -4547,6 +4549,25 @@ SELECT vec_id,
        CAST(sum(c * i) AS BIGINT) AS code_chk,
        CAST(sum(abs(q - (qmin + (c * rng) // 255))) AS BIGINT) AS recon_err_milli
 FROM cd GROUP BY vec_id
+""",
+        # mirrors similarity.ann_truncated_recall: exact top-5 per prefix
+        # dim vs the full-dim top-5 — overlap counts per (dim, query)
+        "ann_truncated_recall": """
+WITH tk AS (
+  SELECT d.dim, q.vec_id AS qid, e.vec_id AS nid,
+         row_number() OVER (PARTITION BY d.dim, q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding[1:d.dim], e.embedding[1:d.dim]) DESC,
+                    e.vec_id) AS rk
+  FROM (SELECT unnest([64,32,16,8]) AS dim) d,
+       (SELECT * FROM embeddings WHERE vec_id < 8) q,
+       embeddings e
+  WHERE e.vec_id != q.vec_id
+),
+top AS (SELECT dim, qid, nid FROM tk WHERE rk <= 5),
+fulltop AS (SELECT qid AS fqid, nid AS fnid FROM top WHERE dim = 64)
+SELECT t.dim, t.qid, CAST(count(f.fnid) AS BIGINT) AS n_hits
+FROM top t LEFT JOIN fulltop f ON t.qid = f.fqid AND t.nid = f.fnid
+GROUP BY t.dim, t.qid
 """,
         # mirrors similarity.ann_quantized_topk: integer MIPS over the
         # dequantized uint8 codes; ties break on neighbor_id

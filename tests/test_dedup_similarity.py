@@ -911,3 +911,30 @@ def test_contrastive_triplets_sides(sf_dir):
     for q, p, n in zip(df["qid"], df["positive_id"], df["negative_id"]):
         assert labels[q] == labels[p] and labels[q] != labels[n]
         assert q != p and q != n
+
+
+class TestTruncatedRecall:
+    def test_full_dim_is_perfect_and_monotone_tendency(self, sf_dir):
+        from zerox_ray.pipelines.similarity import ann_truncated_recall
+
+        got = ann_truncated_recall(sf_dir)
+        # the full-dim row set IS the reference: overlap = k by identity
+        assert (got[got.dim == 64].n_hits == 5).all()
+        assert set(got.dim) == {64, 32, 16, 8}
+        assert got.n_hits.between(0, 5).all()
+        # averaged over queries, more dims should never hurt much:
+        means = got.groupby("dim").n_hits.mean()
+        assert means[32] >= means[8] - 0.5
+
+    def test_matches_bruteforce_at_full_dim(self, sf_dir):
+        from zerox_ray.pipelines.similarity import (
+            ann_bruteforce_topk,
+            ann_truncated_recall,
+        )
+
+        got = ann_truncated_recall(sf_dir, dims=(64,))
+        bf = ann_bruteforce_topk(sf_dir).to_pandas()
+        # per query, the truncated op at the full dim reproduces
+        # bruteforce's top-5 — n_hits == 5 for every query present
+        assert set(got.qid) == set(bf.qid)
+        assert (got.n_hits == 5).all()

@@ -996,3 +996,116 @@ def contrastive_triplets(sf_dir: str, n_queries: int = 8) -> ray.data.Dataset:
         ).astype("int64")
 
     return partials.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+# --- truncated-dimension recall (Matryoshka evaluation) ------------------------
+
+TRUNC_DIMS = (64, 32, 16, 8)
+
+
+class _TruncTopKPartial:
+    """map_batches: per truncation dim, one matmul over the PREFIX
+    coordinates → per-(dim, query) top-k partial rows. The batch matrix
+    is loaded once; each dim reuses its prefix (no extra scan)."""
+
+    def __init__(self, queries_ref, dims: tuple[int, ...], k: int):
+        qids, qraw = ray.get(queries_ref)
+        self.qids = qids
+        self.dims = dims
+        self.k = k
+        # per-dim prefix-normalized query matrices
+        self.qmats = {
+            d: qraw[:, :d] / np.linalg.norm(qraw[:, :d], axis=1, keepdims=True)
+            for d in dims
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        frames = []
+        for d in self.dims:
+            mat = raw[:, :d]
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = self.qmats[d] @ mat.T
+            out = {"dim": [], "qid": [], "neighbor_id": [], "sim": []}
+            for qi, qid in enumerate(self.qids):
+                s = sims[qi]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], s[mask]
+                if cand_ids.size == 0:
+                    continue
+                k = min(self.k, cand_ids.size)
+                part = np.argpartition(-cand_s, k - 1)[:k]
+                out["dim"] += [d] * k
+                out["qid"] += [int(qid)] * k
+                out["neighbor_id"] += cand_ids[part].tolist()
+                out["sim"] += cand_s[part].tolist()
+            frames.append(pd.DataFrame(out))
+        res = pd.concat(frames, ignore_index=True)
+        return res.astype(
+            {"dim": "int64", "qid": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+
+
+def _trunc_partial_batch(df, queries_ref, dims, k):
+    key = ("trunc", queries_ref.hex(), dims, k)
+    if key not in _WORKER_STATE:
+        _WORKER_STATE[key] = _TruncTopKPartial(queries_ref, dims, k)
+    return _WORKER_STATE[key](df)
+
+
+def ann_truncated_recall(
+    sf_dir: str,
+    dims: tuple[int, ...] = TRUNC_DIMS,
+    n_queries: int = 8,
+    k: int = 5,
+) -> pd.DataFrame:
+    """Matryoshka-style truncation evaluation: exact cosine top-k using
+    only the first ``d`` embedding coordinates, for each d in ``dims``,
+    and the overlap of each truncated result set with the FULL-dimension
+    top-k (dims[0] must be the full dim — its n_hits is k by
+    construction, pinning the join). The operator a training pipeline
+    runs before committing to a cheaper truncated index.
+
+    Scale shape: identical to ann_bruteforce_topk — broadcast query
+    prefixes, ONE corpus scan computing |dims| prefix matmuls per batch
+    (the batch matrix is loaded once), per-(dim, qid) top-k partials →
+    tiny (dim, qid) reduce; the driver only sees |dims|·n_queries·k rows.
+    Output: (dim, qid, n_hits) — overlap size with the full-dim top-k."""
+    path = f"{sf_dir}/embeddings.parquet"
+    _load_queries(path, n_queries)  # validates query slice exists
+    cols = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
+    qids = np.asarray(cols["vec_id"].to_pylist(), dtype=np.int64)
+    qraw = np.array(cols["embedding"].to_pylist(), dtype=np.float64)
+    queries_ref = ray.put((qids, qraw))
+
+    ds = read_table(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _trunc_partial_batch,
+        fn_kwargs={"queries_ref": queries_ref, "dims": tuple(dims), "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g[["dim", "qid", "neighbor_id"]].astype("int64")
+
+    topk = (
+        partials.groupby(["dim", "qid"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()  # |dims|·n_queries·k rows — bounded driver state
+    )
+    full = topk[topk["dim"] == dims[0]][["qid", "neighbor_id"]]
+    full_sets = full.groupby("qid")["neighbor_id"].agg(set).to_dict()
+    rows = []
+    for (d, qid), sub in topk.groupby(["dim", "qid"]):
+        hits = len(set(sub["neighbor_id"]) & full_sets.get(qid, set()))
+        rows.append((int(d), int(qid), hits))
+    return pd.DataFrame(
+        rows, columns=["dim", "qid", "n_hits"]
+    ).astype("int64")
