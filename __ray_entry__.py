@@ -72,9 +72,11 @@ from zerox_ray.pipelines.dedup import (
     minhash_lsh_pairs,
     neardup_cluster_sizes,
     ngram_jaccard_pairs,
+    fingerprint_matches,
     simhash_pairs,
     simhash_signatures,
     substring_scrub,
+    winnow_fingerprints,
 )
 from zerox_ray.pipelines.extraction import extract_documents, extract_pages
 from zerox_ray.pipelines.media import (
@@ -894,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_spans": dedup_spans,
         "substring_scrub": substring_scrub,
+        "winnow_fingerprints": winnow_fingerprints,
+        "fingerprint_matches": fingerprint_matches,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
         "exact_price_select": exact_price_select,
@@ -2264,6 +2268,31 @@ km_assign AS ({assign})""")
 
 #: exact cosine top-k — shared by ann_cosine_topk AND ann_ivf_full_probe
 #: (full-probe IVF is exact by construction, so one oracle serves both)
+# shared winnowing replay (dedup.winnow_fingerprints, k=4, w=4): rolling
+# 4-gram 63-bit hashes; per window of 4 consecutive gram hashes the
+# RIGHTMOST minimum is selected (ORDER BY h, pos DESC mirrors numpy's
+# reversed argmin tie rule)
+_WINNOW_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+mx AS (SELECT max(len(t)) AS m FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x'||substring(md5(array_to_string(t[i+1:i+4], ' ')),1,16))::UBIGINT // 2 AS BIGINT) AS h
+  FROM toks, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
+  WHERE i + 4 <= len(t)
+),
+gcnt AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+weff AS (SELECT doc_id, least(4, ng) AS w, ng FROM gcnt),
+winsel AS (
+  SELECT g.doc_id, g2.pos AS fpos, g2.h AS fh,
+         row_number() OVER (PARTITION BY g.doc_id, g.pos ORDER BY g2.h, g2.pos DESC) AS rk
+  FROM grams g
+  JOIN weff ON weff.doc_id = g.doc_id
+  JOIN grams g2 ON g2.doc_id = g.doc_id AND g2.pos BETWEEN g.pos AND g.pos + weff.w - 1
+  WHERE g.pos <= weff.ng - weff.w
+)
+"""
+
 _ANN_EXACT_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
@@ -3266,6 +3295,22 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(k.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN kept k USING (doc_id)
+""",
+        "winnow_fingerprints": _WINNOW_CTE
+        + """
+SELECT DISTINCT doc_id, CAST(fpos AS BIGINT) AS pos, fh AS h
+FROM winsel WHERE rk = 1
+""",
+        # mirrors dedup.fingerprint_matches: pairs sharing ≥2 distinct
+        # winnowing fingerprints, after the df ≤ 8 chrome cap
+        "fingerprint_matches": _WINNOW_CTE
+        + """
+, fpd AS (SELECT DISTINCT doc_id, fh AS h FROM winsel WHERE rk = 1),
+hdf AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM fpd GROUP BY h)
+        WHERE df BETWEEN 2 AND 8)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id JOIN hdf ON hdf.h = a.h
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "ann_cosine_topk": _ANN_EXACT_TOPK_SQL,
         # mirrors similarity.hard_negatives: the exact-topk query with a

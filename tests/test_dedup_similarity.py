@@ -938,3 +938,86 @@ class TestTruncatedRecall:
         # bruteforce's top-5 — n_hits == 5 for every query present
         assert set(got.qid) == set(bf.qid)
         assert (got.n_hits == 5).all()
+
+
+class TestWinnowing:
+    def _replay(self, sf_dir, k=4, w=4):
+        """Independent per-doc winnowing replay (plain python loops)."""
+        from zerox_ray.functions.hashing import md5_64
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = {}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split(" ")
+            hs = [
+                md5_64(" ".join(toks[i : i + k]).encode()) >> 1
+                for i in range(len(toks) - k + 1)
+            ]
+            if not hs:
+                out[did] = set()
+                continue
+            we = min(w, len(hs))
+            sel = set()
+            for s in range(len(hs) - we + 1):
+                window = hs[s : s + we]
+                m = min(window)
+                # rightmost minimum
+                j = max(i for i, v in enumerate(window) if v == m)
+                sel.add((s + j, window[j]))
+            out[did] = sel
+        return out
+
+    def test_matches_python_replay(self, sf_dir):
+        from zerox_ray.pipelines.dedup import winnow_fingerprints
+
+        got = winnow_fingerprints(sf_dir).to_pandas()
+        truth = self._replay(sf_dir)
+        by_doc = {
+            did: set(zip(sub.pos, sub.h)) for did, sub in got.groupby("doc_id")
+        }
+        for did, sel in truth.items():
+            assert by_doc.get(did, set()) == sel, did
+
+    def test_shared_substring_guarantee(self, sf_dir):
+        """Winnowing guarantee: docs sharing a ≥ k+w-1 token substring
+        share at least one fingerprint hash. Build the truth from raw
+        rolling grams: any gram hash that appears in both docs at
+        'interior' density means overlap — check via substring_scrub's
+        duplicated spans instead: every pair of docs sharing a 16-token
+        exact run must appear connected through some common hash."""
+        from zerox_ray.pipelines.dedup import winnow_fingerprints
+
+        got = winnow_fingerprints(sf_dir).to_pandas()
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        by_doc = {did: set(sub.h) for did, sub in got.groupby("doc_id")}
+        # find doc pairs sharing an exact 7-token (k+w-1) window
+        window = {}
+        for did, text in texts.items():
+            toks = text.split(" ")
+            for i in range(len(toks) - 7 + 1):
+                window.setdefault(" ".join(toks[i : i + 7]), set()).add(did)
+        checked = 0
+        for _, docs in window.items():
+            if len(docs) >= 2:
+                ds = sorted(docs)
+                for a, b in zip(ds, ds[1:]):
+                    assert by_doc.get(a, set()) & by_doc.get(b, set()), (a, b)
+                    checked += 1
+            if checked > 200:
+                break
+        assert checked > 0
+
+    def test_fingerprint_matches_are_real(self, sf_dir):
+        from zerox_ray.pipelines.dedup import fingerprint_matches, winnow_fingerprints
+
+        got = fingerprint_matches(sf_dir).to_pandas()
+        fp = winnow_fingerprints(sf_dir).to_pandas()
+        by_doc = {did: set(sub.h) for did, sub in fp.groupby("doc_id")}
+        df_count = fp.drop_duplicates(["doc_id", "h"]).groupby("h").size()
+        ubiquitous = set(df_count[df_count > 8].index)
+        assert len(got) > 0
+        for _, r in got.iterrows():
+            shared = (by_doc[r.doc_a] & by_doc[r.doc_b]) - ubiquitous
+            assert len(shared) == r.n_shared
+            assert r.n_shared >= 2 and r.doc_a < r.doc_b

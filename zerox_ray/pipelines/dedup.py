@@ -1509,3 +1509,139 @@ def neardup_cluster_sizes(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
             preserve_index=False,
         )
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, MOSS) ----------------------
+
+WINNOW_K = 4  # gram size
+WINNOW_W = 4  # window of consecutive gram hashes per selection
+#: drop fingerprint hashes shared by more than this many docs before
+#: pairing (ubiquitous-chrome guard — bounds per-group pair fanout)
+WINNOW_DF_CAP = 8
+WINNOW_MIN_SHARED = 2
+
+
+def _winnow_doc(hs: np.ndarray, w: int) -> np.ndarray:
+    """Indices selected by winnowing over one doc's gram-hash sequence:
+    per window of ``w`` consecutive hashes, the RIGHTMOST minimum (the
+    standard tie rule — consecutive windows then reselect the same gram,
+    giving the guaranteed-density fingerprint set). Returns unique
+    selected positions, ascending."""
+    n = len(hs)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    w_eff = min(w, n)
+    win = np.lib.stride_tricks.sliding_window_view(hs, w_eff)
+    rev_arg = win[:, ::-1].argmin(axis=1)
+    pos = np.arange(len(win), dtype=np.int64) + (w_eff - 1 - rev_arg)
+    return np.unique(pos)
+
+
+def _winnow_batch(df: pd.DataFrame, k: int, w: int) -> pd.DataFrame:
+    out_doc: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    for did, text in zip(df["doc_id"].astype("int64"), df["text"]):
+        toks = text.split(" ")
+        grams = [
+            " ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)
+        ]
+        if not grams:
+            continue
+        hs = (md5_64_array(grams) >> np.uint64(1)).astype(np.int64)
+        sel = _winnow_doc(hs, w)
+        out_doc.append(np.full(len(sel), did, dtype=np.int64))
+        out_pos.append(sel)
+        out_h.append(hs[sel])
+    if not out_doc:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_id", "pos", "h")}
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": np.concatenate(out_doc),
+            "pos": np.concatenate(out_pos),
+            "h": np.concatenate(out_h),
+        }
+    )
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every rolling ``k``-token
+    gram, then per window of ``w`` consecutive gram hashes select the
+    rightmost minimum. Guarantees any shared substring of ≥ k + w − 1
+    tokens yields at least one shared fingerprint, with expected density
+    2/(w+1) — the local-selection sketch between "hash everything"
+    (substring_scrub's explode) and "hash one thing" (doc_fingerprints).
+
+    Scale shape: ZERO shuffles — selection is per-document local, so
+    this is one streaming map over the corpus emitting ~2n/(w+1) narrow
+    rows per n-gram doc; downstream consumers (fingerprint_matches)
+    pay the exchanges. Output: (doc_id, pos, h) — gram start position
+    and 63-bit fingerprint hash."""
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda df: _winnow_batch(df, k, w), batch_format="pandas"
+    )
+
+
+def _fp_pair_partials(g: pd.DataFrame, df_cap: int) -> pd.DataFrame:
+    """One hash bucket: per fingerprint hash, the distinct docs carrying
+    it (≤ df_cap, else dropped as chrome) pair up — ≤ C(df_cap, 2) rows
+    per hash leave the bucket."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for _, sub in g.groupby("h", sort=False):
+        docs = np.unique(sub["doc_id"].to_numpy(np.int64))
+        if len(docs) < 2 or len(docs) > df_cap:
+            continue
+        ia, ib = np.triu_indices(len(docs), k=1)
+        out_a += docs[ia].tolist()
+        out_b += docs[ib].tolist()
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "n_shared": pd.Series(np.ones(len(out_a), dtype=np.int64)),
+        }
+    )
+
+
+def fingerprint_matches(
+    sf_dir: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> ray.data.Dataset:
+    """Cross-document match candidates from shared winnowing fingerprints
+    (the MOSS pairing step): doc pairs sharing ≥ ``min_shared`` DISTINCT
+    fingerprint hashes, after dropping hashes present in more than
+    ``df_cap`` documents (boilerplate chrome would otherwise pair
+    everything with everything).
+
+    Scale shape: fingerprints (already ~2/(w+1) of gram volume) →
+    exchange 1 groups by hash and emits ≤ C(df_cap, 2) pair rows per
+    hash (the cap bounds the quadratic fanout BEFORE it ships);
+    exchange 2 is a tiny (doc_a, doc_b) grouped sum. Text never moves.
+    Output: (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    fps = winnow_fingerprints(sf_dir, k=k, w=w)
+
+    def distinct_doc_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "h"]].drop_duplicates()
+
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    fp = fps.map_batches(distinct_doc_hash, batch_format="pandas")
+    pairs = bucketed_group_map(
+        fp, "h", lambda g: _fp_pair_partials(g, df_cap)
+    )
+    agg = bucketed_group_agg(
+        pairs, ["doc_a", "doc_b"], {"n_shared": ("n_shared", "sum")}
+    )
+    return agg.map_batches(
+        lambda df: df[df["n_shared"] >= min_shared], batch_format="pandas"
+    )
