@@ -259,6 +259,31 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
                 os.path.join(out_root, "extract_structured")
             ),
         )
+        from zerox_ray.pipelines.dedup import fingerprint_matches, substring_scrub
+        from zerox_ray.pipelines.relational import interval_join
+        from zerox_ray.pipelines.similarity import ann_truncated_recall
+        from zerox_ray.pipelines.sketches import exact_price_select
+
+        # r5 additions: rolling-gram substring scrub (gram explode +
+        # winner exchange + doc rebuild join — the heaviest text-dedup
+        # shape), winnowing fingerprint pairing (local selection + two
+        # narrow exchanges), the bucket-replicated non-equi interval
+        # join, 3-pass exact selection, and the multi-prefix matmul
+        # recall evaluation
+        timed(
+            "substring_scrub",
+            lambda: substring_scrub(sf_dir).write_parquet(
+                os.path.join(out_root, "substring_scrub")
+            ),
+        )
+        timed(
+            "fingerprint_matches", lambda: fingerprint_matches(sf_dir).to_pandas()
+        )
+        timed("interval_join", lambda: interval_join(sf_dir).to_pandas())
+        timed("exact_price_select", lambda: exact_price_select(sf_dir))
+        timed(
+            "ann_truncated_recall", lambda: ann_truncated_recall(sf_dir)
+        )
 
     ray.shutdown()
 

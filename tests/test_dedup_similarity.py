@@ -1021,3 +1021,18 @@ class TestWinnowing:
             shared = (by_doc[r.doc_a] & by_doc[r.doc_b]) - ubiquitous
             assert len(shared) == r.n_shared
             assert r.n_shared >= 2 and r.doc_a < r.doc_b
+
+
+def test_substring_scrub_join_equals_broadcast(sf_dir):
+    from zerox_ray.pipelines.dedup import substring_scrub
+
+    cols = ["doc_id", "n_tokens", "n_removed", "text_clean"]
+    bc = (
+        substring_scrub(sf_dir, broadcast=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    jn = (
+        substring_scrub(sf_dir, broadcast=False)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(jn[cols], bc[cols])

@@ -1276,7 +1276,15 @@ def _seed_position_lists(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def substring_scrub(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+#: broadcast-vs-join gate for the seed-list attach (the paragraph_dedup
+#: idiom): below this many bytes of (doc_id → positions) state the seeds
+#: ship once via ray.put and the text join exchange disappears entirely
+SCRUB_BROADCAST_MAX_BYTES = 1 << 30
+
+
+def substring_scrub(
+    sf_dir: str, k: int = 8, broadcast: bool | None = None
+) -> ray.data.Dataset:
     """Exact SUBSTRING dedup with cleaned-text output, the rolling-window
     form of "Deduplicating Training Data Makes Language Models Better"
     (Lee et al., 2022): every k-token gram (EVERY start position, unlike
@@ -1291,23 +1299,52 @@ def substring_scrub(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     token position ≈ the tokenized corpus width, same order as
     dedup_spans' explode); exchange 1 groups by gram hash and emits ONLY
     the non-winner seeds (narrow — the corpus dup fraction); exchange 2
-    folds seeds into per-doc position LISTS (≤1 row/doc); exchange 3 is
-    the doc_id hash join where the document text moves exactly once. No
-    driver materialization anywhere; removal/rebuild is vectorized numpy
-    coverage masking per batch.
+    folds seeds into per-doc position lists (≤1 row per affected doc).
+    The seed lists then attach to the text either by BROADCAST (below
+    the 1 GiB gate the affected-doc map ships once via ``ray.put`` and
+    the document text NEVER enters an exchange) or, above it, by the
+    partitioned doc_id hash join where text moves exactly once —
+    paragraph_dedup's auto gate, both paths output-identical. No driver
+    text materialization; removal/rebuild is vectorized numpy coverage
+    masking per batch.
 
     Output: (doc_id, n_tokens, n_removed, text_clean), one row per
     document (docs shorter than k tokens pass through unchanged)."""
     from zerox_ray.pipelines.agg import bucketed_group_map
-    from zerox_ray.pipelines.relational import hash_join
 
     docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = docs.map_batches(
         lambda df: _gram_explode(df, k), batch_format="pandas"
     )
     seeds = bucketed_group_map(exploded, "h", _gram_dup_seeds)
-    seed_lists = bucketed_group_map(seeds, "doc_id", _seed_position_lists)
-    joined = hash_join(docs, seed_lists, on="doc_id", how="left")
+    seed_lists = bucketed_group_map(
+        seeds, "doc_id", _seed_position_lists
+    ).materialize()  # ≤1 narrow row per affected doc — gate-sized below
+
+    if broadcast is None:
+        sz = seed_lists.map_batches(
+            lambda df: pd.DataFrame(
+                {"b": [int(df["positions"].str.len().sum()) + 16 * len(df)]}
+            ),
+            batch_format="pandas",
+        ).sum("b") or 0
+        broadcast = sz <= SCRUB_BROADCAST_MAX_BYTES
+
+    if broadcast:
+        parts = seed_lists.to_pandas()
+        seed_ref = ray.put(dict(zip(parts["doc_id"], parts["positions"])))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(seed_ref)
+            df = df.copy()
+            df["positions"] = [m.get(d) for d in df["doc_id"].astype("int64")]
+            return df
+
+        joined = docs.map_batches(attach, batch_format="pandas")
+    else:
+        from zerox_ray.pipelines.relational import hash_join
+
+        joined = hash_join(docs, seed_lists, on="doc_id", how="left")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_id": [], "n_tokens": [], "n_removed": [], "text_clean": []}
