@@ -73,6 +73,7 @@ from zerox_ray.pipelines.dedup import (
     neardup_cluster_sizes,
     ngram_jaccard_pairs,
     fingerprint_matches,
+    leakage_safe_split,
     simhash_pairs,
     simhash_signatures,
     substring_scrub,
@@ -898,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_scrub": substring_scrub,
         "winnow_fingerprints": winnow_fingerprints,
         "fingerprint_matches": fingerprint_matches,
+        "leakage_safe_split": leakage_safe_split,
         "dedup_embedding_cosine": _q_embedding_cosine,
         "price_quantiles_sketch": price_quantiles,
         "exact_price_select": exact_price_select,
@@ -3901,6 +3903,37 @@ mh_comp(node, label) AS (
 mh_lab AS (SELECT node, min(label) AS label FROM mh_comp GROUP BY node)
 SELECT doc_id, doc_id AS cluster_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM mh_lab WHERE label < node)""",
+        # mirrors dedup.leakage_safe_split: near-dup-component label per
+        # doc (self if unpaired), split hashed at CLUSTER granularity so
+        # near-dups never straddle train/held-out
+        "leakage_safe_split": "WITH RECURSIVE "
+        + _minhash_pairs_ctes()
+        + """,
+mh_edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+),
+mh_comp(node, label) AS (
+  SELECT s, s FROM mh_edges
+  UNION
+  SELECT e.d, c.label FROM mh_comp c JOIN mh_edges e ON e.s = c.node
+),
+mh_lab AS (SELECT node, min(label) AS label FROM mh_comp GROUP BY node),
+lss_lab AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN mh_lab l ON l.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN h < 50000 THEN 'test'
+            WHEN h < 150000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 16))::UBIGINT
+           % 1000000 AS h
+  FROM lss_lab
+)""",
         "dedup_simhash_signatures": "WITH "
         + _simhash_ctes()
         + "\nSELECT doc_id, simhash, block0, block1, block2, block3 FROM sh_sig",

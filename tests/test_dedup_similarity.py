@@ -1036,3 +1036,32 @@ def test_substring_scrub_join_equals_broadcast(sf_dir):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(jn[cols], bc[cols])
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_splits(self, sf_dir):
+        from zerox_ray.pipelines.dedup import leakage_safe_split
+
+        got = leakage_safe_split(sf_dir).to_pandas()
+        assert len(got) == 500 and got.doc_id.is_unique
+        # the leakage invariant: one split per cluster
+        assert (got.groupby("cluster_id")["split"].nunique() == 1).all()
+        # near-dup truth pairs land in the same cluster (and split)
+        truth = _truth_pairs(sf_dir, 0.5)
+        by_doc = dict(zip(got.doc_id, got.cluster_id))
+        sp = dict(zip(got.doc_id, got.split))
+        for a, b in truth:
+            assert by_doc[a] == by_doc[b], (a, b)
+            assert sp[a] == sp[b]
+
+    def test_unpaired_docs_match_corpus_split(self, sf_dir):
+        """Docs in no near-dup cluster (cluster_id == doc_id) must get
+        EXACTLY the corpus_split assignment — same hash, same ranges."""
+        from zerox_ray.pipelines.dataops import corpus_split
+        from zerox_ray.pipelines.dedup import leakage_safe_split
+
+        lss = leakage_safe_split(sf_dir).to_pandas()
+        cs = corpus_split(sf_dir).to_pandas().set_index("doc_id")["split"]
+        solo = lss[lss.cluster_id == lss.doc_id]
+        assert len(solo) > 0
+        assert (solo.set_index("doc_id")["split"] == cs.loc[solo.doc_id]).all()

@@ -1124,6 +1124,64 @@ def minhash_dedup_docs(sf_dir: str, **lsh_kwargs) -> ray.data.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def leakage_safe_split(
+    sf_dir: str,
+    test_ppm: int = 50_000,
+    val_ppm: int = 100_000,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """Train/val/test split at NEAR-DUP-CLUSTER granularity: every doc in
+    a MinHash-LSH connected component gets the split of its component's
+    min doc_id, so near-duplicates can never straddle train and held-out
+    (the leakage mode a doc-hash split like ``dataops.corpus_split``
+    cannot prevent — a near-copy of a training doc landing in valid).
+    Split thresholds are the corpus_split hash-range ppm convention
+    (md5(cluster_id) % 1e6), stable under corpus growth at cluster
+    granularity.
+
+    Scale shape: minhash_dedup_docs' exact chain (LSH pairs → min-label
+    components → ONE doc_id hash join against the small label table)
+    with the keeper filter replaced by a vectorized hash-range split
+    map. Output: (doc_id, cluster_id, split), one row per document."""
+    from zerox_ray.pipelines.relational import hash_join
+
+    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    comp = minlabel_components(pairs)
+    docs = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if comp.count() == 0:  # materialized + tiny — a cheap driver scalar
+        joined = docs.map_batches(
+            lambda df: df.assign(cluster_id=df["doc_id"].astype("int64")),
+            batch_format="pandas",
+        )
+    else:
+        labels = comp.map_batches(
+            lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"}),
+            batch_format="pandas",
+        )
+        joined = hash_join(docs, labels, on="doc_id", how="left")
+
+    test_hi, val_hi = test_ppm, test_ppm + val_ppm
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        cluster = df["cluster_id"].fillna(ids).astype("int64") if "cluster_id" in df else ids
+        h = md5_64_array(
+            [str(int(c)).encode() for c in cluster]
+        ) % np.uint64(1_000_000)
+        split = np.where(
+            h < test_hi, "test", np.where(h < val_hi, "val", "train")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids.to_numpy(),
+                "cluster_id": cluster.to_numpy(),
+                "split": split,
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pandas")
+
+
 # --- span-level exact dedup (repeated k-token windows) -----------------------
 
 
