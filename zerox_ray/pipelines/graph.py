@@ -2274,15 +2274,27 @@ def triangle_stats(
     oriented = _oriented_edges(und, deg, n_nodes)
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # one lexsort for the whole bucket (u runs, each run in the SAME
+        # (deg, id) total order the orientation uses, so candidate (x, y)
+        # is itself oriented), then run-length slices + a per-size
+        # triu-index cache — no per-group pandas machinery
+        u = g["u"].to_numpy(np.int64)
+        dv = g["dv"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         out_u, out_v = [], []
-        for _, grp in g.groupby("u", sort=False):
-            # out-neighbors ordered by the SAME (deg, id) total order the
-            # orientation uses, so candidate (x, y) is itself oriented
-            nb = grp.sort_values(["dv", "v"])["v"].to_numpy(np.int64)
-            k = len(nb)
+        for s, e in zip(starts, ends):
+            k = e - s
             if k < 2:
                 continue
-            iu, iv = np.triu_indices(k, 1)
+            if k not in triu_cache:
+                triu_cache[k] = np.triu_indices(k, 1)
+            iu, iv = triu_cache[k]
+            nb = v[s:e]
             out_u.append(nb[iu])
             out_v.append(nb[iv])
         if not out_u:
@@ -2309,17 +2321,13 @@ def triangle_stats(
     cand = bucketed_group_map(oriented, "u", candidates)
 
     def count_hits(g: pd.DataFrame) -> pd.DataFrame:
-        edges_set = set(
-            zip(
-                g.loc[g["tag"] == 0, "u"].to_numpy(np.int64),
-                g.loc[g["tag"] == 0, "v"].to_numpy(np.int64),
-            )
-        )
-        c = g[g["tag"] == 1]
-        hits = sum(
-            (u, v) in edges_set
-            for u, v in zip(c["u"].to_numpy(np.int64), c["v"].to_numpy(np.int64))
-        )
+        # vectorized membership: inner-merge candidates against the
+        # (unique) oriented edges — candidate multiplicity is preserved,
+        # so the count equals the old per-tuple set probe without an
+        # O(pairs) python loop
+        e = g.loc[g["tag"] == 0, ["u", "v"]]
+        c = g.loc[g["tag"] == 1, ["u", "v"]]
+        hits = len(c.merge(e, on=["u", "v"])) if len(c) and len(e) else 0
         return pd.DataFrame({"t": [int(hits)]})
 
     n_tri = int(
@@ -2384,18 +2392,30 @@ def local_clustering(
     )
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        # one lexsort per bucket (u runs in the SAME (deg, id) order the
+        # orientation uses, so candidate (x, y) is itself oriented) +
+        # run-length slices + per-size triu cache — the triangle_stats
+        # kernel with the wedge CENTER carried along for crediting
+        u = g["u"].to_numpy(np.int64)
+        dv = g["dv"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         out_u, out_v, out_w = [], [], []
-        for center, grp in g.groupby("u", sort=False):
-            # out-neighbors ordered by the SAME (deg, id) total order the
-            # orientation uses, so candidate (x, y) is itself oriented
-            nb = grp.sort_values(["dv", "v"])["v"].to_numpy(np.int64)
-            k = len(nb)
+        for s, e in zip(starts, ends):
+            k = e - s
             if k < 2:
                 continue
-            iu, iv = np.triu_indices(k, 1)
+            if k not in triu_cache:
+                triu_cache[k] = np.triu_indices(k, 1)
+            iu, iv = triu_cache[k]
+            nb = v[s:e]
             out_u.append(nb[iu])
             out_v.append(nb[iv])
-            out_w.append(np.full(len(iu), center, np.int64))
+            out_w.append(np.full(len(iu), u[s], np.int64))
         if not out_u:
             return pd.DataFrame(
                 {
@@ -2420,19 +2440,20 @@ def local_clustering(
     cand = bucketed_group_map(oriented, "u", candidates)
 
     def credit(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["tag"] == 0]
-        edges_set = set(
-            zip(e["u"].to_numpy(np.int64), e["v"].to_numpy(np.int64))
-        )
-        c = g[g["tag"] == 1]
-        cu = c["u"].to_numpy(np.int64)
-        cv = c["v"].to_numpy(np.int64)
-        cw = c["w"].to_numpy(np.int64)
-        hit = np.fromiter(
-            ((u, v) in edges_set for u, v in zip(cu, cv)),
-            dtype=bool,
-            count=len(cu),
-        )
+        # vectorized membership: left-merge candidates against the unique
+        # oriented edge pairs — the indicator column marks closing edges
+        # without an O(pairs) python loop
+        e = g.loc[g["tag"] == 0, ["u", "v"]]
+        c = g.loc[g["tag"] == 1, ["u", "v", "w"]]
+        if len(c) == 0 or len(e) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64")}
+            )
+        m = c.merge(e.assign(_hit=np.int64(1)), on=["u", "v"], how="left")
+        hit = m["_hit"].notna().to_numpy()
+        cu = m["u"].to_numpy(np.int64)
+        cv = m["v"].to_numpy(np.int64)
+        cw = m["w"].to_numpy(np.int64)
         node = np.concatenate([cw[hit], cu[hit], cv[hit]])
         return pd.DataFrame({"node": node, "t": np.ones(len(node), np.int64)})
 
