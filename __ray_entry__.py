@@ -127,6 +127,7 @@ from zerox_ray.pipelines.graph import (
 from zerox_ray.pipelines.boilerplate import (
     boilerplate_blocks,
     density_extract,
+    dom_templates,
     paragraph_dedup,
     raw_text_blocks,
 )
@@ -393,6 +394,13 @@ def _q_component_sizes(sf_dir: str):
 
 def _q_raw_text_blocks(sf_dir: str):
     return raw_text_blocks(pages_dir_for(sf_dir))
+
+
+def _q_dom_templates(sf_dir: str):
+    """Structural template clusters parsed from the REAL payload bytes;
+    the oracle rebuilds each tag sequence closed-form from the generator
+    plan — hash equality is a parser-fidelity check."""
+    return dom_templates(pages_dir_for(sf_dir))
 
 
 def _q_paragraph_dedup(sf_dir: str):
@@ -743,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_text_blocks": _q_raw_text_blocks,
         "density_extract": _q_density_extract,
         "paragraph_dedup": _q_paragraph_dedup,
+        "dom_templates": _q_dom_templates,
         "boilerplate_blocks": _q_boilerplate_blocks,
         "host_curate": _q_host_curate,
         "canonical_urls": _q_canonical_urls,
@@ -3297,6 +3306,24 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
        coalesce(k.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN kept k USING (doc_id)
+""",
+        # mirrors boilerplate.dom_templates: the engine hashes the
+        # opening-tag sequence parsed from REAL payload bytes; the oracle
+        # rebuilds each template string closed-form from the generator
+        # plan (testgen.build_html — np divs inside the fixed chrome;
+        # filler is comments-only so it cannot split templates)
+        "dom_templates": """
+WITH dt_p AS (SELECT doc_id FROM documents
+              WHERE doc_id % 101 <> 13 AND doc_id % 10 <> 7),
+dt_t AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 24
+                             ELSE 1 + doc_id % 4 END AS np FROM dt_p),
+dt_tpl AS (SELECT doc_id,
+   'html head title body nav ul li a li a li a li a article'
+     || repeat(' div p', np) || ' footer p a a a footer a a a' AS seq
+ FROM dt_t)
+SELECT CAST(('0x'||substring(md5(seq),1,16))::UBIGINT // 2 AS BIGINT) AS template_h,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dt_tpl GROUP BY 1
 """,
         "winnow_fingerprints": _WINNOW_CTE
         + """

@@ -162,3 +162,40 @@ def test_density_extract_context_rule(sf_dir):
         t.startswith("home\n\nabout us") for t in df["dense_text"]
     )
     assert short_kept and lonely_short_dropped
+
+
+class TestDomTemplates:
+    def test_clusters_by_page_count(self, sf_dir):
+        """html docs share a template iff they have the same page count
+        (the only structural degree of freedom in the generator)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.boilerplate import dom_templates
+        from zerox_ray.testgen import pages_dir_for
+
+        got = dom_templates(pages_dir_for(sf_dir)).to_pandas()
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        html_ids = [d for d in ids if d % 101 != 13 and d % 10 != 7]
+        want = {}
+        for d in html_ids:
+            np_ = 24 if d % 50 == 0 else 1 + d % 4
+            want[np_] = want.get(np_, 0) + 1
+        assert sorted(got.n_docs) == sorted(want.values())
+        assert got.n_docs.sum() == len(html_ids)
+        assert got.template_h.is_unique
+
+    def test_filler_does_not_split_templates(self):
+        """Docs differing only in comment filler hash to one template."""
+        from zerox_ray.functions.hashing import md5_64
+        from zerox_ray.pipelines.boilerplate import _TAG_RE
+        from zerox_ray.testgen import build_html
+
+        a = build_html(1, ["hello world"], filler=False)
+        b = build_html(97 * 3 + 1 - 1, ["other text"], filler=True)  # any filler doc
+        ta = b" ".join(_TAG_RE.findall(a))
+        tb = b" ".join(_TAG_RE.findall(b))
+        assert ta == tb
+        assert md5_64(ta) == md5_64(tb)

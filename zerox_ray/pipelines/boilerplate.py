@@ -329,3 +329,60 @@ def density_extract(
         )
 
     return bucketed_group_map(blocks, "url", smooth)
+
+
+# --- DOM template clustering ---------------------------------------------------
+
+import re as _re
+
+#: opening-tag scanner: matches `<tagname` only (closing tags start `</`,
+#: comments `<!--` — neither matches), so the sequence is the page's
+#: opening-tag skeleton
+_TAG_RE = _re.compile(rb"<([a-z][a-z0-9]*)")
+
+
+def dom_templates(pages: ray.data.Dataset | str) -> ray.data.Dataset:
+    """Structural template clustering of the html corpus: every page's
+    OPENING-TAG sequence (its DOM skeleton, stripped of all text and
+    attributes) is hashed, and pages grouped by skeleton — the CMS/
+    template-detection primitive behind per-template extractor routing
+    and template-skew diagnostics (one template dominating a host is the
+    crawler's mirror/soft-404 tell). Comments and closing tags are
+    excluded by construction, so text-only boilerplate (filler comments)
+    does not split templates.
+
+    Scale shape: ONE streaming pass over the payloads (compiled regex,
+    per-batch combiner emitting ≤ |distinct templates per batch| partial
+    rows) → ONE tiny grouped sum on the template hash — cluster count is
+    O(templates), never O(pages). Output: (template_h, n_docs).
+
+    The oracle rebuilds each template's exact tag sequence closed-form
+    from the generator plan (testgen.build_html) and must match the
+    hash of what the engine parsed from the real payload bytes — a
+    parser-fidelity check, not just a count check."""
+    from zerox_ray.functions.hashing import md5_64
+
+    ds = read_pages(pages, columns=["url", "html"]) if isinstance(pages, str) else pages
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hs: list[int] = []
+        for payload in df["html"]:
+            b = bytes(payload)
+            if not b.startswith(b"<html"):
+                continue  # pdf / corrupt payloads have no DOM skeleton
+            tags = _TAG_RE.findall(b)
+            hs.append(md5_64(b" ".join(tags)) >> 1)
+        if not hs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("template_h", "n_docs")}
+            )
+        vc = pd.Series(hs, dtype="int64").value_counts()
+        return pd.DataFrame(
+            {
+                "template_h": vc.index.to_numpy(np.int64),
+                "n_docs": vc.to_numpy(np.int64),
+            }
+        )
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_agg(counts, ["template_h"], {"n_docs": ("n_docs", "sum")})
