@@ -128,6 +128,7 @@ from zerox_ray.pipelines.boilerplate import (
     boilerplate_blocks,
     density_extract,
     dom_templates,
+    host_template_skew,
     paragraph_dedup,
     raw_text_blocks,
 )
@@ -401,6 +402,12 @@ def _q_dom_templates(sf_dir: str):
     the oracle rebuilds each tag sequence closed-form from the generator
     plan — hash equality is a parser-fidelity check."""
     return dom_templates(pages_dir_for(sf_dir))
+
+
+def _q_host_template_skew(sf_dir: str):
+    """Per-host template domination over the multihost corpus; oracle is
+    the closed-form (host, page-count-template) rollup."""
+    return host_template_skew(multihost_pages_dir_for(sf_dir))
 
 
 def _q_paragraph_dedup(sf_dir: str):
@@ -752,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "density_extract": _q_density_extract,
         "paragraph_dedup": _q_paragraph_dedup,
         "dom_templates": _q_dom_templates,
+        "host_template_skew": _q_host_template_skew,
         "boilerplate_blocks": _q_boilerplate_blocks,
         "host_curate": _q_host_curate,
         "canonical_urls": _q_canonical_urls,
@@ -3324,6 +3332,23 @@ dt_tpl AS (SELECT doc_id,
 SELECT CAST(('0x'||substring(md5(seq),1,16))::UBIGINT // 2 AS BIGINT) AS template_h,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM dt_tpl GROUP BY 1
+""",
+        # mirrors boilerplate.host_template_skew: closed-form host and
+        # page-count template (bijective with the tag-sequence hash on
+        # this corpus) rolled up per host
+        "host_template_skew": """
+WITH hts_p AS (SELECT doc_id FROM documents
+               WHERE doc_id % 101 <> 13 AND doc_id % 10 <> 7),
+hts_t AS (SELECT doc_id, 'h' || (doc_id % 23) || '.example.net' AS host,
+           CASE WHEN doc_id % 50 = 0 THEN 24 ELSE 1 + doc_id % 4 END AS np
+          FROM hts_p),
+hts_c AS (SELECT host, np, count(*) AS n FROM hts_t GROUP BY 1, 2),
+hts_a AS (SELECT host, sum(n) AS n_docs, count(*) AS n_templates, max(n) AS mx
+          FROM hts_c GROUP BY 1)
+SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_templates AS BIGINT) AS n_templates,
+       CAST(mx * 1000000 // n_docs AS BIGINT) AS top_share_ppm
+FROM hts_a
 """,
         "winnow_fingerprints": _WINNOW_CTE
         + """

@@ -199,3 +199,28 @@ class TestDomTemplates:
         tb = b" ".join(_TAG_RE.findall(b))
         assert ta == tb
         assert md5_64(ta) == md5_64(tb)
+
+
+class TestHostTemplateSkew:
+    def test_shares_and_totals(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.boilerplate import host_template_skew
+        from zerox_ray.testgen import multihost_pages_dir_for
+
+        got = host_template_skew(multihost_pages_dir_for(sf_dir)).to_pandas()
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        html_ids = [d for d in ids if d % 101 != 13 and d % 10 != 7]
+        assert got.n_docs.sum() == len(html_ids)
+        assert len(got) == len({d % 23 for d in html_ids})
+        assert got.top_share_ppm.between(1, 1_000_000).all()
+        # replay one host end-to-end
+        h0 = [d for d in html_ids if d % 23 == 0]
+        from collections import Counter
+
+        c = Counter(24 if d % 50 == 0 else 1 + d % 4 for d in h0)
+        r = got[got.host == "h0.example.net"].iloc[0]
+        assert r.n_docs == len(h0) and r.n_templates == len(c)
+        assert r.top_share_ppm == max(c.values()) * 1_000_000 // len(h0)
