@@ -94,6 +94,7 @@ from zerox_ray.pipelines.graph import (
     anchor_augment,
     anchor_texts,
     cocitation_counts,
+    crawl_budget,
     coupling_counts,
     crawl_depth,
     kcore,
@@ -383,6 +384,12 @@ def _q_host_stats(sf_dir: str):
 
 def _q_host_quota(sf_dir: str):
     return host_quota(multihost_pages_dir_for(sf_dir))
+
+
+def _q_crawl_budget(sf_dir: str):
+    """Hamilton largest-remainder apportionment of 1000 fetch slots
+    across the 23 multihost authorities; Σalloc == 1000 exactly."""
+    return crawl_budget(multihost_pages_dir_for(sf_dir))
 
 
 def _q_host_quality(sf_dir: str):
@@ -746,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality": _q_host_quality,
         "component_sizes": _q_component_sizes,
         "host_quota": _q_host_quota,
+        "crawl_budget": _q_crawl_budget,
         "host_schedule": _q_host_schedule,
         "robots_filter": _q_robots_filter,
         "mirror_hosts": _q_mirror_hosts,
@@ -4264,6 +4272,24 @@ SELECT url, host,
                    OR (k % 7 = 3 AND path LIKE '/doc/1%')
                  THEN 0 ELSE 1 END AS BIGINT) AS allowed
 FROM rf
+""",
+        # mirrors graph.crawl_budget: Hamilton largest-remainder over
+        # closed-form host counts; cutoff rank via row_number
+        # (rem DESC, 63-bit host key ASC) — Σalloc == 1000 exactly
+        "crawl_budget": """
+WITH cb_hc AS (SELECT 'h' || (doc_id % 23) || '.example.net' AS host,
+                      count(*) AS n FROM documents GROUP BY 1),
+cb_tot AS (SELECT sum(n) AS nt, CAST(1000 AS BIGINT) AS B FROM cb_hc),
+cb_base AS (SELECT host, n, (B*n)//nt AS base, B*n - ((B*n)//nt)*nt AS rem,
+            CAST(('0x'||substring(md5(host),1,16))::UBIGINT // 2 AS BIGINT) AS hkey
+            FROM cb_hc, cb_tot),
+cb_sb AS (SELECT sum(base) AS s FROM cb_base),
+cb_rk AS (SELECT host, n, base,
+          row_number() OVER (ORDER BY rem DESC, hkey ASC) AS rn FROM cb_base)
+SELECT host, CAST(n AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rn <= (SELECT B FROM cb_tot) - (SELECT s FROM cb_sb)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM cb_rk
 """,
         "host_schedule": """
 WITH hs AS (

@@ -1222,3 +1222,55 @@ def test_robots_filter_prefix_semantics():
     assert got[urls[2]] == 0
     assert got[urls[3]] == 1
     assert got[urls[4]] == 1
+
+
+class TestCrawlBudget:
+    def test_hamilton_properties(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.graph import crawl_budget
+        from zerox_ray.testgen import multihost_pages_dir_for
+
+        got = crawl_budget(multihost_pages_dir_for(sf_dir)).to_pandas()
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        n_by_host = {}
+        for d in ids:
+            n_by_host[f"h{d % 23}.example.net"] = (
+                n_by_host.get(f"h{d % 23}.example.net", 0) + 1
+            )
+        assert got.alloc.sum() == 1000  # exact budget, no stranded slots
+        assert dict(zip(got.host, got.n_docs)) == n_by_host
+        # quota rule: every host within [floor, floor+1] of proportionality
+        N = sum(n_by_host.values())
+        for _, r in got.iterrows():
+            base = 1000 * r.n_docs // N
+            assert r.alloc in (base, base + 1)
+
+    def test_matches_sorted_reference(self, sf_dir):
+        """Full largest-remainder replay with an explicit sort — the
+        engine's sort-free selection must agree everywhere."""
+        from zerox_ray.functions.hashing import md5_64
+        from zerox_ray.pipelines.graph import crawl_budget
+        from zerox_ray.testgen import multihost_pages_dir_for
+        import pyarrow.parquet as pq
+
+        got = crawl_budget(multihost_pages_dir_for(sf_dir)).to_pandas()
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        n_by_host = {}
+        for d in ids:
+            h = f"h{d % 23}.example.net"
+            n_by_host[h] = n_by_host.get(h, 0) + 1
+        N = sum(n_by_host.values())
+        base = {h: 1000 * n // N for h, n in n_by_host.items()}
+        rem = {h: 1000 * n - base[h] * N for h, n in n_by_host.items()}
+        order = sorted(
+            n_by_host, key=lambda h: (-rem[h], md5_64(h.encode()) >> 1)
+        )
+        R = 1000 - sum(base.values())
+        want = {h: base[h] + (1 if i < R else 0) for i, h in enumerate(order)}
+        assert dict(zip(got.host, got.alloc)) == want

@@ -3273,3 +3273,99 @@ def robots_filter(
         )
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# --- crawl-budget apportionment (Hamilton largest remainder) -------------------
+
+CRAWL_BUDGET = 1_000
+
+
+def crawl_budget(
+    pages: ray.data.Dataset | str, budget: int = CRAWL_BUDGET
+) -> ray.data.Dataset:
+    """EXACT integer apportionment of a fixed crawl budget across hosts,
+    proportional to host size (Hamilton / largest-remainder method —
+    the apportionment rule that never strands a slot): every host gets
+    floor(B·n_h / N) fetches, and the R = B − Σfloor leftover slots go
+    to the R largest integer remainders (B·n_h mod N), ties broken by
+    63-bit host key ascending. Σ alloc == budget exactly — what a
+    politeness-capped frontier actually schedules.
+
+    Scale shape: ONE host-count exchange (per-batch value_counts →
+    grouped sum, O(hosts) rows ≈ 10⁸ at web scale vs 10¹² pages);
+    the remainder CUTOFF comes from ``exact_kth_largest`` (histogram
+    narrowing — ceil(log_1024(N)) streaming passes over the host table,
+    ≤1024 count rows each), NOT a global sort of hosts; remainder ties
+    at the cutoff resolve with one more k-th selection on the host key.
+    Driver state: scalars only. Output: (host, n_docs, alloc)."""
+    from zerox_ray.pipelines.agg import bucketed_group_agg, bucketed_group_map
+    from zerox_ray.pipelines.sketches import exact_kth_largest, exact_kth_smallest
+
+    ds = read_pages(pages, columns=["url"]) if isinstance(pages, str) else pages
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(host_of(t["url"]).to_pylist()).value_counts()
+        return pd.DataFrame(
+            {"host": vc.index.astype(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    hosts = bucketed_group_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["host"],
+        {"n": ("n", "sum")},
+    ).materialize()
+    n_total = int(hosts.sum("n"))
+    n_hosts = hosts.count()
+
+    def with_rem(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        base = budget * n // n_total
+        return pd.DataFrame(
+            {
+                "host": df["host"].astype(object),
+                "n": n,
+                "base": base,
+                "rem": budget * n - base * n_total,
+                "hkey": _h63(df["host"].tolist()),
+            }
+        )
+
+    rem = hosts.map_batches(with_rem, batch_format="pandas").materialize()
+    leftover = budget - int(rem.sum("base"))
+
+    if leftover == 0:
+        plus_mask = None
+    else:
+        cutoff = exact_kth_largest(rem, "rem", leftover, n_hosts)
+        n_above = rem.map_batches(
+            lambda df: pd.DataFrame({"c": [int((df["rem"] > cutoff).sum())]}),
+            batch_format="pandas",
+        ).sum("c")
+        ties_needed = leftover - int(n_above)
+        if ties_needed > 0:
+            ties = rem.map_batches(
+                lambda df: df[df["rem"] == cutoff], batch_format="pandas"
+            ).materialize()
+            tie_cut = exact_kth_smallest(ties, "hkey", ties_needed)
+        else:
+            tie_cut = None
+        plus_mask = (cutoff, tie_cut)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        alloc = df["base"].to_numpy(np.int64).copy()
+        if plus_mask is not None:
+            cut, tcut = plus_mask
+            r = df["rem"].to_numpy(np.int64)
+            up = r > cut
+            if tcut is not None:
+                up |= (r == cut) & (df["hkey"].to_numpy(np.int64) <= tcut)
+            alloc += up.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "host": df["host"].astype(object),
+                "n_docs": df["n"].to_numpy(np.int64),
+                "alloc": alloc,
+            }
+        )
+
+    return rem.map_batches(finish, batch_format="pandas")

@@ -865,3 +865,64 @@ def exact_price_select(
             "value_cents": pd.Series([lo for lo, _, _ in states], dtype="int64"),
         }
     )
+
+
+def exact_kth_smallest(ds: ray.data.Dataset, col: str, k: int) -> int:
+    """EXACT k-th smallest (1-based) of an int64 column by the same
+    histogram-narrowing loop as ``exact_price_select``, generalized to
+    any (re-iterable — pass a materialized dataset) int column: each
+    round streams the column once and reduces to ≤ SELECT_BINS
+    (bin, cnt) rows; the driver holds one (lo, hi, k) triple. Rounds =
+    ceil(log_1024(range))."""
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        c = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "n": []}, dtype="int64")
+        return pd.DataFrame(
+            {"lo": [int(c.min())], "hi": [int(c.max())], "n": [len(c)]}
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if mm["n"].sum() == 0:
+        raise ValueError("exact_kth_smallest over an empty column")
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max()) + 1
+    if not 1 <= k <= int(mm["n"].sum()):
+        raise ValueError(f"rank {k} outside [1, {int(mm['n'].sum())}]")
+
+    while hi - lo > 1:
+        width = -(-(hi - lo) // SELECT_BINS)
+        lo_c, hi_c = lo, hi
+
+        def hist(t: pa.Table) -> pd.DataFrame:
+            c = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (c >= lo_c) & (c < hi_c)
+            if not m.any():
+                return pd.DataFrame({"bin": [], "cnt": []}, dtype="int64")
+            cnt = np.bincount((c[m] - lo_c) // width, minlength=SELECT_BINS)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame(
+                {"bin": nz.astype(np.int64), "cnt": cnt[nz].astype(np.int64)}
+            )
+
+        merged = (
+            bucketed_group_agg(
+                ds.map_batches(hist, batch_format="pyarrow"),
+                ["bin"],
+                {"cnt": ("cnt", "sum")},
+            )
+            .to_pandas()
+            .sort_values("bin")
+        )
+        cum = merged["cnt"].cumsum()
+        pos = int(np.searchsorted(cum.to_numpy(), k, side="left"))
+        b = int(merged["bin"].iloc[pos])
+        prev = int(cum.iloc[pos - 1]) if pos > 0 else 0
+        lo, hi, k = lo + b * width, min(hi, lo + (b + 1) * width), k - prev
+    return lo
+
+
+def exact_kth_largest(ds: ray.data.Dataset, col: str, k: int, n: int) -> int:
+    """k-th LARGEST = (n − k + 1)-th smallest; ``n`` is the column's row
+    count (callers usually already have it from the same reduce)."""
+    return exact_kth_smallest(ds, col, n - k + 1)
