@@ -148,7 +148,17 @@ def paragraph_dedup(
     partitioned hash join (one extra text exchange). The auto switch is
     the dedup.py verify='auto' idiom: 8 bytes per duplicated hash
     against a 1 GiB cap. ``broadcast``: None = auto; True/False pin a
-    path (both are output-identical and both are tested)."""
+    path (both are output-identical and both are tested).
+
+    Deliberate trade: the payload parse runs TWICE (once feeding the
+    hash-count branch, once feeding the mark/reassemble branch) rather
+    than materializing the exploded block table between them — measured
+    at bench scale the corpus-sized materialize costs more than the
+    second streaming parse (4.4 s vs 4.2 s end-to-end at sf0.1·16), and
+    at cluster scale it would push the whole block corpus through the
+    object store (spill) to save one CPU-side parse. Flip the trade
+    only when the parser dominates (e.g. a real DOM library): insert
+    ``.materialize()`` after the add_hash map."""
     blocks = raw_text_blocks(pages)
 
     def add_hash(t: pa.Table) -> pa.Table:
