@@ -136,6 +136,7 @@ from zerox_ray.pipelines.boilerplate import (
 from zerox_ray.pipelines.textqual import (
     bigram_counts,
     bigram_logprobs,
+    corpus_drift,
     ngram_novelty,
     pmi_pairs,
     vocab_growth,
@@ -825,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "bigram_logprobs": bigram_logprobs,
         "vocab_growth": vocab_growth,
+        "corpus_drift": corpus_drift,
         "ngram_novelty": ngram_novelty,
         "pmi_pairs": pmi_pairs,
         "dup_class_sizes": dup_class_sizes,
@@ -3032,6 +3034,21 @@ SELECT w1, w2, CAST(c2.c AS BIGINT) AS n,
 FROM c2 JOIN c1 u1 ON u1.t = c2.w1 JOIN c1 u2 ON u2.t = c2.w2""",
         # mirrors textqual.vocab_growth: Heaps curve via the
         # min-first-occurrence trick at 8 even doc-id checkpoints
+        # mirrors textqual.corpus_drift: exact integer total-variation
+        # distance between the doc_id-parity unigram distributions
+        # (HUGEINT numerator sum mirrors the engine's python-int total)
+        "corpus_drift": """
+WITH cd_tok AS (SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+cd_c AS (SELECT w, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+         FROM cd_tok GROUP BY w),
+cd_t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cd_c)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(na AS BIGINT) AS n_tokens_a, CAST(nb AS BIGINT) AS n_tokens_b,
+       CAST(sum(abs(ca*nb - cb*na)) * 1000000 // (2*na*nb) AS BIGINT) AS tv_ppm
+FROM cd_c, cd_t GROUP BY na, nb
+""",
         "vocab_growth": """
 WITH vg_n AS (SELECT count(*) c FROM documents),
 vg_b AS (SELECT m, ((m + 1) * (SELECT c FROM vg_n)) // 8 AS nd

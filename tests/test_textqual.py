@@ -480,3 +480,47 @@ def test_bpe_encode_compresses(sf_dir):
         len(w) for t in texts["text"].to_pylist() for w in re.findall(r"[a-z]+", t)
     )
     assert df["n_subwords"].sum() < total_chars
+
+
+class TestCorpusDrift:
+    def test_matches_counter_replay(self, sf_dir):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.textqual import corpus_drift
+
+        got = corpus_drift(sf_dir).iloc[0]
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ca, cb = Counter(), Counter()
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            (ca if did % 2 == 0 else cb).update(text.split(" "))
+        na, nb = sum(ca.values()), sum(cb.values())
+        vocab = set(ca) | set(cb)
+        num = sum(abs(ca[w] * nb - cb[w] * na) for w in vocab)
+        assert got.n_terms == len(vocab)
+        assert (got.n_tokens_a, got.n_tokens_b) == (na, nb)
+        assert got.tv_ppm == num * 1_000_000 // (2 * na * nb)
+
+    def test_identical_slices_zero_drift(self, tmp_path):
+        """A corpus whose halves are copies has TV exactly 0."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.textqual import corpus_drift
+
+        texts = ["alpha beta gamma", "delta epsilon", "alpha alpha zeta"]
+        rows = [(i * 2, t) for i, t in enumerate(texts)] + [
+            (i * 2 + 1, t) for i, t in enumerate(texts)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = corpus_drift(str(tmp_path)).iloc[0]
+        assert got.tv_ppm == 0 and got.n_tokens_a == got.n_tokens_b

@@ -1447,3 +1447,107 @@ def bpe_encode(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
         )
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+# --- corpus drift (distribution distance between corpus slices) ----------------
+
+
+def corpus_drift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: total-variation distance between the
+    unigram distributions of two corpus slices (here the deterministic
+    halves doc_id % 2 — in production, yesterday's crawl vs today's).
+    TV = ½ Σ_w |p_A(w) − p_B(w)|, computed EXACTLY in integers as
+    Σ|c_A·N_B − c_B·N_A| · 1e6 // (2·N_A·N_B) ppm — the one-number
+    answer to "did the corpus change under me?" that gates retraining
+    of every distribution-fitted artifact (LM filters, classifiers,
+    importance weights).
+
+    Scale shape: ONE token exchange — per-batch (term-hash, side) count
+    partials → one grouped sum (O(vocab) rows) → per-batch scalar
+    partials of the TV numerator (int64 per batch; the grand total is
+    summed in PYTHON ints on the driver, so a 10^12-token corpus cannot
+    overflow the final add — the oracle's HUGEINT sum mirrors it).
+    Output: one row (n_terms, n_tokens_a, n_tokens_b, tv_ppm)."""
+    from zerox_ray.sources.tables import read_table as _rt
+
+    ds = _rt(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sides = df["doc_id"].astype("int64") % 2
+        frames = []
+        for side in (0, 1):
+            toks = [
+                t
+                for text in df.loc[sides == side, "text"]
+                for t in text.split(" ")
+            ]
+            if not toks:
+                continue
+            hs = (md5_64_array([t.encode() for t in toks]) >> np.uint64(1)).astype(
+                np.int64
+            )
+            vc = pd.Series(hs).value_counts()
+            zeros = np.zeros(len(vc), np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "h": vc.index.to_numpy(np.int64),
+                        "ca": vc.to_numpy(np.int64) if side == 0 else zeros,
+                        "cb": zeros if side == 0 else vc.to_numpy(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("h", "ca", "cb")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["h"],
+        {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+    ).materialize()  # O(vocab) narrow rows — reused by two reductions
+
+    tot = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "na": [int(df["ca"].sum())],
+                "nb": [int(df["cb"].sum())],
+                "nt": [len(df)],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    na, nb, n_terms = (
+        int(tot["na"].sum()),
+        int(tot["nb"].sum()),
+        int(tot["nt"].sum()),
+    )
+
+    num = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "num": [
+                    int(
+                        np.abs(
+                            df["ca"].to_numpy(np.int64) * nb
+                            - df["cb"].to_numpy(np.int64) * na
+                        ).sum()
+                    )
+                ]
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    numerator = sum(int(x) for x in num["num"])  # python ints — no overflow
+
+    tv_ppm = numerator * 1_000_000 // (2 * na * nb) if na and nb else 0
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n_terms], dtype="int64"),
+            "n_tokens_a": pd.Series([na], dtype="int64"),
+            "n_tokens_b": pd.Series([nb], dtype="int64"),
+            "tv_ppm": pd.Series([tv_ppm], dtype="int64"),
+        }
+    )
