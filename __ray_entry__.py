@@ -191,6 +191,7 @@ from zerox_ray.pipelines.similarity import (
     embedding_quantize,
     embedding_principal,
     kmeans_clusters,
+    pq_codes,
     semantic_dedup,
 )
 from zerox_ray.pipelines.sketches import (
@@ -939,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the k×dim int centroid plane, ≤k partial rows per batch on the
         # wire, bit-exact via quantized integer arithmetic
         "kmeans_clusters": kmeans_clusters,
+        "pq_codes": pq_codes,
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
         "embedding_quantize": embedding_quantize,
@@ -2292,6 +2294,72 @@ SELECT vec_id, cl AS cluster FROM (
 km_assign AS ({assign})""")
     else:
         parts.append(assign)
+    return "".join(parts)
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Mirror of pipelines/similarity.py::pq_codes — the per-subspace
+    integer Lloyd chains (same conventions as ``_kmeans_sql``: micro-unit
+    ints exact in DOUBLE, floor(sum/n) updates, lowest-cl tie breaks)
+    unrolled for ALL m subspaces, then joined on vec_id."""
+    sub = dim // m
+    parts = ["""
+WITH pq_q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+)"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""",
+pq{s}_qd AS (SELECT vec_id, q[{lo}:{hi}] AS q,
+                    CAST(q[{lo}:{hi}] AS DOUBLE[]) AS qd FROM pq_q),
+pq{s}_c0 AS (SELECT vec_id AS cl, q[{lo}:{hi}] AS q,
+                    CAST(q[{lo}:{hi}] AS DOUBLE[]) AS qd
+             FROM pq_q WHERE vec_id < {k})""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+pq{s}_a{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.qd, e.qd)
+             - 2 * list_dot_product(e.qd, c.qd)
+             + list_dot_product(c.qd, c.qd), c.cl) AS rn
+    FROM pq{s}_qd e CROSS JOIN pq{s}_c{i - 1} c
+  ) WHERE rn = 1
+),
+pq{s}_s{i} AS (
+  SELECT cl, dim, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM (
+    SELECT a.cl, unnest(range(len(e.q))) AS dim, unnest(e.q) AS qv
+    FROM pq{s}_qd e JOIN pq{s}_a{i} a USING (vec_id)
+  ) GROUP BY cl, dim
+),
+pq{s}_c{i} AS (
+  SELECT cl, list(v ORDER BY dim) AS q,
+         CAST(list(v ORDER BY dim) AS DOUBLE[]) AS qd
+  FROM pq{s}_s{i} GROUP BY cl
+)""")
+        parts.append(f""",
+pq{s}_assign AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.qd, e.qd)
+             - 2 * list_dot_product(e.qd, c.qd)
+             + list_dot_product(c.qd, c.qd), c.cl) AS rn
+    FROM pq{s}_qd e CROSS JOIN pq{s}_c{iters} c
+  ) WHERE rn = 1
+)""")
+    joins = " ".join(
+        f"JOIN pq{s}_assign a{s} USING (vec_id)" for s in range(1, m)
+    )
+    sel = ", ".join(f"a{s}.cl AS c{s}" for s in range(m))
+    parts.append(f"""
+SELECT vec_id, {sel}
+FROM pq0_assign a0 {joins}""")
     return "".join(parts)
 
 
@@ -4159,6 +4227,9 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         "distinct_users_hll": _hll_sql(),
         "event_type_reach_hll": _hll_grouped_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        # mirrors similarity.pq_codes: m unrolled per-subspace Lloyd
+        # chains (same integer conventions as kmeans), joined on vec_id
+        "pq_codes": _pq_sql(),
         # synthetic web graph: engine extracts hrefs from the real html
         # bytes; the oracle replays the generator closed form
         "link_graph": _PR_EDGES_CTE

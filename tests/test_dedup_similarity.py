@@ -1065,3 +1065,48 @@ class TestLeakageSafeSplit:
         solo = lss[lss.cluster_id == lss.doc_id]
         assert len(solo) > 0
         assert (solo.set_index("doc_id")["split"] == cs.loc[solo.doc_id]).all()
+
+
+class TestProductQuantization:
+    def test_matches_numpy_replay(self, sf_dir):
+        """Independent in-memory replay of the m per-subspace integer
+        Lloyd loops — every code must agree."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.similarity import _assign, _quantize, pq_codes
+
+        m, k, iters = 4, 4, 2
+        got = pq_codes(sf_dir).to_pandas().set_index("vec_id").sort_index()
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = _quantize(np.array(t["embedding"].to_pylist(), dtype=np.float64))[order]
+        dim = q.shape[1]
+        sub = dim // m
+        for s in range(m):
+            qs = q[:, s * sub : (s + 1) * sub]
+            cl_ids = ids[ids < k]
+            cents = qs[ids < k]
+            for _ in range(iters):
+                cl = _assign(qs, cl_ids, cents)
+                uniq = np.unique(cl)
+                cents = np.stack(
+                    [qs[cl == u].sum(axis=0) // (cl == u).sum() for u in uniq]
+                )
+                cl_ids = uniq
+            want = _assign(qs, cl_ids, cents)
+            assert (got[f"c{s}"].to_numpy() == want).all(), f"subspace {s}"
+
+    def test_codes_are_valid_and_informative(self, sf_dir):
+        from zerox_ray.pipelines.similarity import pq_codes
+
+        got = pq_codes(sf_dir).to_pandas()
+        assert len(got) == 500 and got.vec_id.is_unique
+        for s in range(4):
+            c = got[f"c{s}"]
+            assert c.isin(range(4)).all()
+            assert c.nunique() > 1  # codebook actually separates vectors

@@ -1109,3 +1109,147 @@ def ann_truncated_recall(
     return pd.DataFrame(
         rows, columns=["dim", "qid", "n_hits"]
     ).astype("int64")
+
+
+# --- product quantization (Jégou et al., TPAMI 2011) ---------------------------
+
+PQ_M = 4      # subspaces
+PQ_K = 4      # centroids per subspace
+PQ_ITERS = 2  # Lloyd rounds per subspace
+
+
+def pq_codes(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> ray.data.Dataset:
+    """Product quantization: the embedding space is split into ``m``
+    contiguous subspaces and a ``k``-centroid integer Lloyd codebook is
+    trained PER SUBSPACE (same micro-unit quantization, L2² assignment,
+    lowest-id tie break and floor-div centroid update as
+    ``kmeans_clusters`` — the replayable-iteration conventions); each
+    vector's code is its m nearest sub-centroids. k^m cells from m·k
+    centroids — the codebook structure behind every billion-scale ANN
+    index (vs ``embedding_quantize``'s m=dim scalar special case).
+
+    Scale shape: the quantized corpus is materialized ONCE; every Lloyd
+    round trains ALL m codebooks in a single pass — per batch, m
+    assignments against the broadcast (m·k)×(dim/m) centroid planes emit
+    ≤ m·k (subspace, cluster, sum-vector, count) partial rows; one tiny
+    composite-key reduce + driver floor-div closes the round (driver
+    artifact: m·k·(dim/m) = dim·k ints). iters+1 total passes. The
+    final pass emits (vec_id, c0..c{m-1}).
+
+    Fully deterministic → the DuckDB oracle replays every round of all
+    m codebooks bit-for-bit (unrolled CTE chains per subspace)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def quantize_rows(df: pd.DataFrame) -> pd.DataFrame:
+        qm = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype("int64"),
+                "qb": [row.tobytes() for row in qm],
+            }
+        )
+
+    ds = (
+        read_table(path, columns=["vec_id", "embedding"])
+        .map_batches(quantize_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    init = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    )
+    order = np.argsort(np.asarray(init["vec_id"].to_pylist(), dtype=np.int64))
+    init_ids = np.asarray(init["vec_id"].to_pylist(), dtype=np.int64)[order]
+    full = _quantize(np.array(init["embedding"].to_pylist(), dtype=np.float64))[order]
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # per-subspace codebooks: (cluster ids, centroid plane)
+    books = [(init_ids.copy(), full[:, s * sub : (s + 1) * sub].copy()) for s in range(m)]
+
+    def _unpack(df: pd.DataFrame) -> np.ndarray:
+        return np.frombuffer(b"".join(df["qb"]), dtype=np.int64).reshape(
+            len(df), dim
+        )
+
+    _SKEY = 1 << 20  # composite (subspace, cluster) reduce key
+
+    for _ in range(iters):
+        state_ref = ray.put(books)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "scl": pd.Series([], dtype="int64"),
+                        "s": pd.Series([], dtype=object),
+                        "n": pd.Series([], dtype="int64"),
+                    }
+                )
+            bks = ray.get(state_ref)
+            q = _unpack(df)
+            rows = []
+            for si, (ids, cents) in enumerate(bks):
+                qs = q[:, si * sub : (si + 1) * sub]
+                cl = _assign(qs, ids, cents)
+                for u in np.unique(cl):
+                    mm = cl == u
+                    rows.append(
+                        {
+                            "scl": si * _SKEY + int(u),
+                            "s": qs[mm].sum(axis=0).tobytes(),
+                            "n": int(mm.sum()),
+                        }
+                    )
+            return pd.DataFrame(rows).astype({"scl": "int64", "n": "int64"})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out_rows = []
+            for u, h in g.groupby("scl", sort=True):
+                sv = np.stack(
+                    [np.frombuffer(b, dtype=np.int64) for b in h["s"]]
+                ).sum(axis=0)
+                out_rows.append(
+                    {"scl": int(u), "s": sv.tobytes(), "n": int(h["n"].sum())}
+                )
+            return pd.DataFrame(out_rows).astype({"scl": "int64", "n": "int64"})
+
+        reduced = bucketed_group_map(
+            ds.map_batches(partial, batch_format="pandas"), "scl", merge
+        ).to_pandas()  # ≤ m·k rows — scalar-sized per-round artifact
+        reduced = reduced.sort_values("scl")
+        new_books = []
+        for si in range(m):
+            rs = reduced[reduced["scl"] // _SKEY == si]
+            ids = (rs["scl"] % _SKEY).to_numpy(np.int64)
+            cents = np.stack(
+                [
+                    np.frombuffer(b, dtype=np.int64) // n
+                    for b, n in zip(rs["s"], rs["n"])
+                ]
+            )
+            new_books.append((ids, cents))
+        books = new_books
+
+    final_ref = ray.put(books)
+
+    def final_codes(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": df["vec_id"].astype("int64")}
+        if len(df) == 0:
+            for si in range(m):
+                cols[f"c{si}"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        bks = ray.get(final_ref)
+        q = _unpack(df)
+        for si, (ids, cents) in enumerate(bks):
+            cols[f"c{si}"] = _assign(
+                q[:, si * sub : (si + 1) * sub], ids, cents
+            ).astype(np.int64)
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(final_codes, batch_format="pandas")
