@@ -190,6 +190,7 @@ from zerox_ray.pipelines.similarity import (
     hard_negatives,
     embedding_quantize,
     embedding_principal,
+    ann_pq_adc_topk,
     kmeans_clusters,
     pq_codes,
     semantic_dedup,
@@ -941,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wire, bit-exact via quantized integer arithmetic
         "kmeans_clusters": kmeans_clusters,
         "pq_codes": pq_codes,
+        "ann_pq_adc_topk": ann_pq_adc_topk,
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
         "embedding_quantize": embedding_quantize,
@@ -2361,6 +2363,52 @@ pq{s}_assign AS (
 SELECT vec_id, {sel}
 FROM pq0_assign a0 {joins}""")
     return "".join(parts)
+
+
+def _pq_adc_sql(
+    m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+    n_queries: int = 8, topk: int = 5,
+) -> str:
+    """Mirror of similarity.ann_pq_adc_topk: the full PQ training chains
+    (shared construction with ``_pq_sql``) + asymmetric distance — each
+    corpus vector contributes its ASSIGNED sub-centroids, each query its
+    exact micro-unit subvectors; rank by (Σ_s L2², vec_id)."""
+    body = _pq_sql(m, k, iters, dim)
+    # cut the codes SELECT off the shared body, keep the CTE chain
+    body = body[: body.rindex("\nSELECT vec_id,")]
+    sub = dim // m
+    e_joins = []
+    for s in range(m):
+        if s == 0:
+            e_joins.append(f"pq0_assign a0 JOIN pq0_c{iters} cc0 ON cc0.cl = a0.cl")
+        else:
+            e_joins.append(
+                f"JOIN pq{s}_assign a{s} ON a{s}.vec_id = a0.vec_id "
+                f"JOIN pq{s}_c{iters} cc{s} ON cc{s}.cl = a{s}.cl"
+            )
+    cd_sel = ", ".join(f"cc{s}.qd AS cd{s}" for s in range(m))
+    q_sel = ", ".join(
+        f"CAST(q[{s * sub + 1}:{(s + 1) * sub}] AS DOUBLE[]) AS qd{s}"
+        for s in range(m)
+    )
+    dist = " + ".join(
+        f"(list_dot_product(q.qd{s}, q.qd{s})"
+        f" - 2 * list_dot_product(q.qd{s}, e.cd{s})"
+        f" + list_dot_product(e.cd{s}, e.cd{s}))"
+        for s in range(m)
+    )
+    return body + f""",
+adc_e AS (
+  SELECT a0.vec_id, {cd_sel}
+  FROM {" ".join(e_joins)}
+),
+adc_q AS (SELECT vec_id AS qid, {q_sel} FROM pq_q WHERE vec_id < {n_queries})
+SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+           {dist}, e.vec_id) AS rank
+  FROM adc_q q, adc_e e WHERE e.vec_id != q.qid
+) WHERE rank <= {topk}"""
 
 
 #: exact cosine top-k — shared by ann_cosine_topk AND ann_ivf_full_probe
@@ -4230,6 +4278,9 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         # mirrors similarity.pq_codes: m unrolled per-subspace Lloyd
         # chains (same integer conventions as kmeans), joined on vec_id
         "pq_codes": _pq_sql(),
+        # mirrors similarity.ann_pq_adc_topk: asymmetric distance over
+        # the same trained codebooks, rank by (Σ subspace L2², vec_id)
+        "ann_pq_adc_topk": _pq_adc_sql(),
         # synthetic web graph: engine extracts hrefs from the real html
         # bytes; the oracle replays the generator closed form
         "link_graph": _PR_EDGES_CTE

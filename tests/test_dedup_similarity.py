@@ -1110,3 +1110,26 @@ class TestProductQuantization:
             c = got[f"c{s}"]
             assert c.isin(range(4)).all()
             assert c.nunique() > 1  # codebook actually separates vectors
+
+
+class TestPqAdc:
+    def test_recall_against_exact(self, sf_dir):
+        """ADC over 4×4 codebooks is coarse, but the top-5 should still
+        overlap the exact cosine top-5 well above chance."""
+        from zerox_ray.pipelines.similarity import ann_bruteforce_topk, ann_pq_adc_topk
+
+        adc = ann_pq_adc_topk(sf_dir).to_pandas()
+        bf = ann_bruteforce_topk(sf_dir).to_pandas()
+        assert set(adc.qid) == set(bf.qid)
+        assert adc.groupby("qid")["rank"].max().eq(5).all()
+        inter = len(
+            set(zip(adc.qid, adc.neighbor_id)) & set(zip(bf.qid, bf.neighbor_id))
+        )
+        assert inter / len(bf) >= 0.1  # far above the ~1% chance rate
+
+    def test_deterministic(self, sf_dir):
+        from zerox_ray.pipelines.similarity import ann_pq_adc_topk
+
+        a = ann_pq_adc_topk(sf_dir).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        b = ann_pq_adc_topk(sf_dir).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

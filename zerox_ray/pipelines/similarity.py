@@ -1140,9 +1140,32 @@ def pq_codes(
 
     Fully deterministic → the DuckDB oracle replays every round of all
     m codebooks bit-for-bit (unrolled CTE chains per subspace)."""
-    from zerox_ray.pipelines.agg import bucketed_group_map
-
     path = f"{sf_dir}/embeddings.parquet"
+    ds, books, sub, dim, unpack = _train_pq(path, m, k, iters)
+    final_ref = ray.put(books)
+
+    def final_codes(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": df["vec_id"].astype("int64")}
+        if len(df) == 0:
+            for si in range(m):
+                cols[f"c{si}"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        bks = ray.get(final_ref)
+        q = unpack(df)
+        for si, (ids, cents) in enumerate(bks):
+            cols[f"c{si}"] = _assign(
+                q[:, si * sub : (si + 1) * sub], ids, cents
+            ).astype(np.int64)
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(final_codes, batch_format="pandas")
+
+
+def _train_pq(path: str, m: int, k: int, iters: int):
+    """Shared PQ training loop (design notes on ``pq_codes``). Returns
+    (quantized corpus dataset, per-subspace (ids, centroids) codebooks,
+    subspace width, full dim, row-unpack fn)."""
+    from zerox_ray.pipelines.agg import bucketed_group_map
 
     def quantize_rows(df: pd.DataFrame) -> pd.DataFrame:
         qm = _quantize(np.array(df["embedding"].to_list(), dtype=np.float64))
@@ -1236,20 +1259,96 @@ def pq_codes(
             new_books.append((ids, cents))
         books = new_books
 
-    final_ref = ray.put(books)
+    return ds, books, sub, dim, _unpack
 
-    def final_codes(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"vec_id": df["vec_id"].astype("int64")}
+
+def ann_pq_adc_topk(
+    sf_dir: str,
+    n_queries: int = 8,
+    k_neighbors: int = 5,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) top-k over the PQ codes — the search
+    half of product quantization: each corpus vector is represented by
+    its m sub-centroids, each query stays EXACT (micro-unit ints), and
+    distance(q, x) ≈ Σ_s L2²(q_s, centroid[code_s(x)]) comes from m
+    table lookups instead of a dim-wide dot. The approximation whose
+    accuracy ``pq_codes``' codebooks determine.
+
+    Scale shape: train once (shared ``_train_pq`` — iters+1 passes of
+    scalar-sized partials), then ONE scan: per batch, m assigns give the
+    codes and the per-query m×k integer lookup tables (built once per
+    query set, broadcast) turn scoring into adds; per-(query) local
+    top-k partials → tiny qid reduce. Deterministic (dist, neighbor_id)
+    order. Output: (qid, neighbor_id, rank)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds, books, sub, dim, unpack = _train_pq(path, m, k, iters)
+
+    qcols = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", n_queries)]
+    )
+    qids = np.asarray(qcols["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = _quantize(np.array(qcols["embedding"].to_pylist(), dtype=np.float64))
+    # per-(query, subspace) lookup tables: L2² to every sub-centroid
+    luts = []
+    for si, (_ids, cents) in enumerate(books):
+        qs = qmat[:, si * sub : (si + 1) * sub]
+        d = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2 * (qs @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        luts.append(d)  # (n_queries, k_s)
+    state_ref = ray.put((qids, books, luts))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "neighbor_id": [], "dist": []}
         if len(df) == 0:
-            for si in range(m):
-                cols[f"c{si}"] = pd.Series([], dtype="int64")
-            return pd.DataFrame(cols)
-        bks = ray.get(final_ref)
-        q = _unpack(df)
-        for si, (ids, cents) in enumerate(bks):
-            cols[f"c{si}"] = _assign(
-                q[:, si * sub : (si + 1) * sub], ids, cents
-            ).astype(np.int64)
-        return pd.DataFrame(cols)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in out}
+            )
+        q_ids, bks, lts = ray.get(state_ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        q = unpack(df)
+        # code INDEX (position in the codebook) per subspace
+        dist = np.zeros((len(q_ids), len(ids)), dtype=np.int64)
+        for si, (cids, cents) in enumerate(bks):
+            qs = q[:, si * sub : (si + 1) * sub]
+            d = (
+                (qs * qs).sum(axis=1, keepdims=True)
+                - 2 * (qs @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            idx = np.argmin(d, axis=1)  # same tie rule as _assign
+            dist += lts[si][:, idx]
+        for qi, qid in enumerate(q_ids):
+            mask = ids != qid
+            cand_ids, cand_d = ids[mask], dist[qi][mask]
+            if cand_ids.size == 0:
+                continue
+            kk = min(k_neighbors, cand_ids.size)
+            part = np.argpartition(cand_d, kk - 1)[:kk]
+            out["qid"] += [int(qid)] * kk
+            out["neighbor_id"] += cand_ids[part].tolist()
+            out["dist"] += cand_d[part].tolist()
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "dist": pd.Series(out["dist"], dtype="int64"),
+            }
+        )
 
-    return ds.map_batches(final_codes, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], kind="mergesort").head(
+            k_neighbors
+        )
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["qid", "neighbor_id", "rank"]]
+
+    return partials.groupby("qid").map_groups(final, batch_format="pandas")
