@@ -193,6 +193,7 @@ from zerox_ray.pipelines.similarity import (
     ann_pq_adc_topk,
     kmeans_clusters,
     pq_codes,
+    pq_distortion,
     semantic_dedup,
 )
 from zerox_ray.pipelines.sketches import (
@@ -942,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wire, bit-exact via quantized integer arithmetic
         "kmeans_clusters": kmeans_clusters,
         "pq_codes": pq_codes,
+        "pq_distortion": pq_distortion,
         "ann_pq_adc_topk": ann_pq_adc_topk,
         "semantic_dedup": semantic_dedup,
         "embedding_moments": embedding_moments,
@@ -2409,6 +2411,36 @@ SELECT qid, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
            {dist}, e.vec_id) AS rank
   FROM adc_q q, adc_e e WHERE e.vec_id != q.qid
 ) WHERE rank <= {topk}"""
+
+
+def _pq_distortion_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Mirror of similarity.pq_distortion: per-vector Σ_s L2² to the
+    ASSIGNED sub-centroid (== the assignment minimum), over the shared
+    training chains."""
+    body = _pq_sql(m, k, iters, dim)
+    body = body[: body.rindex("\nSELECT vec_id,")]
+    joins = []
+    for s in range(m):
+        if s == 0:
+            joins.append(
+                f"pq0_qd q0 JOIN pq0_assign a0 ON a0.vec_id = q0.vec_id "
+                f"JOIN pq0_c{iters} cc0 ON cc0.cl = a0.cl"
+            )
+        else:
+            joins.append(
+                f"JOIN pq{s}_qd q{s} ON q{s}.vec_id = q0.vec_id "
+                f"JOIN pq{s}_assign a{s} ON a{s}.vec_id = q0.vec_id "
+                f"JOIN pq{s}_c{iters} cc{s} ON cc{s}.cl = a{s}.cl"
+            )
+    err = " + ".join(
+        f"(list_dot_product(q{s}.qd, q{s}.qd)"
+        f" - 2 * list_dot_product(q{s}.qd, cc{s}.qd)"
+        f" + list_dot_product(cc{s}.qd, cc{s}.qd))"
+        for s in range(m)
+    )
+    return body + f"""
+SELECT q0.vec_id, CAST({err} AS BIGINT) AS err
+FROM {" ".join(joins)}"""
 
 
 #: exact cosine top-k — shared by ann_cosine_topk AND ann_ivf_full_probe
@@ -4281,6 +4313,9 @@ SELECT doc_id, overlap_ppm FROM dc_ov WHERE overlap_ppm <= 800000
         # mirrors similarity.ann_pq_adc_topk: asymmetric distance over
         # the same trained codebooks, rank by (Σ subspace L2², vec_id)
         "ann_pq_adc_topk": _pq_adc_sql(),
+        # mirrors similarity.pq_distortion: per-vector assigned-centroid
+        # L2² sum over the same chains
+        "pq_distortion": _pq_distortion_sql(),
         # synthetic web graph: engine extracts hrefs from the real html
         # bytes; the oracle replays the generator closed form
         "link_graph": _PR_EDGES_CTE

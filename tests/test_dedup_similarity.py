@@ -1133,3 +1133,51 @@ class TestPqAdc:
         a = ann_pq_adc_topk(sf_dir).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
         b = ann_pq_adc_topk(sf_dir).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_distortion_consistent_with_codes(sf_dir):
+    """Distortion equals the direct L2² between each vector and the
+    centroids its codes name — recomputed independently from pq_codes'
+    output and a replayed codebook."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.similarity import (
+        _assign,
+        _quantize,
+        pq_codes,
+        pq_distortion,
+    )
+
+    m, k, iters = 4, 4, 2
+    dist = pq_distortion(sf_dir).to_pandas().set_index("vec_id").sort_index()
+    codes = pq_codes(sf_dir).to_pandas().set_index("vec_id").sort_index()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = _quantize(np.array(t["embedding"].to_pylist(), dtype=np.float64))[order]
+    sub = q.shape[1] // m
+    # replay codebooks (same loop as TestProductQuantization)
+    books = []
+    for s in range(m):
+        qs = q[:, s * sub : (s + 1) * sub]
+        cl_ids, cents = ids[ids < k], qs[ids < k]
+        for _ in range(iters):
+            cl = _assign(qs, cl_ids, cents)
+            uniq = np.unique(cl)
+            cents = np.stack(
+                [qs[cl == u].sum(axis=0) // (cl == u).sum() for u in uniq]
+            )
+            cl_ids = uniq
+        books.append((cl_ids, cents))
+    for vid in ids:
+        row_q = q[np.searchsorted(ids, vid)]
+        total = 0
+        for s, (cl_ids, cents) in enumerate(books):
+            qs = row_q[s * sub : (s + 1) * sub]
+            c = cents[np.searchsorted(cl_ids, codes.loc[vid, f"c{s}"])]
+            d = qs - c
+            total += int((d * d).sum())
+        assert dist.loc[vid, "err"] == total, vid
+    assert (dist["err"] >= 0).all()

@@ -1352,3 +1352,43 @@ def ann_pq_adc_topk(
         return g[["qid", "neighbor_id", "rank"]]
 
     return partials.groupby("qid").map_groups(final, batch_format="pandas")
+
+
+def pq_distortion(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> ray.data.Dataset:
+    """Per-vector product-quantization distortion: the integer L2² gap
+    between each vector and its m assigned sub-centroids (Σ_s min_c
+    L2²(x_s, c)) — the number that decides whether the codebook is good
+    enough to search with (``ann_pq_adc_topk``) or needs more
+    centroids/subspaces. Completes the PQ triad: codes, search, error.
+
+    Scale shape: shared ``_train_pq`` (iters+1 scalar-partial passes),
+    then ONE scan — per batch m small matmuls against the broadcast
+    codebooks, row-min per subspace, integer add. Output:
+    (vec_id, err)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds, books, sub, dim, unpack = _train_pq(path, m, k, iters)
+    state_ref = ray.put(books)
+
+    def per_vec(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("vec_id", "err")}
+            )
+        bks = ray.get(state_ref)
+        q = unpack(df)
+        err = np.zeros(len(q), dtype=np.int64)
+        for si, (_ids, cents) in enumerate(bks):
+            qs = q[:, si * sub : (si + 1) * sub]
+            d = (
+                (qs * qs).sum(axis=1, keepdims=True)
+                - 2 * (qs @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            err += d.min(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"), "err": err}
+        )
+
+    return ds.map_batches(per_vec, batch_format="pandas")
