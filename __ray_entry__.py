@@ -168,6 +168,7 @@ from zerox_ray.pipelines.relational import (
     events_funnel,
     events_neighbors,
     events_sessions,
+    event_transitions,
     events_sliding,
     interval_join,
     lang_embedding_centroids,
@@ -861,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_bruteforce_topk,
         "orders_by_nation": orders_by_nation,
         "interval_join": interval_join,
+        "event_transitions": event_transitions,
         "revenue_by_priority": revenue_by_priority,
         "revenue_cube": revenue_cube,
         "pricing_summary": pricing_summary,
@@ -3600,6 +3602,16 @@ w AS (SELECT d AS s, d + 1 + o_orderkey % 20 AS e FROM o)
 SELECT p.o_orderkey, CAST(count(*) AS BIGINT) AS n_windows
 FROM o p JOIN w ON p.d >= w.s AND p.d < w.e
 GROUP BY p.o_orderkey
+""",
+        # mirrors relational.event_transitions: adjacent same-user pairs
+        # in (ts, event_id) order, counted per (from, to) type cell
+        "event_transitions": """
+WITH et_o AS (SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events)
+SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+FROM et_o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """,
         # mirror of pipelines/relational.py::revenue_cube — the finest
         # (nation, priority) grain partitions every coarser set, so the

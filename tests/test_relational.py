@@ -693,3 +693,29 @@ class TestIntervalJoin:
             .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestEventTransitions:
+    def test_matches_python_replay(self, sf_dir):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.relational import event_transitions
+
+        got = event_transitions(sf_dir).to_pandas()
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = Counter()
+        prev_u, prev_t = None, None
+        for u, et in zip(t["user_id"], t["event_type"]):
+            if u == prev_u:
+                c[(prev_t, et)] += 1
+            prev_u, prev_t = u, et
+        assert dict(zip(zip(got.from_type, got.to_type), got.n)) == dict(c)
+        # conservation: total transitions = total events − distinct users
+        # (each user's chain has len−1 pairs)
+        assert got.n.sum() == len(t) - t["user_id"].nunique()

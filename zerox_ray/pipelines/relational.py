@@ -1363,3 +1363,59 @@ def interval_join(
     from zerox_ray.pipelines.agg import bucketed_group_map
 
     return bucketed_group_map(tagged, "bucket", _interval_bucket_kernel)
+
+
+# --- event-type transition matrix (Markov sequence stats) ----------------------
+
+
+def _transitions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One coarse bucket of users → (from_type, to_type, n) partials,
+    vectorized across all users at once: adjacent pairs in the
+    (user_id, ts, event_id)-sorted stream, masked at user boundaries."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].astype("int64").to_numpy()
+    et = g["event_type"].to_numpy(object)
+    if len(uid) < 2:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    same = uid[1:] == uid[:-1]
+    pairs = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+    out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+    return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov transition counts over every user's event
+    stream: how often event type A is immediately followed by B for the
+    same user (ordered by (ts, event_id)) — the sequence-mining
+    primitive behind funnel discovery, next-action models and bot
+    detection (bots have near-degenerate transition rows).
+
+    Scale shape: ONE user-bucket exchange co-locates each user's events
+    (the events_sessions idiom — per-bucket work is a single mergesort +
+    boundary-masked adjacent-pair count, no per-user python); per-bucket
+    (from, to) partials then collapse in ONE tiny grouped sum bounded by
+    |event types|² rows, never by the stream length.
+    Output: (from_type, to_type, n)."""
+    from zerox_ray.pipelines.agg import bucketed_group_agg
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"].astype("int64") % N_USER_BUCKETS)
+        ),
+        batch_format="pandas",
+    )
+    partials = ds.groupby("bucket").map_groups(
+        _transitions_bucket, batch_format="pandas"
+    )
+    return bucketed_group_agg(
+        partials, ["from_type", "to_type"], {"n": ("n", "sum")}
+    )
