@@ -170,6 +170,7 @@ from zerox_ray.pipelines.relational import (
     events_sessions,
     event_transitions,
     events_sliding,
+    session_attribution,
     interval_join,
     lang_embedding_centroids,
     priority_price_quantiles,
@@ -863,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "interval_join": interval_join,
         "event_transitions": event_transitions,
+        "session_attribution": session_attribution,
         "revenue_by_priority": revenue_by_priority,
         "revenue_cube": revenue_cube,
         "pricing_summary": pricing_summary,
@@ -3612,6 +3614,36 @@ WITH et_o AS (SELECT user_id, event_type,
               FROM events)
 SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
 FROM et_o WHERE nxt IS NOT NULL GROUP BY 1, 2
+""",
+        # mirrors relational.session_attribution: 8-hour-gap sessions,
+        # purchase cents credited to each session's first event type
+        "session_attribution": """
+WITH sa_e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 8 HOURS
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sa_s AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM sa_e
+), sa_f AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM sa_s
+), sa_ft AS (SELECT user_id, sid, event_type AS first_type FROM sa_f WHERE rn = 1),
+sa_rev AS (
+  SELECT user_id, sid,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS cents
+  FROM sa_s GROUP BY 1, 2
+)
+SELECT first_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM sa_ft JOIN sa_rev USING (user_id, sid) GROUP BY 1
 """,
         # mirror of pipelines/relational.py::revenue_cube — the finest
         # (nation, priority) grain partitions every coarser set, so the

@@ -719,3 +719,66 @@ class TestEventTransitions:
         # conservation: total transitions = total events − distinct users
         # (each user's chain has len−1 pairs)
         assert got.n.sum() == len(t) - t["user_id"].nunique()
+
+
+class TestSessionAttribution:
+    def test_consistent_with_sessions_and_ledger(self, sf_dir):
+        """Cross-check against events_sessions (session count) and the
+        raw purchase total (revenue conservation)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.relational import (
+            events_sessions,
+            session_attribution,
+        )
+
+        got = session_attribution(sf_dir).to_pandas()
+        sess = events_sessions(sf_dir).to_pandas()
+        assert got.n_sessions.sum() == len(sess)
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        purchases = t[t.event_type == "purchase"]
+        total = int(np.floor(purchases.value.to_numpy() * 100).sum())
+        assert got.revenue_cents.sum() == total
+
+    def test_single_user_replay(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.relational import session_attribution
+
+        got = session_attribution(sf_dir).to_pandas()
+        t = (
+            pq.read_table(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type", "value"],
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        )
+        gap = 8 * 3600 * 1_000_000
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for _, u in t.groupby("user_id"):
+            ts = u["ts"].astype("int64").to_numpy()
+            first = None
+            rev = 0
+            for i in range(len(u)):
+                if i == 0 or ts[i] - ts[i - 1] > gap:
+                    if first is not None:
+                        agg[first][0] += 1
+                        agg[first][1] += rev
+                    first, rev = u["event_type"].iloc[i], 0
+                if u["event_type"].iloc[i] == "purchase":
+                    rev += int(np.floor(u["value"].iloc[i] * 100))
+            agg[first][0] += 1
+            agg[first][1] += rev
+        want = {k: tuple(v) for k, v in agg.items()}
+        have = {
+            r.first_type: (int(r.n_sessions), int(r.revenue_cents))
+            for _, r in got.iterrows()
+        }
+        assert have == want

@@ -1419,3 +1419,72 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(
         partials, ["from_type", "to_type"], {"n": ("n", "sum")}
     )
+
+
+# --- first-touch session attribution ------------------------------------------
+
+
+def _attribution_bucket(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """One user bucket → (first_type, n_sessions, revenue_cents)
+    partials, fully vectorized: session boundaries by run-length (user
+    change OR gap), first event type at each session start, purchase
+    cents credited to the session via one ``np.add.at`` scatter."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].astype("int64").to_numpy()
+    uid = g["user_id"].astype("int64").to_numpy()
+    n = len(ts)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "first_type": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    new = np.ones(n, dtype=bool)
+    new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+    sid = np.cumsum(new) - 1  # 0-based session ordinal within the bucket
+    et = g["event_type"].to_numpy(object)
+    first_type = et[new]
+    cents = np.floor(g["value"].to_numpy() * 100).astype(np.int64)
+    cents[et != "purchase"] = 0
+    rev = np.zeros(int(sid[-1]) + 1, dtype=np.int64)
+    np.add.at(rev, sid, cents)
+    part = pd.DataFrame({"first_type": first_type, "revenue_cents": rev})
+    out = part.groupby("first_type", as_index=False).agg(
+        n_sessions=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+    )
+    return out.astype({"n_sessions": "int64", "revenue_cents": "int64"})
+
+
+def session_attribution(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
+    """First-touch attribution over gap-sessionized event streams: every
+    session's purchase revenue (integer cents, floor(value·100)) is
+    credited to the TYPE of the session's first event — the
+    marketing-analytics composition of session windows + keyed rollup
+    ("which entry action do converting sessions start with?").
+
+    Scale shape: the events_sessions idiom — ONE user-bucket exchange,
+    vectorized run-length sessionization + one scatter-add per bucket,
+    then a tiny (first_type) grouped sum (≤ |event types| rows). Output:
+    (first_type, n_sessions, revenue_cents)."""
+    from zerox_ray.pipelines.agg import bucketed_group_agg
+
+    gap_us = gap_hours * 3600 * _US
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"].astype("int64") % N_USER_BUCKETS)
+        ),
+        batch_format="pandas",
+    )
+    partials = ds.groupby("bucket").map_groups(
+        lambda g: _attribution_bucket(g, gap_us), batch_format="pandas"
+    )
+    return bucketed_group_agg(
+        partials,
+        ["first_type"],
+        {"n_sessions": ("n_sessions", "sum"), "revenue_cents": ("revenue_cents", "sum")},
+    )
