@@ -171,6 +171,7 @@ from zerox_ray.pipelines.relational import (
     event_transitions,
     events_sliding,
     session_attribution,
+    shipping_priority,
     interval_join,
     lang_embedding_centroids,
     priority_price_quantiles,
@@ -865,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": interval_join,
         "event_transitions": event_transitions,
         "session_attribution": session_attribution,
+        "shipping_priority": shipping_priority,
         "revenue_by_priority": revenue_by_priority,
         "revenue_cube": revenue_cube,
         "pricing_summary": pricing_summary,
@@ -3614,6 +3616,26 @@ WITH et_o AS (SELECT user_id, event_type,
               FROM events)
 SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
 FROM et_o WHERE nxt IS NOT NULL GROUP BY 1, 2
+""",
+        # mirrors relational.shipping_priority (the TPC-H Q3 shape):
+        # BUILDING segment ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,
+        # integer micro revenue, top-10 by (rev DESC, date, orderkey)
+        "shipping_priority": """
+WITH sp_c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+sp_o AS (SELECT o_orderkey, o_custkey,
+                CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+                o_orderpriority
+         FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+sp_l AS (SELECT l_orderkey,
+                CAST(floor(l_extendedprice*100) AS BIGINT)
+                  * (10000 - CAST(floor(l_discount*10000) AS BIGINT)) AS rm
+         FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01')
+SELECT sp_l.l_orderkey, sp_o.o_orderdate_us, sp_o.o_orderpriority,
+       CAST(sum(rm) AS BIGINT) AS revenue_micro
+FROM sp_l JOIN sp_o ON sp_l.l_orderkey = sp_o.o_orderkey
+JOIN sp_c ON sp_o.o_custkey = sp_c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue_micro DESC, o_orderdate_us, l_orderkey LIMIT 10
 """,
         # mirrors relational.session_attribution: 8-hour-gap sessions,
         # purchase cents credited to each session's first event type

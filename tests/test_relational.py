@@ -782,3 +782,38 @@ class TestSessionAttribution:
             for _, r in got.iterrows()
         }
         assert have == want
+
+
+class TestShippingPriority:
+    def test_matches_pandas_replay(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from zerox_ray.pipelines.relational import shipping_priority
+
+        got = shipping_priority(sf_dir).to_pandas().reset_index(drop=True)
+        cust = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pandas()
+        cutoff = pd.Timestamp("1998-06-01")
+        keys = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+        o = orders[(orders.o_custkey.isin(keys)) & (orders.o_orderdate < cutoff)]
+        l = li[li.l_shipdate > cutoff].copy()
+        l["rm"] = np.floor(l.l_extendedprice * 100).astype("int64") * (
+            10_000 - np.floor(l.l_discount * 10_000).astype("int64")
+        )
+        j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        agg = (
+            j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False)
+            .agg(revenue_micro=("rm", "sum"))
+            .sort_values(
+                ["revenue_micro", "o_orderdate", "l_orderkey"],
+                ascending=[False, True, True],
+            )
+            .head(10)
+            .reset_index(drop=True)
+        )
+        assert list(got.l_orderkey) == list(agg.l_orderkey)
+        assert list(got.revenue_micro) == list(agg.revenue_micro)
+        assert (got.o_orderdate_us.to_numpy()
+                == agg.o_orderdate.astype("int64").to_numpy()).all()

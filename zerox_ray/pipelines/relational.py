@@ -1488,3 +1488,118 @@ def session_attribution(sf_dir: str, gap_hours: int = 8) -> ray.data.Dataset:
         ["first_type"],
         {"n_sessions": ("n_sessions", "sum"), "revenue_cents": ("revenue_cents", "sum")},
     )
+
+
+# --- shipping-priority revenue (the TPC-H Q3 shape) ----------------------------
+
+SHIPPING_CUTOFF = "1998-06-01"
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_TOPK = 10
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = SHIPPING_SEGMENT,
+    cutoff: str = SHIPPING_CUTOFF,
+    k: int = SHIPPING_TOPK,
+) -> ray.data.Dataset:
+    """TPC-H Q3's plan shape — the canonical 3-table analytic join:
+    customers of one market segment ⋈ their orders placed BEFORE the
+    cutoff ⋈ lineitems shipped AFTER it, revenue = Σ ep_cents ·
+    (10000 − disc_bp) integer micro-units, top-k order groups by
+    (revenue DESC, o_orderdate ASC, l_orderkey ASC).
+
+    Scale shape: segment custkeys are the tiny side — broadcast ONCE,
+    orders filter shuffle-free; lineitem (the 10^12-row fact) pre-
+    aggregates revenue per orderkey INSIDE each batch before its ONE
+    orderkey-hash join against the kept orders; final top-k via
+    per-batch partial top-k rows then one tiny sort+limit (O(blocks·k)
+    rows sorted, never the order count). Output: (l_orderkey,
+    o_orderdate_us, o_orderpriority, revenue_micro)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1_000)
+
+    seg = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = pc.filter(
+        seg["c_custkey"], pc.equal(seg["c_mktsegment"], segment)
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    keys_ref = ray.put(np.sort(keys))
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        date_us = df["o_orderdate"].astype("int64").to_numpy()
+        cust = df["o_custkey"].astype("int64").to_numpy()
+        idx = np.searchsorted(ks, cust)
+        idx[idx >= len(ks)] = 0
+        hit = (len(ks) > 0) & (ks[idx] == cust) & (date_us < cutoff_us)
+        out = df.loc[hit, ["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+        out["o_orderdate_us"] = out["o_orderdate"].astype("int64")
+        return out.drop(columns=["o_orderdate"]).astype({"o_orderkey": "int64"})
+
+    kept = orders.map_batches(keep_orders, batch_format="pandas")
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].astype("int64").to_numpy()
+        m = ship > cutoff_us
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "revenue_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        ep = np.floor(df["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        bp = np.floor(df["l_discount"].to_numpy()[m] * 10_000).astype(np.int64)
+        part = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64").to_numpy()[m],
+                "revenue_micro": ep * (10_000 - bp),
+            }
+        )
+        return part.groupby("l_orderkey", as_index=False).agg(
+            revenue_micro=("revenue_micro", "sum")
+        )
+
+    rev = li.map_batches(rev_partial, batch_format="pandas")
+    joined = hash_join(
+        rev,
+        kept.map_batches(
+            lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas",
+        ),
+        on="l_orderkey",
+    )
+    agg = bucketed_group_agg(
+        joined,
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+        {"revenue_micro": ("revenue_micro", "sum")},
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_micro", "o_orderdate_us", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    partial_top = agg.map_batches(local_topk, batch_format="pandas")
+    return (
+        partial_top.sort(
+            ["revenue_micro", "o_orderdate_us", "l_orderkey"],
+            descending=[True, False, False],
+        ).limit(k)
+    )
