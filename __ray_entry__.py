@@ -713,6 +713,19 @@ def _q_embedding_cosine(sf_dir: str):
     return embedding_near_dup(sf_dir, threshold_ppm=0)
 
 
+def _q_ocr_jsonl_roundtrip(sf_dir: str):
+    """Flagship OCR over a JSONL-ingested corpus (sources/jsonl.py —
+    base64 payloads, integer µs timestamps): value-checked against the
+    SAME ocr_documents oracle, so the whole interchange format is
+    verified end-to-end by the byte-identity invariant."""
+    from zerox_ray.sources.jsonl import read_jsonl_pages
+    from zerox_ray.testgen import jsonl_dir_for
+
+    return run_ocr(
+        read_jsonl_pages(jsonl_dir_for(sf_dir)).select_columns(["url", "html"])
+    ).select_columns(DOC_COLS)
+
+
 def _q_ocr_warc_roundtrip(sf_dir: str):
     """Flagship OCR over a WARC-ingested corpus: the pages table is
     serialized to standard .warc.gz files (Common Crawl's container,
@@ -739,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OCR / extraction pipelines (reference parity)
         "ocr_documents": _q_ocr_documents,
         "ocr_warc_roundtrip": _q_ocr_warc_roundtrip,
+        "ocr_jsonl_roundtrip": _q_ocr_jsonl_roundtrip,
         "ocr_pages": _q_ocr_pages,
         "ocr_summary": _q_ocr_summary,
         "ocr_totals": _q_ocr_totals,
@@ -2620,6 +2634,9 @@ def oracle_sql() -> dict[str, str]:
         # the expected extraction is IDENTICAL to ocr_documents — any
         # framing/gzip/date-precision defect changes the markdown hash
         "ocr_warc_roundtrip": _OCR_DOCUMENTS_SQL,
+        # the JSONL corpus round-trips to the identical pages table —
+        # same byte-identity oracle (base64/precision defects fail it)
+        "ocr_jsonl_roundtrip": _OCR_DOCUMENTS_SQL,
         "extraction_parity": _EXTRACTION_PARITY_SQL,
         # the snapshot corpus collapses to the repeat=1 corpus at ingest,
         # so the expected OCR output is IDENTICAL to ocr_documents — any

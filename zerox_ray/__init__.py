@@ -16,6 +16,7 @@ semantically required (reassembly, maintain_format fold).
 from zerox_ray.config import ZeroxConfig
 from zerox_ray.pipelines.ocr import extracted_pages, run_ocr, write_markdown_files
 from zerox_ray.sources.files import read_files_as_pages, read_urls_as_pages
+from zerox_ray.sources.jsonl import read_jsonl_pages, write_jsonl_files
 from zerox_ray.sources.warc import read_warc_pages, write_warc_files
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "write_markdown_files",
     "read_files_as_pages",
     "read_urls_as_pages",
+    "read_jsonl_pages",
+    "write_jsonl_files",
     "read_warc_pages",
     "write_warc_files",
 ]

@@ -644,3 +644,33 @@ def video_path_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str
 
     _atomic_write_dir(out, write)
     return out
+
+
+def jsonl_dir_for(sf_dir: str, cache_root: str = "/tmp/zerox_ray_cache") -> str:
+    """The SAME corpus as ``pages_dir_for``, serialized to JSONL shards
+    (sources/jsonl.py — base64 payloads, µs timestamps as ints). The
+    records round-trip to the identical pages table, so every
+    pages-plan oracle applies to a JSONL-ingested run unchanged."""
+    from zerox_ray.sources.jsonl import serialize_jsonl
+
+    tag = _sf_tag(sf_dir)
+    out = os.path.join(cache_root, f"v{GEN_VERSION}", tag, "jsonl")
+    if os.path.isdir(out):
+        return out
+
+    def write(tmp: str) -> None:
+        table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"))
+        urls = table["url"].to_pylist()
+        tss = [t.value for t in table["warc_ts"]]
+        payloads = table["html"].to_pylist()
+        for start in range(0, table.num_rows, ROWS_PER_FILE):
+            end = min(start + ROWS_PER_FILE, table.num_rows)
+            fname = f"part-{start // ROWS_PER_FILE:05d}.jsonl"
+            data = serialize_jsonl(
+                urls[start:end], tss[start:end], payloads[start:end]
+            )
+            with open(os.path.join(tmp, fname), "wb") as fh:
+                fh.write(data)
+
+    _atomic_write_dir(out, write)
+    return out
