@@ -284,6 +284,30 @@ def run_suite(sf_dir: str, num_cpus: int, repeat: int, ocr_only: bool = False) -
         timed(
             "ann_truncated_recall", lambda: ann_truncated_recall(sf_dir)
         )
+        from zerox_ray.sources.jsonl import read_jsonl_pages
+        from zerox_ray.pipelines.relational import (
+            event_transitions,
+            shipping_priority,
+        )
+        from zerox_ray.testgen import jsonl_dir_for
+
+        # r5 second wave: JSONL-format ingest (the interchange-format
+        # overhead vs parquet/WARC — same flagship extraction), the
+        # Markov transition exchange, and the Q3-shape 3-table join
+        timed(
+            "ocr_jsonl_roundtrip",
+            lambda: run_ocr(
+                read_jsonl_pages(jsonl_dir_for(sf_dir)).select_columns(
+                    ["url", "html"]
+                )
+            ).write_parquet(os.path.join(out_root, "ocr_jsonl")),
+        )
+        timed(
+            "event_transitions", lambda: event_transitions(sf_dir).to_pandas()
+        )
+        timed(
+            "shipping_priority", lambda: shipping_priority(sf_dir).to_pandas()
+        )
 
     ray.shutdown()
 
