@@ -168,6 +168,7 @@ from zerox_ray.pipelines.relational import (
     events_funnel,
     events_neighbors,
     events_sessions,
+    conversion_paths,
     event_transitions,
     events_sliding,
     session_attribution,
@@ -879,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "interval_join": interval_join,
         "event_transitions": event_transitions,
+        "conversion_paths": conversion_paths,
         "session_attribution": session_attribution,
         "shipping_priority": shipping_priority,
         "revenue_by_priority": revenue_by_priority,
@@ -3633,6 +3635,18 @@ WITH et_o AS (SELECT user_id, event_type,
               FROM events)
 SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
 FROM et_o WHERE nxt IS NOT NULL GROUP BY 1, 2
+""",
+        # mirrors relational.conversion_paths: order-2 lag pairs anchored
+        # on purchase events, per (prev2, prev1) cell
+        "conversion_paths": """
+WITH cp_o AS (SELECT user_id, event_type,
+                     lag(event_type, 1) OVER w AS p1,
+                     lag(event_type, 2) OVER w AS p2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT p2 AS prev2_type, p1 AS prev1_type, CAST(count(*) AS BIGINT) AS n
+FROM cp_o WHERE event_type = 'purchase' AND p1 IS NOT NULL AND p2 IS NOT NULL
+GROUP BY 1, 2
 """,
         # mirrors relational.shipping_priority (the TPC-H Q3 shape):
         # BUILDING segment ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,

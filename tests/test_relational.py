@@ -817,3 +817,30 @@ class TestShippingPriority:
         assert list(got.revenue_micro) == list(agg.revenue_micro)
         assert (got.o_orderdate_us.to_numpy()
                 == agg.o_orderdate.astype("int64").to_numpy()).all()
+
+
+def test_conversion_paths_matches_replay(sf_dir):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from zerox_ray.pipelines.relational import conversion_paths
+
+    got = conversion_paths(sf_dir).to_pandas()
+    t = (
+        pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    c = Counter()
+    hist: dict[int, tuple] = {}
+    for u, et in zip(t["user_id"], t["event_type"]):
+        p = hist.get(u, ())
+        if et == "purchase" and len(p) == 2:
+            c[p] += 1
+        hist[u] = (p + (et,))[-2:]
+    assert dict(zip(zip(got.prev2_type, got.prev1_type), got.n)) == dict(c)
+    assert (got.n >= 1).all()

@@ -1603,3 +1603,57 @@ def shipping_priority(
             descending=[True, False, False],
         ).limit(k)
     )
+
+
+def _conversion_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One user bucket → (prev2_type, prev1_type, n) partials for every
+    same-user event TRIPLE whose third event is a purchase — two shifted
+    views of the sorted stream, boundary-masked, no per-user python."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].astype("int64").to_numpy()
+    et = g["event_type"].to_numpy(object)
+    n = len(uid)
+    if n < 3:
+        return pd.DataFrame(
+            {
+                "prev2_type": pd.Series([], dtype=object),
+                "prev1_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+    hit = same & (et[2:] == "purchase")
+    pairs = pd.DataFrame(
+        {"prev2_type": et[:-2][hit], "prev1_type": et[1:-1][hit]}
+    )
+    out = pairs.groupby(["prev2_type", "prev1_type"], as_index=False).size()
+    return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+
+def conversion_paths(sf_dir: str) -> ray.data.Dataset:
+    """Second-order conversion-path counts: for every purchase, the two
+    events the same user performed immediately before it — the
+    path-to-conversion table marketing funnels and next-action models
+    read ("what two steps precede buying?"). Extends
+    ``event_transitions`` to order-2 paths anchored on an outcome.
+
+    Scale shape: identical to event_transitions — ONE user-bucket
+    exchange, two shifted boundary-masked views per bucket, ONE grouped
+    sum bounded by |types|². Output: (prev2_type, prev1_type, n)."""
+    from zerox_ray.pipelines.agg import bucketed_group_agg
+
+    ds = read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"].astype("int64") % N_USER_BUCKETS)
+        ),
+        batch_format="pandas",
+    )
+    partials = ds.groupby("bucket").map_groups(
+        _conversion_bucket, batch_format="pandas"
+    )
+    return bucketed_group_agg(
+        partials, ["prev2_type", "prev1_type"], {"n": ("n", "sum")}
+    )
